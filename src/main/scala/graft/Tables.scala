@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Parquet table loader for the driver test data (TESTDATA.md).
+  *
+  * The reference discovers sources by globbing a directory
+  * (`import_sirene.py:187-196`); here the driver hands us the directory and
+  * table names are fixed, so the loader is a plain path join. Filters and
+  * column pruning applied downstream reach the parquet scan via Catalyst
+  * (PushedFilters / ReadSchema) — nothing to hand-roll.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long and truncate to micros with
+      // integer division (a double division would lose precision at
+      // ~1.7e18 ns). DuckDB oracles use CAST(ts AS TIMESTAMP), which
+      // truncates identically.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+}
