@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-time analytics over the `events` table — the batch equivalents
+  * of the streaming surface (SURVEY.md §2.b, streaming row): tumbling
+  * windows and gap-based sessionization. The same expressions run under
+  * Structured Streaming in `graft.streaming` with a watermark; here they
+  * are batch queries so the DuckDB oracle can check them.
+  */
+object EventTime extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 4))
+
+  def queries: Map[String, QueryFn] = Map(
+    // Tumbling 5-minute window per event type (epoch-aligned, same
+    // bucketing as Structured Streaming's window()).
+    "e01_tumbling_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(dec(col("value"))), 2).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    },
+    // Gap-based sessionization (30-minute inactivity): lag + cumulative
+    // sum assigns session ids, then per-session aggregates. One shuffle
+    // on user_id; both window and aggregate reuse that partitioning.
+    "e02_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapMicros = 30L * 60 * 1000000
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 1)
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+              > gapMicros, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    },
+    // Sliding windows expressed as the explicit bucket arithmetic
+    // (10-minute window sliding by 5): each event lands in 2 buckets.
+    "e03_sliding_window" -> { (s, dir) =>
+      val slide = 5L * 60 * 1000000
+      val width = 10L * 60 * 1000000
+      val micros = unix_micros(col("ts"))
+      val firstStart = (floor(micros / slide) * slide) - (width - slide)
+      t(s, dir, "events")
+        .withColumn("window_start",
+          explode(sequence(firstStart.cast("long"),
+            (floor(micros / slide) * slide).cast("long"), lit(slide))))
+        .select(timestamp_micros(col("window_start")).as("window_start"),
+          col("value"))
+        .groupBy(col("window_start"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(dec(col("value"))), 2).cast(DoubleType).as("sum_value"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "e01_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                  AS window_start,
+                event_type, count(1) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(38,4))), 2) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "e02_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                       WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            > 1800000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT user_id, ts,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, session_id, count(1) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM numbered GROUP BY user_id, session_id""",
+    "e03_sliding_window" ->
+      """WITH buckets AS (
+           SELECT unnest(range(
+                    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 300000000)
+                      * 300000000 - 300000000 AS BIGINT),
+                    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 300000000)
+                      * 300000000 + 1 AS BIGINT),
+                    300000000)) AS window_start_us,
+                  value
+           FROM events
+         )
+         SELECT make_timestamp(window_start_us) AS window_start,
+                count(1) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(38,4))), 2) AS DOUBLE)
+                  AS sum_value
+         FROM buckets GROUP BY 1""",
+  )
+}
