@@ -13,7 +13,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
     graft.queries.ReferenceOps,
-    graft.queries.EventTime)
+    graft.queries.EventTime,
+    graft.queries.TrainingOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines
+  * (SURVEY.md §2.b extensions): tokenization, shingling, quality ratios,
+  * stopword-profile language ID. Everything is built-in column
+  * expressions / higher-order functions — no UDFs, so projections stay
+  * in whole-stage codegen (scalar fns) or tight HOF loops (array fns),
+  * and every metric is computable map-side with zero shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Character n-grams (the shingle unit for near-dup detection).
+    * Guarded: `sequence(1, 0)` would DESCEND in Spark, so short inputs
+    * short-circuit to an empty array.
+    */
+  def charNGrams(c: Column, n: Int): Column = {
+    val count = length(c) - (n - 1)
+    when(count <= 0, typedLit(Seq.empty[String])).otherwise(
+      transform(sequence(lit(1), count), i => c.substr(i, lit(n))))
+  }
+
+  /** Word k-shingles joined with a single space. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val ts = tokens(c)
+    val count = size(ts) - (k - 1)
+    when(count <= 0, typedLit(Seq.empty[String])).otherwise(
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
+  }
+
+  /** Fraction of characters matching a class; exact double (one
+    * division of two ints — bit-identical on any engine).
+    */
+  private def classRatio(c: Column, regex: String): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, regex, ""))).cast("double") /
+        length(c).cast("double"))
+
+  def digitRatio(c: Column): Column = classRatio(c, "[0-9]")
+  def upperRatio(c: Column): Column = classRatio(c, "[A-Z]")
+  def punctRatio(c: Column): Column = classRatio(c, "[\\p{Punct}]")
+  def whitespaceRatio(c: Column): Column = classRatio(c, "\\s")
+
+  /** Mean token length (0.0 for empty). */
+  def meanTokenLength(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(ts).cast("double"))
+  }
+
+  /** Count of tokens found in a fixed vocabulary. */
+  def vocabHits(c: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(c), t => array_contains(typedLit(vocab), t)))
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en"))
+
+  /** Language with the most stopword hits; ties and zero hits →
+    * "unknown". Deterministic: languages are compared in sorted order.
+    */
+  def langId(c: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(vocabHits(c, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    val hitsOf = scored.map(s => s.getField("hits"))
+    val maxHits = best.getField("hits")
+    val tied = hitsOf.map(h => when(h === maxHits, 1).otherwise(0))
+      .reduce(_ + _) > 1
+    when(maxHits === 0 || tied, "unknown").otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: penalizes digit/punct-heavy,
+    * shouty, or degenerate-token text. Weights are heuristic; the value
+    * is deterministic (fixed-order double arithmetic).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenOk = when(length(c).between(20, 10000), lit(1.0)).otherwise(0.5)
+    val alpha = lit(1.0) - digitRatio(c) - punctRatio(c)
+    val calm = lit(1.0) - upperRatio(c)
+    val tokOk = when(meanTokenLength(c).between(2.0, 12.0), lit(1.0))
+      .otherwise(lit(0.5))
+    greatest(least(lenOk * lit(0.25) + alpha * lit(0.35) +
+      calm * lit(0.2) + tokOk * lit(0.2), lit(1.0)), lit(0.0))
+  }
+}

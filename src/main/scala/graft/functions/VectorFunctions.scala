@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over `array<float>` / `array<double>`
+  * embedding columns (SURVEY.md §2.b similarity-search extension).
+  *
+  * Built on `zip_with`/`aggregate` higher-order functions: evaluated as a
+  * tight loop per row, no UDF serialization, null-safe, and usable inside
+  * any projection/join condition. All math is promoted to double so
+  * results are partition-order independent (the fold order over one
+  * array is fixed left-to-right on every engine).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /** Sign-random-projection bucket for cosine LSH: `planes` hyperplanes
+    * with ±1 components derived from `xxhash64(planeIdx, dimIdx)` — fully
+    * deterministic, no stored model, recomputable on any executor. Two
+    * vectors with high cosine similarity land in the same bucket with
+    * probability (1 − θ/π)^planes.
+    */
+  def srpBucket(v: Column, planes: Int): Column = {
+    val dv = asDouble(v)
+    val signs = (0 until planes).map { p =>
+      // dot(v, plane_p) where plane_p[i] = ±1 from a hash of (p, i)
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(dv) - 1), (x, i) =>
+          when(pmod(xxhash64(lit(p), i), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    signs.reduce(_.bitwiseOR(_))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators (SURVEY.md §2.b extensions), each
+  * designed for the 100 TB shape:
+  *
+  *  - exact: one hash-groupBy shuffle on a 16-byte digest (not the
+  *    document body — the wide text column is dropped before the
+  *    shuffle and survivors are recovered by joining ids back).
+  *  - MinHash+LSH: signatures are a fixed-width projection (map-side,
+  *    one pass over shingles per row); only (band-hash, id) pairs
+  *    shuffle — never shingle sets; candidate verification joins
+  *    signatures, not documents.
+  *  - SimHash: 64-bit sketch per document map-side; near-dup = small
+  *    Hamming distance, bucketed by the sketch's high bits.
+  */
+object Dedup {
+
+  /** Exact dedup on a content digest: survivors keep the smallest id.
+    * Returns (id, digest, groupSize) for every surviving row.
+    */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol), md5(col(contentCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
+      .select(col(idCol), col("digest"), col("group_size"))
+
+  /** MinHash signature: for each of `numHashes` hash families, the min
+    * of `xxhash64(seed_i, shingle)` over the document's shingle set.
+    * Empty docs get Long.MaxValue components (match nothing).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      coalesce(
+        array_min(transform(shingles, s => xxhash64(lit(i), s))),
+        lit(Long.MaxValue))
+    }: _*)
+
+  /** Estimated Jaccard similarity from two signatures: fraction of equal
+    * components (the MinHash estimator).
+    */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) =>
+      when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(sigA).cast("double")
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * numHashes = bands · rowsPerBand; a pair collides in some band with
+    * probability 1 − (1 − J^rowsPerBand)^bands. Returned pairs carry the
+    * estimated Jaccard and are filtered at `threshold`.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, bands: Int = 16,
+                      rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(
+        TextFunctions.wordShingles(col(textCol), shingleSize), numHashes)
+        .as("sig"))
+
+    // (band index, hash of the band's signature slice) → candidate buckets
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1,
+          rowsPerBand).cast("string"))): _*)).as(Seq("band", "band_hash")))
+
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard between two text columns (the verification
+    * step behind MinHash's estimate; also usable directly for small
+    * candidate sets).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(TextFunctions.charNGrams(a, n))
+    val sb = array_distinct(TextFunctions.charNGrams(b, n))
+    val union = size(array_union(sa, sb))
+    when(union === 0, lit(1.0)).otherwise(
+      size(array_intersect(sa, sb)).cast("double") / union.cast("double"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the sketch is the
+    * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Map-side only.
+    */
+  private val bitMasks = typedLit((0 until 64).map(1L << _))
+
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(textCol),
+      t => xxhash64(t))
+    val counts = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitMasks, (c, m) =>
+        c + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, bitMasks, (c, m) =>
+        when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: bucket by the high `prefixBits` bits, then
+    * verify Hamming distance within buckets. Rotating the bucketing over
+    * several prefixes (as production pipelines do) multiplies recall;
+    * one prefix keeps the demo simple.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8, prefixBits: Int = 16): DataFrame = {
+    val sketched = df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sketch"))
+      .withColumn("bucket", shiftrightunsigned(col("sketch"),
+        64 - prefixBits))
+    val a = sketched.select(col("bucket"), col("id").as("id_a"),
+      col("sketch").as("sketch_a"))
+    val b = sketched.select(col("bucket"), col("id").as("id_b"),
+      col("sketch").as("sketch_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sketch_a").bitwiseXOR(col("sketch_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

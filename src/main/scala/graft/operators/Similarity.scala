@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.b similarity-search extension).
+  *
+  * Scale shape: the query set is small and broadcast; the corpus streams
+  * map-side. Brute force is the exact baseline (one pass, top-k via
+  * per-query window). The SRP-LSH variant prunes the corpus to matching
+  * hyperplane-sign buckets first — at 100 TB the bucket filter is the
+  * difference between scanning everything per query and scanning
+  * ~corpus/2^planes, at the cost of recall (probe multiple buckets or
+  * lower `planes` to trade back).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `corpus`: (idCol, vecCol); `queries`: (idCol, vecCol), small.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosineSimilarity(col("query_vec"), col("vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: only corpus vectors in the same
+    * sign-random-projection bucket as the query are scored.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"),
+      VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"),
+      VectorFunctions.srpBucket(col(vecCol), planes).as("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    bucketed.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosineSimilarity(col("query_vec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, LSH-pruned
+    * (same-bucket pairs only scored) — the embedding-cosine dedup path.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Int = 6): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.functions.{PolyHashFunctions, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §2.b extensions): dedup family, text analysis, similarity
+  * search. Oracle-checkable where DuckDB can express the same math;
+  * approximate/sketch operators (MinHash, SimHash, SRP-LSH, poly_hash)
+  * are rows-only here and exactness-tested in ScalaTest instead.
+  */
+object TrainingOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, QueryFn] = Map(
+    "d01_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    },
+    "d02_token_stats" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("text_len"),
+        size(array_distinct(TextFunctions.tokens(col("text"))))
+          .as("n_unique_tokens"))
+    },
+    "d03_quality_ratios" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.digitRatio(col("text")).as("digit_ratio"),
+        TextFunctions.whitespaceRatio(col("text")).as("ws_ratio"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_token_len"))
+    },
+    "d04_langid" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("predicted_lang"))
+    },
+    "d08_char_jaccard_pairs" -> { (s, dir) =>
+      // exact character-set Jaccard over a deterministic sample of pairs
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      val sa = array_distinct(filter(split(col("text_a"), ""), c => c =!= ""))
+      val sb = array_distinct(filter(split(col("text_b"), ""), c => c =!= ""))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(sa, sb)).cast("double") /
+            size(array_union(sa, sb)).cast("double")).as("jaccard"))
+    },
+
+    // ---- rows-only (sketch/approximate; spec-tested in ScalaTest) ----
+    "d05_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        PolyHashFunctions.poly_hash(col("text")).as("fingerprint"))
+    },
+    "d06_minhash_lsh_pairs" -> { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
+    },
+    "d07_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16, prefixBits = 8)
+    },
+    "s01_cosine_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    },
+    "s02_lsh_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, planes = 4)
+    },
+    "s03_embedding_near_dup" -> { (s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, planes = 4)
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Exact-match oracle works even for cosine: both engines fold the
+    // dot product left-to-right in double → bit-identical similarity.
+    "s01_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.qv AS DOUBLE[])) AS cosine
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 5""",
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS digest,
+                count(1) AS group_size
+         FROM documents GROUP BY md5(text)""",
+    "d02_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '')) AS INT) AS n_tokens,
+                CAST(length(text) AS INT) AS text_len,
+                CAST(len(list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'), x -> x <> '')))
+                  AS INT) AS n_unique_tokens
+         FROM documents""",
+    "d03_quality_ratios" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+               AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS ws_ratio,
+           CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+               / CAST(len(ts) AS DOUBLE) END AS mean_token_len
+         FROM toks""",
+    "d04_langid" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         hits AS (
+           SELECT doc_id, lang,
+             len(list_filter(ts, x -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','zu'], x))) AS de,
+             len(list_filter(ts, x -> list_contains(
+               ['the','a','of','and','to','in','is','that'], x))) AS en,
+             len(list_filter(ts, x -> list_contains(
+               ['el','los','las','y','es','un','una','en'], x))) AS es,
+             len(list_filter(ts, x -> list_contains(
+               ['le','la','les','et','est','un','une','dans'], x))) AS fr
+           FROM toks)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(de, en, es, fr) = 0 THEN 'unknown'
+                WHEN (CASE WHEN de = greatest(de,en,es,fr) THEN 1 ELSE 0 END +
+                      CASE WHEN en = greatest(de,en,es,fr) THEN 1 ELSE 0 END +
+                      CASE WHEN es = greatest(de,en,es,fr) THEN 1 ELSE 0 END +
+                      CASE WHEN fr = greatest(de,en,es,fr) THEN 1 ELSE 0 END)
+                     > 1 THEN 'unknown'
+                WHEN fr = greatest(de,en,es,fr) THEN 'fr'
+                WHEN es = greatest(de,en,es,fr) THEN 'es'
+                WHEN en = greatest(de,en,es,fr) THEN 'en'
+                ELSE 'de' END AS predicted_lang
+         FROM hits""",
+    "d08_char_jaccard_pairs" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(list_distinct(string_split(a.text, '')),
+                                   list_distinct(string_split(b.text, ''))))
+             AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(
+                  list_distinct(string_split(a.text, '')),
+                  list_distinct(string_split(b.text, ''))))) AS DOUBLE)
+             AS jaccard
+         FROM docs a JOIN docs b ON a.doc_id < b.doc_id""",
+  )
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.functions.{PolyHashFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / charNGrams / wordShingles") {
+    val df = Seq("the quick  brown fox", "", "  one  ").toDF("t")
+    val rows = df.select(
+      TextFunctions.tokens(col("t")).as("tok"),
+      TextFunctions.charNGrams(col("t"), 3).as("ng"),
+      TextFunctions.wordShingles(col("t"), 2).as("sh")).collect()
+    assert(rows(0).getSeq[String](0) == Seq("the", "quick", "brown", "fox"))
+    assert(rows(0).getSeq[String](1).take(3) == Seq("the", "he ", "e q"))
+    assert(rows(0).getSeq[String](2) ==
+      Seq("the quick", "quick brown", "brown fox"))
+    assert(rows(1).getSeq[String](0).isEmpty)
+    assert(rows(1).getSeq[String](1).isEmpty)
+    assert(rows(2).getSeq[String](0) == Seq("one"))
+  }
+
+  test("quality ratios are exact") {
+    val rows = Seq("ab12", "    ", "HELLO there").toDF("t").select(
+      TextFunctions.digitRatio(col("t")),
+      TextFunctions.upperRatio(col("t")),
+      TextFunctions.meanTokenLength(col("t"))).collect()
+    assert(rows(0).getDouble(0) == 0.5)
+    assert(rows(0).getDouble(1) == 0.0)
+    assert(rows(0).getDouble(2) == 4.0)
+    assert(rows(1).getDouble(2) == 0.0) // whitespace-only → no tokens
+    assert(rows(2).getDouble(1) == 5.0 / 11.0)
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val rows = Seq(
+      "the cat and the dog in a house",
+      "der hund und die katze ist nicht da",
+      "le chat et la maison dans les arbres",
+      "xyzzy qwerty").toDF("t")
+      .select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(rows.toSeq == Seq("en", "de", "fr", "unknown"))
+  }
+
+  test("poly_hash: stable, order-sensitive, codegen == reference impl") {
+    val texts = Seq("", "a", "ab", "ba", "hello world",
+      "Ünïcödé ﬆring with ✓", "x" * 5000)
+    val hashed = texts.toDF("t")
+      .select(PolyHashFunctions.poly_hash(col("t"))).as[Long].collect()
+    // reference evaluation in plain Scala (same byte math)
+    val expected = texts.map(t =>
+      graft.functions.PolyHash.hashBytes(t.getBytes("UTF-8")))
+    assert(hashed.toSeq == expected)
+    assert(hashed(2) != hashed(3)) // "ab" vs "ba": position matters
+    assert(hashed.forall(h => h >= 0 && h < (1L << 61) - 1))
+  }
+
+  test("exact dedup keeps min id per digest") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash estimate tracks exact jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val c = "completely different words nothing shared at all here today"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val sig = Dedup.minhashSignature(
+      TextFunctions.wordShingles(col("text"), 3), 128)
+    val sigs = df.select(col("id"), sig.as("sig"))
+    val x = sigs.filter(col("id") === 1).select(col("sig").as("s1"))
+    val y = sigs.filter(col("id") === 2).select(col("sig").as("s2"))
+    val z = sigs.filter(col("id") === 3).select(col("sig").as("s3"))
+    val est = x.crossJoin(y).crossJoin(z).select(
+      Dedup.estimatedJaccard(col("s1"), col("s2")).as("ab"),
+      Dedup.estimatedJaccard(col("s1"), col("s3")).as("ac")).collect()(0)
+    // exact 3-shingle jaccard(a,b): shingle sets differ in 3 of 10 → ~0.54
+    assert(est.getDouble(0) > 0.3 && est.getDouble(0) < 0.8)
+    assert(est.getDouble(1) < 0.1)
+  }
+
+  test("minhashLshPairs finds the near-dup, skips the unrelated") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val c = "completely different words nothing shared at all here today"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text",
+      shingleSize = 2, bands = 32, rowsPerBand = 2, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical → 0 hamming; near texts < far texts") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy cat"
+    val c = "totally unrelated sentence about spark engines running fast"
+    val df = Seq(a, b, c).toDF("text")
+      .select(Dedup.simhash(col("text")).as("h")).as[Long].collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(df(0), df(0)) == 0)
+    assert(ham(df(0), df(1)) < ham(df(0), df(2)))
+  }
+
+  test("ngramJaccard: identical=1, disjoint=0") {
+    val df = Seq(("abcdef", "abcdef", "xyzuvw")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")),
+      Dedup.ngramJaccard(col("a"), col("c"))).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("cosine similarity and brute-force topk") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(math.abs(top(0).getDouble(2) -
+      0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)) < 1e-6)
+  }
+
+  test("lsh topk returns a subset of brute-force candidates with rank") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val lsh = Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, planes = 2)
+    val rows = lsh.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) <= 3))
+  }
+}
