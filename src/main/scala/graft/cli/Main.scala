@@ -1,0 +1,69 @@
+package graft.cli
+
+import graft.pipelines.Pipelines
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point (X4 in SURVEY.md §2.a) — the argparse surface of the
+  * reference's `dg_tools_script.py` re-expressed:
+  *
+  *   graft.cli.Main -s sirene|fantoir|deces -r pg|mariadb|sqlite \
+  *     -p <path> [--jdbc-url <url>]
+  *
+  * Without `--jdbc-url` the run is a dry run: the full SQL transcript is
+  * printed instead of executed (the reference's FakeConnection behavior).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList, Map.empty)
+    val source = opts.getOrElse("source",
+      fail("missing -s sirene|fantoir|deces"))
+    val rdbms = opts.getOrElse("rdbms", "pg")
+    val path = opts.getOrElse("path", fail("missing -p <path>"))
+    val jdbcUrl = opts.get("jdbcUrl")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-import-$source")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val transcripts: Map[String, Seq[String]] = source match {
+        case "sirene" => Pipelines.importSirene(spark, path, rdbms, jdbcUrl)
+        case "fantoir" => Pipelines.importFantoir(spark, path, rdbms, jdbcUrl)
+        case "deces" =>
+          Map("deces" -> Pipelines.importDeces(spark, path, rdbms, jdbcUrl))
+        case other => fail(s"unknown source: $other")
+      }
+      transcripts.toSeq.sortBy(_._1).foreach { case (table, statements) =>
+        println(s"-- $table")
+        statements.foreach(println)
+      }
+    } finally spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parseArgs(args: List[String],
+                        acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case ("-s" | "--source") :: v :: rest =>
+        parseArgs(rest, acc + ("source" -> v))
+      case ("-r" | "--rdbms") :: v :: rest =>
+        parseArgs(rest, acc + ("rdbms" -> v))
+      case ("-p" | "--path") :: v :: rest =>
+        parseArgs(rest, acc + ("path" -> v))
+      case "--jdbc-url" :: v :: rest =>
+        parseArgs(rest, acc + ("jdbcUrl" -> v))
+      case other :: _ => fail(s"unknown argument: $other")
+    }
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    System.err.println("usage: graft.cli.Main -s sirene|fantoir|deces " +
+      "-r pg|mariadb|sqlite -p <path> [--jdbc-url <url>]")
+    sys.exit(2)
+  }
+}

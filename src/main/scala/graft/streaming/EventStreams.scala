@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.b, streaming row).
+  *
+  * The reference has no unbounded inputs — its threaded FANTOIR pipeline
+  * (`/root/reference/datagouv_tools/import_fantoir.py:42-102`) is
+  * concurrency, not streaming. These operators are the engine's forward
+  * extension: the same event-time queries as `graft.queries.EventTime`
+  * but incremental, watermark-bounded, and restartable from a checkpoint.
+  * All transforms are expressed on the streaming DataFrame so the
+  * micro-batch planner incrementalizes them; state stays bounded because
+  * every aggregation is keyed by an event-time window and the watermark
+  * lets Spark evict closed windows.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with late-data handling.
+    * Mirrors `EventTime.e01` — same bucketing, incremental execution.
+    */
+  def tumblingCounts(events: DataFrame, window: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  private val functions = org.apache.spark.sql.functions
+
+  /** Session windows via the built-in session_window (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class EventRow(user_id: Long, ts: java.sql.Timestamp,
+                            value: Double)
+  final case class UserRunningState(n: Long, total: Double)
+  final case class UserRunningOutput(user_id: Long, n_events: Long,
+                                     total_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for stateful logic the built-in windows can't
+    * express. Pass ProcessingTimeTimeout (with `stateTtl`) in production
+    * so state for users that go quiet is evicted; note that timeouts make
+    * the engine schedule continuous empty micro-batches, so the default
+    * here is NoTimeout (and tests rely on that to terminate).
+    */
+  def runningUserTotals(events: Dataset[EventRow],
+                        timeout: GroupStateTimeout =
+                        GroupStateTimeout.NoTimeout(),
+                        stateTtl: String = "1 hour")
+      : Dataset[UserRunningOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningState, UserRunningOutput](timeout) {
+        (userId: Long, rows: Iterator[EventRow],
+         state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+            case ((cn, ct), r) => (cn + 1, ct + r.value)
+          }
+          state.update(UserRunningState(n, total))
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+            state.setTimeoutDuration(stateTtl)
+          UserRunningOutput(userId, n, total)
+      }
+  }
+
+  /** Write any of the above to a sink incrementally; `foreachBatch`
+    * reuses the batch JDBC sink dialects (K2–K5) per micro-batch —
+    * exactly the composition SURVEY.md §2.b prescribes.
+    */
+  def toForeachBatchSink(df: DataFrame, checkpoint: String)(
+      batchFn: (DataFrame, Long) => Unit) =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(batchFn)
+}

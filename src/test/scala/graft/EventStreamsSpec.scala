@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window aggregates a memory stream incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStreams.tumblingCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0),
+        (ts(6), "view", 5.0))
+      query.processAllAvailable()
+      val out = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type")
+        .collect()
+      assert(out.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq == Seq(
+        (ts(0), "click", 2L, 3.0),
+        (ts(5), "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("session window merges events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+
+    // session-window aggregation only supports append/complete output
+    val query = EventStreams.sessionCounts(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1: 10:00, 10:05 (same session), 10:40 (new session)
+      input.addData((ts(0), 1L), (ts(5), 1L), (ts(40), 1L))
+      query.processAllAvailable()
+      val out = spark.table("session_test")
+        .filter(col("user_id") === 1)
+        .orderBy("session_start").collect()
+      assert(out.length == 2)
+      assert(out(0).getLong(3) == 2L)
+      assert(out(1).getLong(3) == 1L)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.EventRow]
+    val query = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(EventStreams.EventRow(1L, ts(0), 10.0),
+        EventStreams.EventRow(1L, ts(1), 5.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.EventRow(1L, ts(2), 1.0))
+      query.processAllAvailable()
+      val out = spark.table("state_test")
+        .groupBy("user_id").agg(max("n_events").as("n"),
+          max("total_value").as("t")).collect()
+      assert(out.head.getLong(1) == 3L)
+      assert(out.head.getDouble(2) == 16.0)
+    } finally query.stop()
+  }
+}

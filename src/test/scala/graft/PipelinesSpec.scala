@@ -1,0 +1,70 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.pipelines.Pipelines
+
+/** End-to-end dry-run golden transcript, the port of the reference's
+  * `tests/test_import_fantoir.py:63-155` pattern, plus multimodal
+  * plumbing checks.
+  */
+class PipelinesSpec extends SparkSpec {
+
+  test("fantoir dry run produces DDL for the 3 non-header tables") {
+    val dir = java.nio.file.Files.createTempDirectory("fantoirp")
+    val path = s"$dir/fantoir.txt"
+    val voieLine =
+      "010001A008WLOT BELLEVUE                   N  3  0          " +
+        "00000000000000 00000002001351               000592   BELLEVUE"
+    val directionLine =
+      "010        AIN                                             " +
+        "00000000000000 00000000000000"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (directionLine + "\n" + voieLine + "\n").getBytes("ISO-8859-1"))
+
+    val transcripts = Pipelines.importFantoir(spark, path, "pg")
+    assert(transcripts.keySet == Set("direction", "commune", "voie"))
+    val voie = transcripts("voie")
+    assert(voie.head == "DROP TABLE IF EXISTS voie")
+    assert(voie(1).startsWith("CREATE TABLE voie ("))
+    assert(voie(1).contains("code_departement"))
+    assert(voie(1).contains(
+      "dernier_mot_entierement_alphabetique_du_libelle_de_la_voie"))
+    assert(voie.contains("TRUNCATE voie"))
+    assert(voie.contains("ANALYZE voie"))
+    // no FANTOIR indices — matches the reference's observable behavior
+    assert(!voie.exists(_.startsWith("CREATE INDEX")))
+  }
+
+  test("dialect registry resolves aliases, rejects unknown") {
+    assert(Pipelines.dialect("postgres") eq
+      graft.sinks.PostgresDialect)
+    assert(Pipelines.dialect("MYSQL") eq graft.sinks.MariaDbDialect)
+    intercept[IllegalArgumentException] { Pipelines.dialect("oracle") }
+  }
+
+  test("multimodal: binary read → meta + features, deterministic stubs") {
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"),
+      Array.tabulate[Byte](256)(_.toByte))
+    java.nio.file.Files.write(dir.resolve("b.wav"),
+      Array.fill[Byte](64)(7))
+    val binary = Multimodal.readBinary(spark, dir.toString)
+    val meta = Multimodal.extractMeta(binary).collect()
+      .map(m => m.path.split('/').last -> m).toMap
+    assert(meta("a.jpg").kind == "image")
+    assert(meta("a.jpg").channels == 3)
+    assert(meta("a.jpg").width >= 64)
+    assert(meta("b.wav").kind == "audio")
+    assert(meta("b.wav").durationMs == 4L)
+
+    val feats = Multimodal.extractFeatures(binary, bins = 4).collect()
+      .map(f => f.path.split('/').last -> f).toMap
+    assert(feats("a.jpg").histogram.toSeq == Seq(0.25, 0.25, 0.25, 0.25))
+    assert(feats("a.jpg").fingerprint ==
+      graft.functions.PolyHash.hashBytes(Array.tabulate[Byte](256)(_.toByte)))
+    // deterministic: second run yields identical features
+    val again = Multimodal.extractFeatures(binary, bins = 4).collect()
+      .map(f => f.path.split('/').last -> f.fingerprint).toMap
+    assert(again("a.jpg") == feats("a.jpg").fingerprint)
+  }
+}
