@@ -32,19 +32,29 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b),
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
+  /** Supported embedding width for [[srpBucket]] plane literals. */
+  private val MaxDim = 4096
+
+  /** Deterministic ±1 plane component from (plane, dim) — computed at
+    * PLAN time into a literal array, so executors do one multiply per
+    * element instead of a hash per element per row.
+    */
+  private def planeSign(p: Int, i: Int): Double = {
+    val mixed = (p * 1315423911L + i * 2654435761L) * 0x9e3779b97f4a7c15L
+    if (((mixed >>> 17) & 1L) == 0L) 1.0 else -1.0
+  }
+
   /** Sign-random-projection bucket for cosine LSH: `planes` hyperplanes
-    * with ±1 components derived from `xxhash64(planeIdx, dimIdx)` — fully
-    * deterministic, no stored model, recomputable on any executor. Two
-    * vectors with high cosine similarity land in the same bucket with
-    * probability (1 − θ/π)^planes.
+    * with ±1 components — fully deterministic, no stored model,
+    * recomputable on any executor. Two vectors with high cosine
+    * similarity land in the same bucket with probability (1 − θ/π)^planes.
     */
   def srpBucket(v: Column, planes: Int): Column = {
     val dv = asDouble(v)
     val signs = (0 until planes).map { p =>
-      // dot(v, plane_p) where plane_p[i] = ±1 from a hash of (p, i)
+      val plane = typedLit(Array.tabulate(MaxDim)(i => planeSign(p, i)))
       val proj = aggregate(
-        zip_with(dv, sequence(lit(0), size(dv) - 1), (x, i) =>
-          when(pmod(xxhash64(lit(p), i), lit(2)) === 0, x).otherwise(-x)),
+        zip_with(dv, slice(plane, lit(1), size(dv)), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -18,18 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** cosine = dot/(‖a‖·‖b‖) with norms already materialized per vector. */
+  private def cosineFromNorms(a: org.apache.spark.sql.Column,
+                              b: org.apache.spark.sql.Column,
+                              na: org.apache.spark.sql.Column,
+                              nb: org.apache.spark.sql.Column) = {
+    val d = na * nb
+    when(d === 0.0, lit(0.0)).otherwise(VectorFunctions.dot(a, b) / d)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `corpus`: (idCol, vecCol); `queries`: (idCol, vecCol), small.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms are computed once per vector, not once per pair: cosine per
+    // pair is then a single dot + one multiply/divide (bit-identical to
+    // recomputing — sqrt(na)·sqrt(nb) either way).
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("query_vec")))
+      col(vecCol).as("query_vec"),
+      VectorFunctions.norm(col(vecCol)).as("query_norm")))
     val scored = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("vec"))
+      col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        VectorFunctions.cosineSimilarity(col("query_vec"), col("vec")))
+      .withColumn("cosine", cosineFromNorms(col("query_vec"), col("vec"),
+        col("query_norm"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -45,17 +58,18 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               planes: Int = 8): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("vec"),
+      col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("query_vec"),
+      VectorFunctions.norm(col(vecCol)).as("query_norm"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     bucketed.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        VectorFunctions.cosineSimilarity(col("query_vec"), col("vec")))
+      .withColumn("cosine", cosineFromNorms(col("query_vec"), col("vec"),
+        col("query_norm"), col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -67,15 +81,16 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Int = 6): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", cosineFromNorms(col("vec_a"), col("vec_b"),
+        col("nrm_a"), col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

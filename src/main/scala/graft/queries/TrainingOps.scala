@@ -82,7 +82,7 @@ object TrainingOps extends QueryPack {
     },
     "s03_embedding_near_dup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.4, planes = 4)
+        "embedding", threshold = 0.4, planes = 6)
     },
   )
 

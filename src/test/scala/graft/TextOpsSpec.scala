@@ -117,6 +117,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0)
   }
 
+  test("aggregate-path signatures equal expression-path signatures") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "")).toDF("id", "text")
+    val viaExpr = docs.select(col("id"), Dedup.minhashSignature(
+      TextFunctions.wordShingles(col("text"), 2), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = Dedup.minhashSignatures(docs, "id", "text", 2, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaAgg)
+
+    val shExpr = docs.select(col("id"),
+      Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shAgg = Dedup.simhashSketches(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shExpr == shAgg)
+  }
+
   test("cosine similarity and brute-force topk") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
