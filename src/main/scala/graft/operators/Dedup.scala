@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash family i derived from two base hashes without arithmetic
+    * (ANSI mode forbids wrapping add/multiply): h1 XOR rot(h2, i). */
+  private def hashVariant(h1: Column, h2: Column, i: Int): Column = {
+    val r = i % 64
+    val rotated =
+      if (r == 0) h2
+      else shiftleft(h2, r).bitwiseOR(shiftrightunsigned(h2, 64 - r))
+    h1.bitwiseXOR(rotated)
+  }
+
   /** Exact dedup on a content digest: survivors keep the smallest id.
     * Returns (id, digest, groupSize) for every surviving row.
     */
@@ -35,7 +45,8 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       coalesce(
-        array_min(transform(shingles, s => xxhash64(lit(i), s))),
+        array_min(transform(shingles,
+          s => hashVariant(xxhash64(s), xxhash64(lit(-1), s), i))),
         lit(Long.MaxValue))
     }: _*)
 
@@ -65,10 +76,16 @@ object Dedup {
     df.select(col(idCol).as("id"),
       explode_outer(TextFunctions.wordShingles(col(textCol), shingleSize))
         .as("shingle"))
+      // double hashing: each shingle costs 2 hashes; the 64 family
+      // members are rotate-XOR combinations (cheap, overflow-free).
+      .withColumn("h1", when(col("shingle").isNotNull,
+        xxhash64(col("shingle"))))
+      .withColumn("h2", when(col("shingle").isNotNull,
+        xxhash64(lit(-1), col("shingle"))))
       .groupBy(col("id"))
       .agg(array((0 until numHashes).map { i =>
-        coalesce(min(when(col("shingle").isNotNull,
-          xxhash64(lit(i), col("shingle")))), lit(Long.MaxValue))
+        coalesce(min(hashVariant(col("h1"), col("h2"), i)),
+          lit(Long.MaxValue))
       }: _*).as("sig"))
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,

@@ -68,7 +68,7 @@ object TrainingOps extends QueryPack {
     },
     "d07_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16, prefixBits = 8)
+        maxHamming = 8, prefixBits = 8)
     },
     "s01_cosine_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
