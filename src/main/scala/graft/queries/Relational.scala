@@ -71,11 +71,17 @@ object Relational extends QueryPack {
           count(lit(1)).as("n_items"))
     },
     "q03_top_orders" -> { (s, dir) =>
+      // selective side first: orders ⋈ (filtered customers, broadcast)
+      // shrinks the orders stream ~5× before the big lineitem join; AQE
+      // can then broadcast the reduced side at runtime.
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"))
+      val buildingOrders = o.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(money(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))

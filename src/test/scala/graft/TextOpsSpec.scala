@@ -161,4 +161,19 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getInt(3) <= 3))
   }
+
+  test("GraftFunctions SQL registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("Code Départ’ement", "camelCaseName")).toDF("a", "b")
+      .createOrReplaceTempView("gf_test")
+    val r = spark.sql(
+      """SELECT poly_hash(a) AS h, graft_sanitize(a) AS s,
+                graft_to_snake(b) AS sn, graft_to_standard(a) AS st
+         FROM gf_test""").collect()(0)
+    assert(r.getLong(0) ==
+      graft.functions.PolyHash.hashBytes("Code Départ’ement".getBytes("UTF-8")))
+    assert(r.getString(1) == "Code Departement")
+    assert(r.getString(2) == "camel_case_name")
+    assert(r.getString(3) == "code_departement")
+  }
 }
