@@ -56,7 +56,29 @@ object TrainingOps extends QueryPack {
             size(array_union(sa, sb)).cast("double")).as("jaccard"))
     },
 
+    "d09_ngram_jaccard_pairs" -> { (s, dir) =>
+      // TRUE character-3-gram Jaccard (not char-set) on sampled pairs —
+      // the exact verifier behind MinHash, oracle-checked
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.operators.Dedup.ngramJaccard(col("text_a"), col("text_b"), 3)
+            .as("jaccard3"))
+    },
+
     // ---- rows-only (sketch/approximate; spec-tested in ScalaTest) ----
+    "d10_approx_distinct" -> { (s, dir) =>
+      // HLL++ sketch counts (approximate — implementations differ across
+      // engines, so rows-only; the exact counterpart is q13)
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("text"), 0.02).as("approx_texts"),
+          approx_count_distinct(col("source")).as("approx_sources"))
+    },
     "d05_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -160,6 +182,20 @@ object TrainingOps extends QueryPack {
                 WHEN en = greatest(de,en,es,fr) THEN 'en'
                 ELSE 'de' END AS predicted_lang
          FROM hits""",
+    "d09_ngram_jaccard_pairs" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+         grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, length(text) - 1),
+                    i -> substring(text, CAST(i AS INT), 3))) AS g
+           FROM docs)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 1.0
+                ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.g, b.g))) END
+             AS jaccard3
+         FROM grams a JOIN grams b ON a.doc_id < b.doc_id""",
     "d08_char_jaccard_pairs" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)

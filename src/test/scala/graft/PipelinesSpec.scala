@@ -67,4 +67,19 @@ class PipelinesSpec extends SparkSpec {
       .map(f => f.path.split('/').last -> f.fingerprint).toMap
     assert(again("a.jpg") == feats("a.jpg").fingerprint)
   }
+
+  test("deces dry run: typed dates, hash index on nom") {
+    val dir = java.nio.file.Files.createTempDirectory("deces")
+    val line = "DUPONT*JEAN PIERRE/".padTo(80, ' ') + "1" + "19230512" +
+      "75101" + "PARIS".padTo(30, ' ') + "FRANCE".padTo(30, ' ') +
+      "20200301" + "75102" + "123".padTo(9, ' ')
+    val path = dir.resolve("deces-2020.txt")
+    java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"))
+    val transcript = Pipelines.importDeces(spark, path.toString, "postgres")
+    assert(transcript.head == "DROP TABLE IF EXISTS deces")
+    assert(transcript(1).contains("date_naiss"))
+    assert(transcript(1).contains("date")) // typed DATE column
+    assert(transcript.contains(
+      "CREATE INDEX nom_deces_idx ON deces USING hash(nom)"))
+  }
 }
