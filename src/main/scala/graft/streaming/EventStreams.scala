@@ -78,6 +78,15 @@ object EventStreams {
       }
   }
 
+  /** Stream-static join: enrich a live event stream with a static
+    * dimension (e.g. the customer table). The static side is re-planned
+    * per micro-batch, so a broadcast hint keeps it map-side — the
+    * streaming analog of the L1 dictionary lookup.
+    */
+  def enrichedEvents(events: DataFrame, dim: DataFrame,
+                     eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Write any of the above to a sink incrementally; `foreachBatch`
     * reuses the batch JDBC sink dialects (K2–K5) per micro-batch —
     * exactly the composition SURVEY.md §2.b prescribes.

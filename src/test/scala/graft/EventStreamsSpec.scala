@@ -76,4 +76,22 @@ class EventStreamsSpec extends SparkSpec {
       assert(out.head.getDouble(2) == 16.0)
     } finally query.stop()
   }
+
+  test("stream-static broadcast join enriches events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")
+
+    val query = EventStreams.enrichedEvents(events, dim, "user_id", "uid")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L), (ts(1), 3L))
+      query.processAllAvailable()
+      val out = spark.table("enrich_test").orderBy("ts").collect()
+      assert(out(0).getAs[String]("name") == "alice")
+      assert(out(1).isNullAt(out(1).fieldIndex("name"))) // unmatched → null
+    } finally query.stop()
+  }
 }

@@ -83,4 +83,33 @@ class SireneSpec extends SparkSpec {
     val sources = Sirene.dataSources(dir)
     assert(sources.map(_._1) == Seq("StockA"))
   }
+
+  test("full sirene pipeline dry run over a discovered source") {
+    val dir = java.nio.file.Files.createTempDirectory("sirene_e2e")
+    val csv = "siren,dateCreationEtablissement,anneeEffectifs," +
+      "numeroVoieEtablissement,activitePrincipale,nombrePeriodes\n" +
+      "000325175,2000-09-26,2020,5,3212ZZ,3\n"
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("StockTest_utf8.zip")))
+    zos.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+    zos.write(csv.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    java.nio.file.Files.write(dir.resolve("dessinstocktest.csv"),
+      ("Nom,Libell\u00e9,Longueur,Type,Ordre\n" +
+        "siren,Num\u00e9ro SIREN,9,Texte,1\n" +
+        "dateCreationEtablissement,Date de cr\u00e9ation,10,Date,2\n" +
+        "anneeEffectifs,Ann\u00e9e,4,Date,3\n" +
+        "numeroVoieEtablissement,Num\u00e9ro de voie,4,Num\u00e9rique,4\n" +
+        "activitePrincipale,Activit\u00e9,6,Liste de codes,5\n" +
+        "nombrePeriodes,Nombre,2,Num\u00e9rique,6\n").getBytes("UTF-8"))
+
+    val transcripts = graft.pipelines.Pipelines.importSirene(
+      spark, dir.toString, "pg")
+    assert(transcripts.keySet == Set("StockTest"))
+    val t = transcripts("StockTest")
+    assert(t.head == "DROP TABLE IF EXISTS stock_test")
+    assert(t(1).contains("date_creation_etablissement date"))
+    assert(t(1).contains("-- Num\u00e9ro SIREN")) // comment preserved
+    assert(t.exists(_.contains("USING hash(siren)")))
+    assert(t.contains("ANALYZE stock_test"))
+  }
 }
