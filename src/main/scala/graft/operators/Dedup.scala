@@ -93,7 +93,11 @@ object Dedup {
                       rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // persisted: the banded frame feeds BOTH sides of the self-join, and
+    // Spark's ReuseExchange can't unify the aliased subplans — without
+    // this the signature aggregation (the dominant cost) runs twice.
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (band index, hash of the band's signature slice) → candidate buckets
     val banded = sigs.select(col("id"), col("sig"),
@@ -170,6 +174,7 @@ object Dedup {
     val sketched = simhashSketches(df, idCol, textCol)
       .withColumn("bucket", shiftrightunsigned(col("sketch"),
         64 - prefixBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sketched.select(col("bucket"), col("id").as("id_a"),
       col("sketch").as("sketch_a"))
     val b = sketched.select(col("bucket"), col("id").as("id_b"),

@@ -83,6 +83,7 @@ object Similarity {
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       VectorFunctions.norm(col(vecCol)).as("nrm"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"),
