@@ -78,6 +78,28 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to a click by
+    * the same user within the preceding attribution window. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends, so the state store can evict rows once the watermark passes —
+    * the canonical bounded-state stream-stream join.
+    */
+  def attributePurchases(clicks: DataFrame, purchases: DataFrame,
+                         window: String = "10 minutes",
+                         watermark: String = "20 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c, expr(
+      s"""c_user = p_user AND
+          click_ts <= purchase_ts AND
+          purchase_ts <= click_ts + INTERVAL $window"""))
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Stream-static join: enrich a live event stream with a static
     * dimension (e.g. the customer table). The static side is re-planned
     * per micro-batch, so a broadcast hint keeps it map-side — the

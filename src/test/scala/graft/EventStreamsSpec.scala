@@ -94,4 +94,27 @@ class EventStreamsSpec extends SparkSpec {
       assert(out(1).isNullAt(out(1).fieldIndex("name"))) // unmatched → null
     } finally query.stop()
   }
+
+  test("stream-stream interval join attributes purchases to clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStreams.attributePurchases(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+
+    val query = joined.writeStream.format("memory")
+      .queryName("attribution_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(0), 2L))
+      purchases.addData((ts(5), 1L, 99.0), // within 10 min of user 1 click
+        (ts(30), 2L, 10.0)) // outside the window
+      query.processAllAvailable()
+      val out = spark.table("attribution_test").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Long]("user_id") == 1L)
+      assert(out(0).getAs[Double]("purchase_value") == 99.0)
+    } finally query.stop()
+  }
 }
