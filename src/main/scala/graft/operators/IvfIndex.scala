@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor: a coarse k-means quantizer
+  * partitions the corpus into inverted lists; a query scores only the
+  * lists of its `nProbe` nearest centroids.
+  *
+  * Scale shape (the reason IVF exists next to SRP-LSH): with k lists and
+  * nProbe probes, each query scans ~corpus·nProbe/k instead of the full
+  * corpus, and the partitioning adapts to the DATA (centroids live where
+  * the vectors are) — unlike data-oblivious hyperplanes, which degrade on
+  * clustered embeddings. Training is a few Lloyd iterations on a sample;
+  * at 100 TB you train on a 0.1% sample and assign map-side with the
+  * centroid table broadcast — exactly the flow below (`fit` is a handful
+  * of aggregations, `assign`/`search` never shuffle the corpus by
+  * anything other than its centroid id).
+  *
+  * Determinism: centroids are seeded from the k smallest ids (no RNG),
+  * and Lloyd iterations are fixed-count, so the index is reproducible on
+  * any cluster — the same property the rest of graft's sketches have.
+  */
+object IvfIndex {
+
+  /** Train k centroids with `iters` Lloyd iterations. Returns a small
+    * DataFrame (centroid_id, centroid: array<double>) — broadcastable.
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int = 5): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+    // deterministic seeding: the k smallest ids
+    var centroids = vecs.orderBy(col("id")).limit(k)
+      .select(row_number().over(Window.orderBy(col("id"))).as("centroid_id"),
+        col("v").as("centroid"))
+
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(vecs, centroids)
+      // new centroid = element-wise mean of assigned vectors; empty
+      // clusters keep their previous centroid (left join + coalesce)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+          .as("pairs"))
+        .select(col("centroid_id"),
+          transform(col("pairs"), p => p.getField("m")).as("new_centroid"))
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector (broadcast centroids, map-side). */
+  private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("dist").asc, col("centroid_id"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        VectorFunctions.l2Distance(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("centroid_id"))
+  }
+
+  /** Corpus rows tagged with their inverted-list id. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame =
+    assignTo(corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
+
+  /** Approximate top-k: each query probes its `nProbe` nearest lists. */
+  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, centroids: DataFrame, k: Int,
+             nProbe: Int = 2): DataFrame = {
+    val lists = assign(corpus, idCol, vecCol, centroids)
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        VectorFunctions.l2Distance(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"),
+        VectorFunctions.norm(col("qv")).as("qnrm"), col("centroid_id"))
+
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    lists.join(probes, Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("qnrm") * col("nrm") === 0.0, 0.0)
+          .otherwise(VectorFunctions.dot(col("qv"), col("v")) /
+            (col("qnrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+}

@@ -102,6 +102,15 @@ object TrainingOps extends QueryPack {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, planes = 4)
     },
+    "s05_ivf_topk" -> { (s, dir) =>
+      // IVF: train 8 coarse centroids (deterministic seed), probe 2
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.operators.IvfIndex.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3)
+      graft.operators.IvfIndex.search(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        centroids, k = 5, nProbe = 2)
+    },
     "s03_embedding_near_dup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 6)

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated clusters of 10 vectors each
+  private def clustered = (0L until 30L).map { i =>
+    val center = (i % 3).toInt
+    val bases = Seq(
+      Array(10.0f, 0.0f, 0.0f), Array(0.0f, 10.0f, 0.0f),
+      Array(0.0f, 0.0f, 10.0f))
+    val base = bases(center)
+    val jitter = Array.tabulate(3)(d =>
+      (math.sin(i * 13 + d * 7) * 0.5).toFloat)
+    (i, base.zip(jitter).map { case (b, j) => b + j })
+  }.toDF("vec_id", "embedding")
+
+  test("fit finds the clusters; centroids are deterministic") {
+    val c1 = IvfIndex.fit(clustered, "vec_id", "embedding", k = 3, iters = 4)
+      .orderBy("centroid_id").collect()
+    val c2 = IvfIndex.fit(clustered, "vec_id", "embedding", k = 3, iters = 4)
+      .orderBy("centroid_id").collect()
+    assert(c1.map(_.getSeq[Double](1)).toSeq ==
+      c2.map(_.getSeq[Double](1)).toSeq)
+    // each centroid should be dominated by a distinct axis
+    val domAxes = c1.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2)
+      .toSet
+    assert(domAxes == Set(0, 1, 2))
+  }
+
+  test("assign puts same-cluster vectors in the same list") {
+    val centroids = IvfIndex.fit(clustered, "vec_id", "embedding", 3, 4)
+    val lists = IvfIndex.assign(clustered, "vec_id", "embedding", centroids)
+      .select(col("id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (i <- 0L until 30L)
+      assert(lists(i) == lists(i % 3), s"vector $i in wrong list")
+  }
+
+  test("search with nProbe=1 matches brute force on clustered data") {
+    val centroids = IvfIndex.fit(clustered, "vec_id", "embedding", 3, 4)
+    val queries = clustered.filter(col("vec_id") < 3)
+    val ivf = IvfIndex.search(clustered, queries, "vec_id", "embedding",
+      centroids, k = 3, nProbe = 1)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(clustered, queries,
+      "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute) // within-cluster neighbors: IVF@1 probe is exact
+  }
+}
