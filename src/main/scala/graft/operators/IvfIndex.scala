@@ -30,19 +30,25 @@ object IvfIndex {
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val vecs = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
 
-    // deterministic seeding: the k smallest ids
-    var centroids = vecs.orderBy(col("id")).limit(k)
-      .select(row_number().over(Window.orderBy(col("id"))).as("centroid_id"),
-        col("v").as("centroid"))
+    // Centroids live on the DRIVER between iterations (k·dim doubles —
+    // tiny) and are re-shipped as data each round. Keeping them as a
+    // DataFrame would chain each iteration's plan onto the last —
+    // exponential lineage, the classic iterative-algorithm trap.
+    var centroids: Seq[(Int, Seq[Double])] =
+      vecs.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+        case (r, i) => (i + 1, r.getSeq[Double](1))
+      }.toSeq
 
     for (_ <- 1 to iters) {
-      val assigned = assignTo(vecs, centroids)
+      val cdf = centroids.toDF("centroid_id", "centroid")
       // new centroid = element-wise mean of assigned vectors; empty
-      // clusters keep their previous centroid (left join + coalesce)
-      val means = assigned
+      // clusters keep their previous centroid
+      val means = assignTo(vecs, cdf)
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
         .agg(avg(col("x")).as("m"))
@@ -51,11 +57,12 @@ object IvfIndex {
           .as("pairs"))
         .select(col("centroid_id"),
           transform(col("pairs"), p => p.getField("m")).as("new_centroid"))
-      centroids = centroids.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
     }
-    centroids
+    centroids.toDF("centroid_id", "centroid")
   }
 
   /** Nearest centroid per vector (broadcast centroids, map-side). */
