@@ -88,6 +88,19 @@ object Dedup {
           lit(Long.MaxValue))
       }: _*).as("sig"))
 
+  /** Choose (bands, rowsPerBand) for a target Jaccard threshold: the
+    * LSH S-curve crosses 50% collision probability near (1/b)^(1/r).
+    * Returns the split of `numHashes` whose crossover is closest to
+    * `threshold`.
+    */
+  def bandsFor(threshold: Double, numHashes: Int = 64): (Int, Int) = {
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+    options.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, bands: Int = 16,
                       rowsPerBand: Int = 4,
@@ -168,6 +181,41 @@ object Dedup {
         when(coalesce(sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1)
           .otherwise(-1)), lit(0L)) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("sketch"))
+
+  /** Multi-probe variant: buckets on `rotations` rotations of the
+    * sketch, unioning candidates — near-dups whose differing bits fall
+    * inside one prefix are still caught by another rotation. Recall
+    * multiplies, cost scales linearly with rotations.
+    */
+  def simhashPairsMultiProbe(df: DataFrame, idCol: String, textCol: String,
+                             maxHamming: Int = 8, prefixBits: Int = 16,
+                             rotations: Int = 4): DataFrame = {
+    val sketched = simhashSketches(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val step = 64 / rotations
+    val all = (0 until rotations).map { rot =>
+      val shift = rot * step
+      val rotated =
+        if (shift == 0) col("sketch")
+        else shiftleft(col("sketch"), shift)
+          .bitwiseOR(shiftrightunsigned(col("sketch"), 64 - shift))
+      val bucketed = sketched.withColumn("bucket",
+        shiftrightunsigned(rotated, 64 - prefixBits))
+      val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+        col("sketch").as("sketch_a"))
+      val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+        col("sketch").as("sketch_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("sketch_a").bitwiseXOR(col("sketch_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }
+    all.reduce(_.unionByName(_))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8, prefixBits: Int = 16): DataFrame = {

@@ -176,4 +176,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getString(2) == "camel_case_name")
     assert(r.getString(3) == "code_departement")
   }
+
+  test("bandsFor hits the LSH S-curve crossover") {
+    assert(Dedup.bandsFor(0.5, 64) == (16, 4))
+    val (b, r) = Dedup.bandsFor(0.9, 64)
+    assert(math.abs(math.pow(1.0 / b, 1.0 / r) - 0.9) < 0.1)
+    assert(b * r == 64)
+  }
+
+  test("multi-probe simhash finds at least the single-prefix pairs") {
+    val docs = (1L to 20L).map { i =>
+      (i, if (i <= 10) s"shared common words here plus token$i"
+          else s"completely other vocabulary over there item$i wild")
+    }.toDF("id", "text")
+    val single = Dedup.simhashPairs(docs, "id", "text", 20, 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = Dedup.simhashPairsMultiProbe(docs, "id", "text", 20, 16, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+  }
 }
