@@ -17,9 +17,14 @@ object VectorFunctions {
   private def asDouble(v: Column): Column =
     transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native dot (see [[VectorDot]]); bit-identical to the HOF
+    * formulation it replaced (same left-to-right double accumulation).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
