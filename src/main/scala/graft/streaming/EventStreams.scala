@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.b, streaming row).
   *
@@ -76,6 +76,42 @@ object EventStreams {
             state.setTimeoutDuration(stateTtl)
           UserRunningOutput(userId, n, total)
       }
+  }
+
+  /** State-v2 (`transformWithState`) version of the running totals: the
+    * Spark 4 replacement for mapGroupsWithState — explicit named state
+    * variables with per-state TTL, timers decoupled from output, state
+    * schema evolution. Functionally equivalent to
+    * [[runningUserTotals]]; kept side-by-side as both APIs are public.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, EventRow, UserRunningOutput] {
+    @transient private var totals: ValueState[UserRunningState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunningState]("totals",
+        org.apache.spark.sql.Encoders.product[UserRunningState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues)
+        : Iterator[UserRunningOutput] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserRunningState(0L, 0.0)
+      val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+        case ((cn, ct), r) => (cn + 1, ct + r.value)
+      }
+      totals.update(UserRunningState(n, total))
+      Iterator.single(UserRunningOutput(key, n, total))
+    }
+  }
+
+  def runningUserTotalsV2(events: Dataset[EventRow])
+      : Dataset[UserRunningOutput] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream interval join: attribute each purchase to a click by

@@ -117,4 +117,35 @@ class EventStreamsSpec extends SparkSpec {
       assert(out(0).getAs[Double]("purchase_value") == 99.0)
     } finally query.stop()
   }
+
+  test("transformWithState running totals match mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // state-v2 needs a multi-column-family store → RocksDB provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreams.EventRow]
+    val query = EventStreams.runningUserTotalsV2(input.toDS())
+      .writeStream.format("memory").queryName("state_v2_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(EventStreams.EventRow(7L, ts(0), 2.5),
+        EventStreams.EventRow(7L, ts(1), 2.5))
+      query.processAllAvailable()
+      input.addData(EventStreams.EventRow(7L, ts(2), 5.0))
+      query.processAllAvailable()
+      val out = spark.table("state_v2_test")
+        .groupBy("user_id").agg(max("n_events").as("n"),
+          max("total_value").as("t")).collect()
+      assert(out.head.getLong(1) == 3L)
+      assert(out.head.getDouble(2) == 10.0)
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
