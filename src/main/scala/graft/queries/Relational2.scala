@@ -101,6 +101,34 @@ object Relational2 extends QueryPack {
         .filter(col("c_acctbal") > col("nation_avg"))
         .select(col("c_custkey"), col("c_acctbal"))
     },
+    "j02_full_outer" -> { (s, dir) =>
+      // full outer join over two aggregates: every custkey from either
+      // side survives with null-padded counterpart
+      val byCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val hiBal = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      hiBal.join(byCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_orders"))
+    },
+    "j03_left_join_agg" -> { (s, dir) =>
+      // left join preserving customers with zero orders
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+    "a04_ordered_collect" -> { (s, dir) =>
+      // deterministic list/string aggregation: sorted before emission
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_sort(collect_list(col("n_name"))).as("nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations_csv"))
+    },
     "s04_except_all" -> { (s, dir) =>
       val a = t(s, dir, "orders").select(col("o_custkey"))
       val b = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -216,6 +244,25 @@ object Relational2 extends QueryPack {
          WHERE c_acctbal > (
            SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""",
+    "j02_full_outer" ->
+      """WITH by_cust AS (
+           SELECT o_custkey, count(1) AS n_orders FROM orders
+           GROUP BY o_custkey),
+         hi AS (SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_acctbal > 5000)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
+                n_orders
+         FROM hi FULL OUTER JOIN by_cust ON c_custkey = o_custkey""",
+    "j03_left_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "a04_ordered_collect" ->
+      """SELECT n_regionkey,
+                list_sort(list(n_name)) AS nations,
+                list_aggregate(list_sort(list(n_name)), 'string_agg', ',')
+                  AS nations_csv
+         FROM nation GROUP BY n_regionkey""",
     "s04_except_all" ->
       """SELECT o_custkey FROM orders
          EXCEPT ALL
