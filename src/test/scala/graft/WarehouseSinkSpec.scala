@@ -1,0 +1,42 @@
+package graft
+
+import graft.sinks.WarehouseSink
+import org.apache.spark.sql.functions._
+
+class WarehouseSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle") {
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "payload")
+    val dims = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "label")
+    WarehouseSink.writeBucketed(facts, "wh_facts", "k", 8)
+    WarehouseSink.writeBucketed(dims, "wh_dims", "k", 8)
+
+    // disable broadcast so the join strategy decision is about shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = WarehouseSink.table(spark, "wh_facts")
+        .join(WarehouseSink.table(spark, "wh_dims"), Seq("k"))
+      assert(WarehouseSink.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString.take(500))
+      assert(joined.count() == 1000L)
+
+      // same join over plain (unbucketed) frames DOES shuffle
+      val plain = facts.join(dims, Seq("k"))
+      assert(!WarehouseSink.isShuffleFree(plain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned table prunes partitions on filter") {
+    val events = Seq(("click", 1L), ("view", 2L), ("click", 3L))
+      .toDF("event_type", "event_id")
+    WarehouseSink.writePartitioned(events, "wh_events", Seq("event_type"))
+    val filtered = WarehouseSink.table(spark, "wh_events")
+      .filter(col("event_type") === "click")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type"), scan.take(500))
+    assert(filtered.count() == 2L)
+  }
+}
