@@ -32,8 +32,10 @@ object IvfIndex {
           k: Int, iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // each Lloyd iteration scans this frame once — persist across them
     val vecs = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Centroids live on the DRIVER between iterations (k·dim doubles —
     // tiny) and are re-shipped as data each round. Keeping them as a
@@ -62,6 +64,7 @@ object IvfIndex {
         (cid, means.getOrElse(cid, old))
       }
     }
+    vecs.unpersist()
     centroids.toDF("centroid_id", "centroid")
   }
 
