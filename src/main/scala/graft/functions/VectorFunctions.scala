@@ -33,9 +33,11 @@ object VectorFunctions {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+  def l2Distance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    sqrt(ColumnBridge.column(VectorL2Sq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b))))
+  }
 
   /** Supported embedding width for [[srpBucket]] plane literals. */
   private val MaxDim = 4096
