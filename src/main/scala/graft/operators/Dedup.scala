@@ -132,6 +132,66 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: every node adopts the smallest label in its
+    * neighborhood until fixpoint. Near-dup clusters have tiny diameters,
+    * so convergence takes a handful of rounds; each round is one
+    * shuffle-join on the edge list (labels persisted, lineage cut per
+    * round — the standard large-graph CC shape, bounded by `maxIters`).
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, component) where component
+    * is the smallest id in the cluster. Isolated ids don't appear.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor's current component, take the min over neighborhood+self
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "dst_component"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_component")).as("neighbor_min"))
+        .join(labels, Seq("id"))
+        .select(col("id"),
+          least(col("component"), col("neighbor_min")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id")).filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivors after near-dup clustering: the smallest id per component
+    * plus every id not in any pair. Returns (id, component, is_survivor).
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("is_survivor", col("id") === col("component"))
+  }
+
   /** Exact n-gram Jaccard between two text columns (the verification
     * step behind MinHash's estimate; also usable directly for small
     * candidate sets).

@@ -102,6 +102,15 @@ object TrainingOps extends QueryPack {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, planes = 4)
     },
+    "d11_dedup_survivors" -> { (s, dir) =>
+      // full dedup decision: minhash pairs → connected components →
+      // one survivor per near-dup cluster
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+    },
     "s05_ivf_topk" -> { (s, dir) =>
       // IVF: train 8 coarse centroids (deterministic seed), probe 2
       val emb = t(s, dir, "embeddings")

@@ -195,4 +195,18 @@ class TextOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(single.subsetOf(multi))
   }
+
+  test("connected components merge transitive near-dup chains") {
+    // chain 1-2-3-4, pair 10-11, isolated 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val out = Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert((1L to 4L).forall(i => out(i)._1 == 1L))
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L)
+    assert(out(20L) == (20L, true)) // isolated survives as its own cluster
+    assert(out.count(_._2._2) == 3) // survivors: 1, 10, 20
+  }
 }
