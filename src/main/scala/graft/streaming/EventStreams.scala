@@ -78,6 +78,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drops events whose `keyCols` were already
+    * seen within the watermark horizon — the unbounded counterpart of
+    * `Dedup.exact`. `dropDuplicatesWithinWatermark` lets the state store
+    * evict seen-keys once the watermark passes (bounded state; a plain
+    * dropDuplicates on a stream would grow state forever).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** State-v2 (`transformWithState`) version of the running totals: the
     * Spark 4 replacement for mapGroupsWithState — explicit named state
     * variables with per-state TTL, timers decoupled from output, state

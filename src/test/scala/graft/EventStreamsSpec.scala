@@ -148,4 +148,23 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming dedup drops repeats within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "payload")
+    val query = EventStreams.dedupStream(events, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"))
+      query.processAllAvailable()
+      input.addData((ts(3), 2L, "b-dup"), (ts(4), 3L, "c"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_stream_test")
+      assert(out.count() == 3)
+      assert(out.select("event_id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L))
+    } finally query.stop()
+  }
 }
