@@ -123,11 +123,12 @@ object Relational2 extends QueryPack {
     },
     "a04_ordered_collect" -> { (s, dir) =>
       // deterministic list/string aggregation: sorted before emission
+      // output is the joined string only: the driver's pandas-based
+      // compare cannot hash array cells, so the list stays internal
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
-        .agg(array_sort(collect_list(col("n_name"))).as("nations"),
-          array_join(array_sort(collect_list(col("n_name"))), ",")
-            .as("nations_csv"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations_csv"))
     },
     "s04_except_all" -> { (s, dir) =>
       val a = t(s, dir, "orders").select(col("o_custkey"))
@@ -259,7 +260,6 @@ object Relational2 extends QueryPack {
          GROUP BY c_custkey""",
     "a04_ordered_collect" ->
       """SELECT n_regionkey,
-                list_sort(list(n_name)) AS nations,
                 list_aggregate(list_sort(list(n_name)), 'string_agg', ',')
                   AS nations_csv
          FROM nation GROUP BY n_regionkey""",
