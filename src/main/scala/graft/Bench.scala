@@ -19,13 +19,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // keep the JSON line SHORT (3-decimal seconds): the driver captures a
-    // bounded tail of stdout and a long line gets front-truncated → unparseable
+    // keep the JSON line SHORT: the driver captures a bounded 2000-char
+    // tail of stdout, and a longer line gets front-truncated → unparseable.
+    // Emit 3-decimal seconds, and cap the per-query map to the SLOWEST
+    // entries that fit a fixed budget (total always covers every query).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val budget = 1500
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.ReferenceOps,
     graft.queries.EventTime,
     graft.queries.TrainingOps,
-    graft.queries.Relational2)
+    graft.queries.Relational2,
+    graft.queries.Relational3)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,6 +18,21 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Cross-engine-reproducible document fingerprint: left fold of
+    * `h = (h*31 + codepoint) mod 1e9+7` over the text's characters.
+    * Stays within BIGINT under ANSI mode (h < 1e9+7, so h*31+cp < 2^35)
+    * and matches a DuckDB `list_reduce` fold exactly — unlike
+    * [[graft.functions.PolyHashFunctions.poly_hash]], whose wrapping
+    * 64-bit arithmetic no oracle can replicate. Empty/null-safe: empty
+    * text → 0.
+    */
+  def rollingHashMod(c: Column, p: Long = 1000000007L): Column = {
+    val codes = when(length(c) <= 0, typedLit(Seq.empty[Long])).otherwise(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))
+        .cast("long")))
+    aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % p)
+  }
+
   /** Character n-grams (the shingle unit for near-dup detection).
     * Guarded: `sequence(1, 0)` would DESCEND in Spark, so short inputs
     * short-circuit to an empty array.

@@ -75,6 +75,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** EXACT cosine pairs above a threshold — the oracle-checkable
+    * counterpart of [[nearDupPairs]] (no LSH pruning, so O(n²) in the
+    * candidate set: callers pre-filter/sample; at corpus scale use
+    * [[nearDupPairs]] instead).
+    */
+  def exactCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineFromNorms(col("vec_a"), col("vec_b"),
+        col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, LSH-pruned
     * (same-bucket pairs only scored) — the embedding-cosine dedup path.
     */

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round-2 relational-surface widening (SURVEY.md §2.b): subquery
+  * shapes, window dedup, conditional/boolean/bitwise aggregates,
+  * calendar bucketing, regex transforms, higher-order array functions,
+  * deterministic mode, exact-cosine near-dup pairs, and a
+  * cross-engine-reproducible fingerprint.
+  *
+  * Float discipline per QueryPack scaladoc: double sums/avgs go through
+  * DECIMAL(38,4) on both sides.
+  */
+object Relational3 extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 4))
+
+  def queries: Map[String, QueryFn] = Map(
+    "q24_exists_subquery" -> { (s, dir) =>
+      // correlated EXISTS with an extra predicate — decorrelates to a
+      // left-semi hash join on the customer key
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+    },
+    "q25_scalar_subquery" -> { (s, dir) =>
+      // uncorrelated scalar aggregate in the filter: the single-row
+      // threshold side is cross-joined (broadcast) into the scan
+      val o = t(s, dir, "orders")
+      val threshold = o.agg(
+        (avg(dec(col("o_totalprice"))).cast(DoubleType) * 1.5)
+          .as("thresh"))
+      o.join(broadcast(threshold))
+        .filter(col("o_totalprice") > col("thresh"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+    "q26_window_dedup" -> { (s, dir) =>
+      // latest-record-per-key dedup (the training-pipeline "keep newest
+      // snapshot" shape): row_number over a per-key desc ordering
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    },
+    "q27_conditional_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          round(sum(dec(when(col("l_tax") > 0.04, col("l_quantity"))
+            .otherwise(0.0))), 2).cast(DoubleType).as("qty_hi_tax"),
+          count_if(col("l_quantity") >= 25).as("n_bulk"))
+    },
+    "q28_monthly_revenue" -> { (s, dir) =>
+      // calendar bucketing: date_trunc to month + exact decimal revenue
+      t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month"))
+        .agg(round(sum(dec(col("l_extendedprice") *
+          (lit(1) - col("l_discount")))), 2).cast(DoubleType)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "f05_regexp_fns" -> { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        regexp_count(col("p_name"), lit("a")).cast("int").as("n_a"),
+        col("p_name").rlike("a.*e").as("has_a_then_e"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
+    },
+    "f06_higher_order" -> { (s, dir) =>
+      // higher-order array functions end-to-end: transform → filter →
+      // aggregate, all inside one codegen'd projection (no UDFs)
+      val toks = TextFunctions.tokens(col("text"))
+      val lens = transform(toks, x => length(x).cast("long"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        aggregate(lens, lit(0L), (acc, x) => acc + x * x)
+          .as("sum_sq_token_len"),
+        size(filter(toks, x => length(x) > 4)).as("n_long_tokens"),
+        array_max(lens).cast("int").as("max_token_len"))
+    },
+    "a05_mode_deterministic" -> { (s, dir) =>
+      // mode with a total tie-break (count desc, then value asc) — the
+      // deterministic form of mode() that an oracle can reproduce
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))
+    },
+    "a06_bool_bit_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_discount") < 0.1).as("all_small_disc"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+          bit_and(col("l_orderkey")).as("key_bit_and"),
+          bit_or(col("l_orderkey")).as("key_bit_or"),
+          bit_xor(col("l_orderkey")).as("key_bit_xor"))
+    },
+    "s06_cosine_pairs_exact" -> { (s, dir) =>
+      // exact-cosine near-dup pairs on a deterministic sample — the
+      // oracle-checked counterpart of the LSH-pruned s03
+      Similarity.exactCosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", threshold = 0.2)
+    },
+    "d12_fingerprint_mod" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.rollingHashMod(col("text")).as("fp_mod"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q24_exists_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 200000)""",
+    "q25_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (
+           SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+                  * 1.5
+           FROM orders)""",
+    "q26_window_dedup" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""",
+    "q27_conditional_agg" ->
+      """SELECT l_returnflag,
+                count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+                CAST(round(sum(CAST(CASE WHEN l_tax > 0.04 THEN l_quantity
+                  ELSE 0.0 END AS DECIMAL(38,4))), 2) AS DOUBLE)
+                  AS qty_hi_tax,
+                count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk
+         FROM lineitem GROUP BY l_returnflag""",
+    "q28_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+                count(1) AS n_items
+         FROM lineitem GROUP BY 1""",
+    "f05_regexp_fns" ->
+      """SELECT p_partkey,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+                CAST(len(regexp_extract_all(p_name, 'a')) AS INT) AS n_a,
+                regexp_matches(p_name, 'a.*e') AS has_a_then_e,
+                regexp_extract(p_type, '^(\w+)', 1) AS type_head
+         FROM part""",
+    "f06_higher_order" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents)
+         SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(ts,
+             x -> length(x) * length(x))), 0) AS BIGINT)
+             AS sum_sq_token_len,
+           CAST(len(list_filter(ts, x -> length(x) > 4)) AS INT)
+             AS n_long_tokens,
+           CAST(list_max(list_transform(ts, x -> length(x))) AS INT)
+             AS max_token_len
+         FROM toks""",
+    "a05_mode_deterministic" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                cnt
+         FROM (SELECT o_orderstatus, o_orderpriority, count(1) AS cnt
+               FROM orders GROUP BY 1, 2)
+         QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+           ORDER BY cnt DESC, o_orderpriority) = 1""",
+    "a06_bool_bit_agg" ->
+      """SELECT l_returnflag,
+                bool_and(l_discount < 0.1) AS all_small_disc,
+                bool_or(l_tax > 0.07) AS any_high_tax,
+                bit_and(l_orderkey) AS key_bit_and,
+                bit_or(l_orderkey) AS key_bit_or,
+                bit_xor(l_orderkey) AS key_bit_xor
+         FROM lineitem GROUP BY l_returnflag""",
+    "s06_cosine_pairs_exact" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % 20 = 0),
+         scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                    AS cosine
+           FROM s a JOIN s b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2""",
+    "d12_fingerprint_mod" ->
+      """SELECT doc_id,
+                list_reduce([0::BIGINT] ||
+                  list_transform(range(length(text)),
+                    i -> unicode(substring(text, CAST(i+1 AS INT), 1))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS fp_mod
+         FROM documents""",
+  )
+}

@@ -209,4 +209,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out(20L) == (20L, true)) // isolated survives as its own cluster
     assert(out.count(_._2._2) == 3) // survivors: 1, 10, 20
   }
+
+  test("rollingHashMod folds left with mod-prime arithmetic") {
+    val rows = Seq("ab", "", "a").toDF("t")
+      .select(TextFunctions.rollingHashMod(col("t"))).collect()
+    // 'a'=97, 'b'=98: ((0*31+97)*31+98) % p = 3105
+    assert(rows(0).getLong(0) == (97L * 31 + 98) % 1000000007L)
+    assert(rows(1).getLong(0) == 0L) // empty text → 0
+    assert(rows(2).getLong(0) == 97L)
+  }
+
+  test("exactCosinePairs matches a hand-computed pair set") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f)), // ~cos 1.0 with id 1
+      (3L, Array(0.0f, 1.0f)),  // orthogonal to id 1
+      (4L, Array(-1.0f, 0.0f))  // opposite of id 1
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.exactCosinePairs(vecs, "vec_id", "embedding",
+      threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
