@@ -39,6 +39,15 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b))))
   }
 
+  /** Squared L2 — additive across subspace slices (what PQ's asymmetric
+    * distance computation sums), so no sqrt until the very end.
+    */
+  def l2Sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VectorL2Sq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Supported embedding width for [[srpBucket]] plane literals. */
   private val MaxDim = 4096
 

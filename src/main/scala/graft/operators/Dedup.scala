@@ -112,11 +112,12 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (band index, hash of the band's signature slice) → candidate buckets
+    // (band index, hash of the band's signature slice) → candidate buckets.
+    // xxhash64 hashes the array value directly — no string serialization.
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1,
-          rowsPerBand).cast("string"))): _*)).as(Seq("band", "band_hash")))
+          rowsPerBand))): _*)).as(Seq("band", "band_hash")))
 
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))

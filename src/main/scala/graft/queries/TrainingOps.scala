@@ -124,6 +124,18 @@ object TrainingOps extends QueryPack {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 6)
     },
+    "s07_pq_topk" -> { (s, dir) =>
+      // product quantization + ADC: codebook trained on the corpus
+      // (m=8 subspaces × 16 codewords), corpus stored as 8 codes/vector
+      val emb = t(s, dir, "embeddings")
+      val codebook = graft.operators.PqIndex.fit(
+        emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+      val encoded = graft.operators.PqIndex.encode(
+        emb, "vec_id", "embedding", codebook)
+      graft.operators.PqIndex.search(encoded,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        codebook, k = 5)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(

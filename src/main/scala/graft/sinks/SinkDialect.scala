@@ -125,6 +125,20 @@ object MariaDbDialect extends SinkDialect {
   */
 object SqliteDialect extends SinkDialect
 
+/** Apache Derby (the embedded JVM database shipped with Spark): the
+  * dialect that lets the full K1–K6 lifecycle run for REAL in tests —
+  * DDL, `df.write.jdbc` batched inserts, index creation, read-back.
+  * Derby has no `IF EXISTS` forms: DROP statements are omitted (tests
+  * target a fresh in-memory database per run) and `CREATE INDEX` carries
+  * no method clause.
+  */
+object DerbyDialect extends SinkDialect {
+  override def dropTable(table: SqlTableDef): Seq[String] = Seq.empty
+  override def createIndex(table: SqlTableDef,
+                           index: SqlIndexDef): Seq[String] =
+    Seq(s"CREATE INDEX ${index.name} ON ${table.name}(${index.fieldName})")
+}
+
 /** Dry-run execution (X1): collects every statement instead of executing,
   * so pipelines can be golden-tested without a database.
   */
