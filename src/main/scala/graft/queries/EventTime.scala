@@ -68,6 +68,36 @@ object EventTime extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           round(sum(dec(col("value"))), 2).cast(DoubleType).as("sum_value"))
     },
+    // Funnel analysis (view → click → purchase in strict event-time
+    // order): one conditional-aggregate pass keyed by user — the
+    // training-pipeline "did this entity complete the sequence" shape.
+    "e04_funnel" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts")))
+            .as("first_view"),
+          min(when(col("event_type") === "click", col("ts")))
+            .as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("first_purchase"))
+        .withColumn("funnel_complete",
+          col("first_view") < col("first_click") &&
+            col("first_click") < col("first_purchase"))
+    },
+    // Event-time range frame: events per user in the preceding hour,
+    // exact integer frame bounds on epoch micros (cross-engine safe).
+    "w04_time_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, 0)
+      t(s, dir, "events")
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("val_last_hour",
+          round(sum(dec(col("value"))).over(w), 2).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("n_last_hour"),
+          col("val_last_hour"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +144,31 @@ object EventTime extends QueryPack {
                 CAST(round(sum(CAST(value AS DECIMAL(38,4))), 2) AS DOUBLE)
                   AS sum_value
          FROM buckets GROUP BY 1""",
+    "e04_funnel" ->
+      """SELECT user_id,
+                min(CASE WHEN event_type = 'view'
+                    THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+                min(CASE WHEN event_type = 'click'
+                    THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+                min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS TIMESTAMP) END) AS first_purchase,
+                min(CASE WHEN event_type = 'view'
+                    THEN CAST(ts AS TIMESTAMP) END) <
+                  min(CASE WHEN event_type = 'click'
+                      THEN CAST(ts AS TIMESTAMP) END)
+                AND min(CASE WHEN event_type = 'click'
+                        THEN CAST(ts AS TIMESTAMP) END) <
+                  min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS funnel_complete
+         FROM events GROUP BY user_id""",
+    "w04_time_range_frame" ->
+      """SELECT event_id, user_id,
+                count(1) OVER w AS n_last_hour,
+                CAST(round(sum(CAST(value AS DECIMAL(38,4))) OVER w, 2)
+                  AS DOUBLE) AS val_last_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
   )
 }

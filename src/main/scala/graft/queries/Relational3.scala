@@ -128,6 +128,22 @@ object Relational3 extends QueryPack {
         col("doc_id"),
         TextFunctions.rollingHashMod(col("text")).as("fp_mod"))
     },
+    "q29_intersect_all" -> { (s, dir) =>
+      // bag-semantics intersection (duplicates preserved up to the
+      // smaller multiplicity) — completes the set-op family with q14-16
+      val a = t(s, dir, "orders").select(col("o_custkey"))
+      val b = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("o_custkey"))
+      a.intersectAll(b)
+    },
+    "q30_limit_offset" -> { (s, dir) =>
+      // deterministic pagination: total order, skip 10, take 5
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10).limit(5)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -214,5 +230,14 @@ object Relational3 extends QueryPack {
                     i -> unicode(substring(text, CAST(i+1 AS INT), 1))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS fp_mod
          FROM documents""",
+    "q29_intersect_all" ->
+      """SELECT o_custkey FROM orders
+         INTERSECT ALL
+         SELECT c_custkey FROM customer
+         WHERE c_mktsegment = 'AUTOMOBILE'""",
+    "q30_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 5 OFFSET 10""",
   )
 }

@@ -41,6 +41,11 @@ object TrainingOps extends QueryPack {
         col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("predicted_lang"))
     },
+    "d13_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    },
     "d08_char_jaccard_pairs" -> { (s, dir) =>
       // exact character-set Jaccard over a deterministic sample of pairs
       val docs = t(s, dir, "documents")
@@ -212,6 +217,40 @@ object TrainingOps extends QueryPack {
                 WHEN en = greatest(de,en,es,fr) THEN 'en'
                 ELSE 'de' END AS predicted_lang
          FROM hits""",
+    // same term order as TextFunctions.qualityScore — double arithmetic
+    // folds left-to-right identically in both engines
+    "d13_quality_score" ->
+      """WITH r AS (
+           SELECT doc_id, text,
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+                 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END
+               AS digit_r,
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(text) - length(regexp_replace(text,
+                 '[[:punct:]]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) END AS punct_r,
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '',
+                 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END
+               AS upper_r,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         m AS (
+           SELECT doc_id, digit_r, punct_r, upper_r,
+             CASE WHEN length(text) BETWEEN 20 AND 10000
+                  THEN 1.0 ELSE 0.5 END AS len_ok,
+             CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) END AS mean_tok
+           FROM r)
+         SELECT doc_id,
+           greatest(least(len_ok * 0.25 + (1.0 - digit_r - punct_r) * 0.35
+             + (1.0 - upper_r) * 0.2
+             + (CASE WHEN mean_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5
+                END) * 0.2, 1.0), 0.0) AS quality
+         FROM m""",
     "d09_ngram_jaccard_pairs" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
