@@ -86,16 +86,15 @@ object IvfIndex {
     assignTo(corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
 
-  /** Approximate top-k: each query probes its `nProbe` nearest lists. */
-  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, centroids: DataFrame, k: Int,
-             nProbe: Int = 2): DataFrame = {
-    val lists = assign(corpus, idCol, vecCol, centroids)
-      .withColumn("nrm", VectorFunctions.norm(col("v")))
-
+  /** Each query's `nProbe` nearest inverted lists:
+    * (query_id, qv, qnrm, centroid_id) — the coarse-pruning half of IVF,
+    * reused by [[IvfPq]].
+    */
+  def probes(queries: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, nProbe: Int): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("centroid_id"))
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("qv"))
       .crossJoin(broadcast(centroids))
@@ -105,6 +104,16 @@ object IvfIndex {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"),
         VectorFunctions.norm(col("qv")).as("qnrm"), col("centroid_id"))
+  }
+
+  /** Approximate top-k: each query probes its `nProbe` nearest lists. */
+  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, centroids: DataFrame, k: Int,
+             nProbe: Int = 2): DataFrame = {
+    val lists = assign(corpus, idCol, vecCol, centroids)
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+
+    val probes = this.probes(queries, idCol, vecCol, centroids, nProbe)
 
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))

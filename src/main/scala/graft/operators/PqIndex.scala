@@ -110,19 +110,27 @@ object PqIndex {
         transform(col("pairs"), p => p.getField("code")).as("codes"))
   }
 
+  /** Per-query ADC lookup table (query_id, subspace, code, partial d²):
+    * queries × m × k rows — small, broadcastable. Shared by [[search]]
+    * and [[IvfPq]].
+    */
+  def adcTable(queries: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame): DataFrame = {
+    val m = codebook.agg(max(col("subspace"))).head().getInt(0) + 1
+    subvectors(queries, idCol, vecCol, m)
+      .withColumnRenamed("id", "query_id")
+      .join(codebook, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        VectorFunctions.l2Sq(col("sv"), col("codeword")).as("pd2"))
+  }
+
   /** ADC top-k: approximate L2 distance = Σ_subspaces ‖q_s − cw(code_s)‖².
     * `queries` is small (broadcast); the encoded corpus never re-reads
     * the raw vectors.
     */
   def search(encoded: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, codebook: DataFrame, k: Int): DataFrame = {
-    val m = codebook.agg(max(col("subspace"))).head().getInt(0) + 1
-    // per-query ADC table: (query_id, subspace, code, partial d²)
-    val table = subvectors(queries, idCol, vecCol, m)
-      .withColumnRenamed("id", "query_id")
-      .join(codebook, Seq("subspace"))
-      .select(col("query_id"), col("subspace"), col("code"),
-        VectorFunctions.l2Sq(col("sv"), col("codeword")).as("pd2"))
+    val table = adcTable(queries, idCol, vecCol, codebook)
 
     val triples = encoded.select(col("id"),
       posexplode(col("codes")).as(Seq("subspace", "code")))

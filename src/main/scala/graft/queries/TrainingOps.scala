@@ -129,6 +129,18 @@ object TrainingOps extends QueryPack {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 6)
     },
+    "s08_ivfpq_topk" -> { (s, dir) =>
+      // IVF-PQ: coarse-pruned + code-compressed ANN (the
+      // billion-vector-scale serving shape)
+      val emb = t(s, dir, "embeddings")
+      val (centroids, codebook) = graft.operators.IvfPq.fit(
+        emb, "vec_id", "embedding", kCoarse = 8, m = 8, kCodes = 16)
+      val indexed = graft.operators.IvfPq.index(
+        emb, "vec_id", "embedding", centroids, codebook)
+      graft.operators.IvfPq.search(indexed,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        centroids, codebook, k = 5, nProbe = 2)
+    },
     "s07_pq_topk" -> { (s, dir) =>
       // product quantization + ADC: codebook trained on the corpus
       // (m=8 subspaces × 16 codewords), corpus stored as 8 codes/vector

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.b, streaming row).
   *
@@ -122,6 +122,116 @@ object EventStreams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Timer-driven streaming sessionization on the state-v2 API: events
+    * buffer in a [[ListState]]; every arrival re-arms one event-time
+    * timer at (latest event + gap); when the WATERMARK crosses that
+    * expiry the timer fires and the closed session is emitted exactly
+    * once, state cleared. This is the full state-v2 surface — list
+    * state, timer registration/deletion, `handleExpiredTimer` — and the
+    * semantics `session_window` gives declaratively, re-expressed for
+    * pipelines that need custom per-session logic (e.g. emitting only
+    * sessions matching a pattern).
+    *
+    * Scale shape: state per key is one in-flight session, evicted on
+    * close; timers live in the state store, so a billion quiet users
+    * cost nothing per batch.
+    */
+  class SessionizeProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EventRow, SessionOut] {
+    @transient private var buffer: ListState[EventRow] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buffer = getHandle.getListState[EventRow]("buffer",
+        org.apache.spark.sql.Encoders.product[EventRow], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues)
+        : Iterator[SessionOut] = {
+      rows.foreach(buffer.appendValue)
+      val latest = buffer.get().map(_.ts.getTime).max
+      val expiry = latest + gapMs
+      if (armed.exists() && armed.get() != expiry)
+        getHandle.deleteTimer(armed.get())
+      if (!armed.exists() || armed.get() != expiry) {
+        getHandle.registerTimer(expiry)
+        armed.update(expiry)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      val events = buffer.get().toSeq
+      buffer.clear(); armed.clear()
+      if (events.isEmpty) Iterator.empty
+      else Iterator.single(SessionOut(key,
+        new java.sql.Timestamp(events.map(_.ts.getTime).min),
+        new java.sql.Timestamp(events.map(_.ts.getTime).max),
+        events.size.toLong))
+    }
+  }
+
+  /** Sessionize a stream of (user_id, ts, value) with a gap timeout.
+    * Requires a watermark on `ts` (event-time timers fire off it).
+    */
+  def sessionizeV2(events: Dataset[EventRow],
+                   gapMs: Long = 30L * 60 * 1000,
+                   watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+                              event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts on [[MapState]] — the
+    * state-v2 map primitive (point lookups/updates per key, no
+    * read-modify-write of a whole aggregate blob, which is what keeps
+    * hot keys cheap when a user has millions of events across few
+    * types). Emits the updated (type, count) pairs each batch.
+    */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+                                 timerValues: TimerValues)
+        : Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val next = (if (counts.containsKey(r.event_type))
+          counts.getValue(r.event_type) else 0L) + 1L
+        counts.updateValue(r.event_type, next)
+        touched += r.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  def typeCountsV2(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -167,4 +167,67 @@ class EventStreamsSpec extends SparkSpec {
         Set(1L, 2L, 3L))
     } finally query.stop()
   }
+
+  private def withRocksDb[A](body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("timer-driven sessionization closes sessions as watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventStreams.EventRow]
+      // 10-minute gap, tight watermark so the test can advance it
+      val query = EventStreams.sessionizeV2(input.toDS(),
+        gapMs = 10L * 60 * 1000, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("sessionize_v2_test")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // user 1: two events 5 min apart (one session)
+        input.addData(EventStreams.EventRow(1L, ts(0), 1.0),
+          EventStreams.EventRow(1L, ts(5), 1.0))
+        query.processAllAvailable()
+        // push the watermark way past the session's expiry
+        input.addData(EventStreams.EventRow(2L, ts(50), 1.0))
+        query.processAllAvailable()
+        input.addData(EventStreams.EventRow(2L, ts(51), 1.0))
+        query.processAllAvailable()
+        val out = spark.table("sessionize_v2_test")
+          .as[EventStreams.SessionOut].collect()
+        val u1 = out.filter(_.user_id == 1L)
+        assert(u1.length == 1)
+        assert(u1.head.session_start == ts(0))
+        assert(u1.head.session_end == ts(5))
+        assert(u1.head.n_events == 2L)
+      } finally query.stop()
+    }
+  }
+
+  test("MapState per-type counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventStreams.TypedEvent]
+      val query = EventStreams.typeCountsV2(input.toDS())
+        .writeStream.format("memory").queryName("type_counts_test")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(EventStreams.TypedEvent(1L, ts(0), "click"),
+          EventStreams.TypedEvent(1L, ts(1), "click"),
+          EventStreams.TypedEvent(1L, ts(2), "view"))
+        query.processAllAvailable()
+        input.addData(EventStreams.TypedEvent(1L, ts(3), "click"))
+        query.processAllAvailable()
+        val latest = spark.table("type_counts_test")
+          .groupBy("event_type").agg(max("n").as("n"))
+          .as[(String, Long)].collect().toMap
+        assert(latest == Map("click" -> 3L, "view" -> 1L))
+      } finally query.stop()
+    }
+  }
 }

@@ -67,4 +67,32 @@ class PqIndexSpec extends SparkSpec {
     // same top-3 set (same-cluster ids) even if within-cluster order differs
     assert(pq.take(3).toSet == exact.take(3).toSet)
   }
+
+  test("IVF-PQ prunes to probed lists and still finds the home cluster") {
+    // ids interleaved across clusters (id % 3 = cluster) so the
+    // smallest-id seeds land in three DIFFERENT clusters — the sampling
+    // discipline a real pipeline uses when seeding a coarse quantizer
+    val centers = Seq(
+      Array.fill(8)(10.0f),
+      Array.fill(8)(-10.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 10.0f else -10.0f))
+    val rows = for {
+      j <- 0 until 4
+      (c, ci) <- centers.zipWithIndex
+    } yield ((j * 3 + ci).toLong,
+      c.zipWithIndex.map { case (x, i) => x + 0.1f * j * (1 + i % 3) })
+    val df = rows.toDF("vec_id", "embedding")
+
+    val (centroids, cb) = graft.operators.IvfPq.fit(
+      df, "vec_id", "embedding", kCoarse = 3, m = 4, kCodes = 3)
+    val indexed = graft.operators.IvfPq.index(
+      df, "vec_id", "embedding", centroids, cb)
+    val res = graft.operators.IvfPq.search(indexed,
+      df.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      centroids, cb, k = 3, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(res.length == 3)
+    // cluster 0 is ids ≡ 0 (mod 3): 3, 6, 9
+    assert(res.map(_.getLong(1)).toSet == Set(3L, 6L, 9L))
+  }
 }
