@@ -82,6 +82,53 @@ object Multimodal {
         }
       }
   }
+
+  final case class ResizedImage(path: String, width: Int, height: Int,
+                                content: Array[Byte])
+
+  /** Per-partition image resize to a fixed target (the normalization
+    * step before a vision model). STUB transform (see [[StubCodecs
+    * .resize]]) but the contract is the production one: binary in,
+    * binary out, target dims in the row — so downstream batching
+    * (e.g. stacking into model-input tensors per partition) is real.
+    */
+  def resizeImages(binary: DataFrame, width: Int, height: Int)
+      : Dataset[ResizedImage] = {
+    import binary.sparkSession.implicits._
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (path, bytes) =>
+          ResizedImage(path, width, height,
+            StubCodecs.resize(bytes, width, height))
+        }
+      }
+  }
+
+  final case class VideoFrame(path: String, frame_idx: Int,
+                              frame_ts_ms: Long, frame: Array[Byte])
+
+  /** Uniform frame sampling from video blobs: one input row fans out to
+    * `n` frame rows — the flatMap shape a real ffmpeg-backed sampler
+    * has. Frame payloads are STUB slices; timestamps come from the
+    * (stub-)decoded duration so the schema carries real timing. The
+    * wide source `content` is NOT in the output rows: per-frame rows
+    * shuffle small.
+    */
+  def sampleFrames(binary: DataFrame, n: Int): Dataset[VideoFrame] = {
+    import binary.sparkSession.implicits._
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (path, bytes) =>
+          val (_, _, _, durMs) = StubCodecs.decodeHeader("video", bytes)
+          (0 until n).iterator.map { i =>
+            val tsMs = if (n == 1) 0L else durMs * i / (n - 1)
+            VideoFrame(path, i, tsMs, StubCodecs.grabFrame(bytes, i, n))
+          }
+        }
+      }
+  }
 }
 
 /** Deterministic stand-ins for the real codecs (not in this container).
@@ -105,6 +152,32 @@ object StubCodecs {
       case _ => (0, 0, 0, 0L)
     }
   }
+
+  /** STUB resize: deterministic re-hash of the content sized to the
+    * target dims — replace with an ImageIO/libvips call.
+    */
+  def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](math.min(width * height, 4096))
+    var i = 0
+    while (i < out.length) {
+      out(i) = (if (bytes.isEmpty) 0
+        else bytes(i % bytes.length) ^ (i & 0x7f)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame grab: a deterministic slice per frame index — replace
+    * with an ffmpeg seek+decode.
+    */
+  def grabFrame(bytes: Array[Byte], idx: Int, n: Int): Array[Byte] =
+    if (bytes.isEmpty) Array.emptyByteArray
+    else {
+      val span = math.max(bytes.length / math.max(n, 1), 1)
+      val start = math.min(idx * span, bytes.length - 1)
+      java.util.Arrays.copyOfRange(bytes, start,
+        math.min(start + span, bytes.length))
+    }
 
   /** Normalized byte-value histogram — the deterministic fake
     * "embedding" for tests.

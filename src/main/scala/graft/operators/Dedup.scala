@@ -152,14 +152,17 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.groupBy(col("src").as("id"))
+    var persisted = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
 
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighbor's current component, take the min over neighborhood+self
+      // neighbor's current component, take the min over neighborhood+self;
+      // the `improved` flag rides along so convergence detection is one
+      // filter-count over the persisted next frame — no extra join
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "dst_component"), Seq("dst"))
@@ -167,12 +170,13 @@ object Dedup {
         .agg(min(col("dst_component")).as("neighbor_min"))
         .join(labels, Seq("id"))
         .select(col("id"),
-          least(col("component"), col("neighbor_min")).as("component"))
+          least(col("component"), col("neighbor_min")).as("component"),
+          (col("neighbor_min") < col("component")).as("improved"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("id")).filter(col("component") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("improved")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       i += 1
     }

@@ -68,6 +68,34 @@ class PipelinesSpec extends SparkSpec {
     assert(again("a.jpg") == feats("a.jpg").fingerprint)
   }
 
+  test("multimodal: resize and frame-sample batch shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("media2")
+    java.nio.file.Files.write(dir.resolve("a.jpg"),
+      Array.tabulate[Byte](300)(_.toByte))
+    java.nio.file.Files.write(dir.resolve("v.mp4"),
+      Array.tabulate[Byte](4096)(i => (i % 127).toByte))
+    val binary = Multimodal.readBinary(spark, dir.toString)
+
+    val resized = Multimodal.resizeImages(
+      binary.filter(org.apache.spark.sql.functions.col("path")
+        .endsWith(".jpg")), 32, 32).collect()
+    assert(resized.length == 1)
+    assert(resized.head.width == 32 && resized.head.height == 32)
+    assert(resized.head.content.length == 32 * 32)
+
+    val frames = Multimodal.sampleFrames(
+      binary.filter(org.apache.spark.sql.functions.col("path")
+        .endsWith(".mp4")), n = 4).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    // timestamps span [0, duration]; duration stub = 4096/1024 = 4ms
+    assert(frames.head.frame_ts_ms == 0L)
+    assert(frames.last.frame_ts_ms == 4L)
+    assert(frames.forall(_.frame.nonEmpty))
+    // frames are distinct slices
+    assert(frames.map(_.frame.toSeq).distinct.length == 4)
+  }
+
   test("deces dry run: typed dates, hash index on nom") {
     val dir = java.nio.file.Files.createTempDirectory("deces")
     val line = "DUPONT*JEAN PIERRE/".padTo(80, ' ') + "1" + "19230512" +
