@@ -144,6 +144,26 @@ object Relational3 extends QueryPack {
         .offset(10).limit(5)
         .select(col("o_orderkey"), col("o_totalprice"))
     },
+    "w05_cume_dist" -> { (s, dir) =>
+      // distribution-rank analytics completing w02's ranking family
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        cume_dist().over(w).as("bal_cume"),
+        (count(lit(1)).over(Window.partitionBy(col("c_nationkey")))
+          - row_number().over(w)).cast("long").as("n_richer"))
+    },
+    "f08_bitwise_scalar" -> { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        shiftleft(col("p_partkey"), 3).as("key_shl3"),
+        shiftrightunsigned(col("p_partkey"), 1).as("key_shr1"),
+        col("p_partkey").bitwiseXOR(lit(0x5aL)).as("key_xor"),
+        col("p_partkey").bitwiseAND(lit(0xffL)).as("key_lo"),
+        col("p_partkey").bitwiseOR(lit(1L)).as("key_odd"),
+        bit_count(col("p_partkey")).as("key_bits"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,5 +259,22 @@ object Relational3 extends QueryPack {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 5 OFFSET 10""",
+    "w05_cume_dist" ->
+      """SELECT c_custkey, c_nationkey,
+                cume_dist() OVER w AS bal_cume,
+                CAST(count(1) OVER (PARTITION BY c_nationkey)
+                  - row_number() OVER w AS BIGINT) AS n_richer
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+           ORDER BY c_acctbal, c_custkey)""",
+    "f08_bitwise_scalar" ->
+      """SELECT p_partkey,
+                p_partkey << 3 AS key_shl3,
+                p_partkey >> 1 AS key_shr1,
+                xor(p_partkey, 90) AS key_xor,
+                p_partkey & 255 AS key_lo,
+                p_partkey | 1 AS key_odd,
+                CAST(bit_count(p_partkey) AS INT) AS key_bits
+         FROM part""",
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-regression guards: the scale-critical physical-plan properties
+  * PLANS.md documents, asserted so a refactor can't silently trade a
+  * broadcast for a shuffle or lose a pushed filter. Runs on sf0.001
+  * (plan shape, not data volume, is what's under test; join-strategy
+  * thresholds behave the same way).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("dimension chains broadcast; no sort-merge join at dimension scale") {
+    val p = plan("q02_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("EXISTS decorrelates to a broadcast left-semi join with pushdown") {
+    val p = plan("q24_exists_subquery")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(p.contains("GreaterThan(o_totalprice,200000.0)"),
+      "filter must reach the parquet scan")
+  }
+
+  test("top-k per group and latest-per-key use WindowGroupLimit") {
+    assert(plan("q07_topk_per_group").contains("WindowGroupLimit"))
+    assert(plan("q26_window_dedup").contains("WindowGroupLimit"))
+  }
+
+  // formatted mode prints one "(n) Exchange" line per shuffle node
+  // ("(n) BroadcastExchange" doesn't match — broadcasts are fine)
+  private def shuffleCount(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).length
+
+  test("as-of join is a single shuffle (no M-by-N range intermediate)") {
+    val p = plan("r05_asof_join")
+    assert(shuffleCount(p) == 1, s"expected 1 shuffle:\n${p.take(400)}")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("aggregation prunes columns at the scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      "unused columns must not reach the scan")
+  }
+
+  test("selective filters reach the parquet scan") {
+    val p = plan("q06_filtered_revenue")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p.take(600))
+  }
+
+  test("scalar-subquery threshold is broadcast, fact side streams once") {
+    val p = plan("q25_scalar_subquery")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the single-row aggregate is the build side; the fact scan must not shuffle
+    assert(shuffleCount(p) <= 1, p.take(400))
+  }
+
+  test("no query plans a cartesian product except the pair generators") {
+    // exempt: deliberate sampled pair generators (documented O(n²) on a
+    // pre-filtered set) and trainer queries whose plan CONSTRUCTION runs
+    // driver-side iterations (k-means / label propagation) — too slow to
+    // sweep here and plan-checked by their own operator specs
+    val exempt = Set("d08_char_jaccard_pairs", "d09_ngram_jaccard_pairs",
+      "s06_cosine_pairs_exact", "f01_levenshtein",
+      "d11_dedup_survivors", "s05_ivf_topk", "s07_pq_topk",
+      "s08_ivfpq_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .filter(name => plan(name).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
+  }
+}
