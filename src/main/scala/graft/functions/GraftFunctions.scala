@@ -39,4 +39,14 @@ object GraftFunctions {
     TextFunctions.wordShingles(c, k)
   def nature_voie_label(c: Column): Column =
     graft.sources.Fantoir.natureVoieLabel(c)
+  def rolling_hash_mod(c: Column): Column =
+    TextFunctions.rollingHashMod(c)
+  def simhash(c: Column): Column = graft.operators.Dedup.simhash(c)
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    graft.operators.Dedup.minhashSignature(shingles, numHashes)
+  def vector_dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+  def l2_distance(a: Column, b: Column): Column =
+    VectorFunctions.l2Distance(a, b)
+  def srp_bucket(v: Column, planes: Int): Column =
+    VectorFunctions.srpBucket(v, planes)
 }

@@ -48,6 +48,32 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Deterministic sign-flipped Walsh–Hadamard rotation — the structured
+    * orthonormal transform ("fast JL" rotation) that OPQ-style product
+    * quantization applies before splitting into subspaces, spreading
+    * energy evenly so no subspace codebook starves. H_ij =
+    * (−1)^popcount(i&j), composed with a fixed ±1 diagonal and scaled by
+    * 1/√d: exactly orthonormal, no trained rotation matrix to store.
+    * The d rows are PLAN-TIME literals → d codegen'd dots per row, only
+    * paid at index build/query-encode time. `dim` must be a power of 2.
+    */
+  def rotateHadamard(v: Column, dim: Int): Column = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"Hadamard rotation needs a power-of-2 dim, got $dim")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val rows = Array.tabulate(dim) { i =>
+      Array.tabulate(dim) { j =>
+        val h =
+          if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        val s =
+          if ((((j * 2654435761L) ^ 0x9e3779b97f4a7c15L) >>> 13 & 1) == 0L)
+            1.0 else -1.0
+        h * s * scale
+      }
+    }
+    array(rows.map(r => dot(v, typedLit(r.toSeq))): _*)
+  }
+
   /** Supported embedding width for [[srpBucket]] plane literals. */
   private val MaxDim = 4096
 

@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  /** Rotated-PQ ("OPQ-lite") preprocessing: apply the deterministic
+    * Walsh–Hadamard rotation to the vector column so subspace energy is
+    * balanced before codebook training/encoding. Rotation is orthonormal
+    * — L2 distances are preserved exactly — so fit/encode/search work
+    * unchanged on the rotated frame; queries must pass through the SAME
+    * rotation. `dim` must be a power of 2.
+    */
+  def rotate(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.withColumn(vecCol,
+      graft.functions.VectorFunctions.rotateHadamard(col(vecCol), dim))
+
   /** Train per-subspace codebooks. Returns a small DataFrame
     * (subspace, code, codeword: array<double>) — broadcastable.
     * `dim` must be divisible by `m`.

@@ -129,6 +129,23 @@ object TrainingOps extends QueryPack {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 6)
     },
+    "s09_opq_topk" -> { (s, dir) =>
+      // rotated PQ (OPQ-lite): Walsh-Hadamard energy balancing before
+      // subspace quantization; rotation is orthonormal so distances are
+      // preserved and fit/encode/search run unchanged
+      // persisted: fit, encode, and the query side each re-derive from
+      // this frame, and the 64-dot rotation is the dominant projection
+      val rotated = graft.operators.PqIndex.rotate(
+        t(s, dir, "embeddings"), "embedding", 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val codebook = graft.operators.PqIndex.fit(
+        rotated, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+      val encoded = graft.operators.PqIndex.encode(
+        rotated, "vec_id", "embedding", codebook)
+      graft.operators.PqIndex.search(encoded,
+        rotated.filter(col("vec_id") < 5), "vec_id", "embedding",
+        codebook, k = 5)
+    },
     "s08_ivfpq_topk" -> { (s, dir) =>
       // IVF-PQ: coarse-pruned + code-compressed ANN (the
       // billion-vector-scale serving shape)

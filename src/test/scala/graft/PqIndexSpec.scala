@@ -68,6 +68,31 @@ class PqIndexSpec extends SparkSpec {
     assert(pq.take(3).toSet == exact.take(3).toSet)
   }
 
+  test("Hadamard rotation is orthonormal: norms and distances preserved") {
+    val df = clustered()
+    import graft.functions.VectorFunctions
+    val rows = df.select(
+      VectorFunctions.norm(col("embedding")).as("n0"),
+      VectorFunctions.norm(
+        VectorFunctions.rotateHadamard(col("embedding"), 8)).as("n1"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1))
+      < 1e-9, s"${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
+  test("rotated PQ (OPQ-lite) search matches plain PQ recall on clusters") {
+    val df = clustered()
+    val rotated = graft.operators.PqIndex.rotate(df, "embedding", 8)
+    val cb = PqIndex.fit(rotated, "vec_id", "embedding", m = 4, k = 3,
+      iters = 3)
+    val enc = PqIndex.encode(rotated, "vec_id", "embedding", cb)
+    val res = PqIndex.search(enc,
+      rotated.filter(col("vec_id") === 0L), "vec_id", "embedding", cb,
+      k = 3).orderBy("rank").collect()
+    assert(res.length == 3)
+    assert(res.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 3L))
+  }
+
   test("IVF-PQ prunes to probed lists and still finds the home cluster") {
     // ids interleaved across clusters (id % 3 = cluster) so the
     // smallest-id seeds land in three DIFFERENT clusters — the sampling
