@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,16 +109,42 @@ object PqIndex {
       .select(col("id"), col("subspace"), col("sv"), col("code"))
   }
 
-  /** Encode the corpus: (id, codes array<int> ordered by subspace). */
+  /** Encoding expression against a DRIVER-COLLECTED codebook: for each
+    * subspace, the (1-based) position of the nearest codeword in an
+    * inline distance array. Ties break to the smallest code
+    * (`array_position` returns the first minimum), matching
+    * [[assignCodes]]'s (d2, code) ordering. The codebook is kilobytes,
+    * so inlining it makes encode a pure per-row projection.
+    */
+  private def encodeExpr(vec: Column,
+                         cb: Map[(Int, Int), Seq[Double]]): Column = {
+    val m = cb.keys.map(_._1).max + 1
+    val subDim = cb.head._2.size
+    array((0 until m).map { s =>
+      val sub = slice(vec, lit(s * subDim + 1), lit(subDim))
+      val codewords = cb.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+        .map(code => cb((s, code)))
+      val dists = array(codewords.map(cw =>
+        VectorFunctions.l2Sq(sub, typedLit(cw))): _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }: _*)
+  }
+
+  /** Encode the corpus: (id, codes array<int> ordered by subspace).
+    *
+    * ZERO-SHUFFLE: the codebook collapses to plan-time literals (m·k
+    * codewords — kilobytes), so encoding is a map-side projection. This
+    * is also what makes it run unchanged on an UNBOUNDED stream (see
+    * `EventStreamsSpec`): no aggregation, no state — new vectors encode
+    * as they arrive, the streaming half of index maintenance.
+    */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
              codebook: DataFrame): DataFrame = {
-    val m = codebook.agg(max(col("subspace"))).head().getInt(0) + 1
-    assignCodes(subvectors(corpus, idCol, vecCol, m), codebook)
-      .groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("subspace"), col("code"))))
-        .as("pairs"))
-      .select(col("id"),
-        transform(col("pairs"), p => p.getField("code")).as("codes"))
+    val cb = codebook.collect().map { r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)
+    }.toMap
+    val dv = transform(col(vecCol), x => x.cast("double"))
+    corpus.select(col(idCol).as("id"), encodeExpr(dv, cb).as("codes"))
   }
 
   /** Per-query ADC lookup table (query_id, subspace, code, partial d²):

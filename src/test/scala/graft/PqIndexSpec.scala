@@ -93,6 +93,30 @@ class PqIndexSpec extends SparkSpec {
     assert(res.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 3L))
   }
 
+  test("map-side encode runs on an unbounded stream (index maintenance)") {
+    implicit val sqlCtx = spark.sqlContext
+    val df = clustered()
+    val cb = PqIndex.fit(df, "vec_id", "embedding", m = 4, k = 3, iters = 3)
+    val batchCodes = PqIndex.encode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val query = PqIndex.encode(stream, "vec_id", "embedding", cb)
+      .writeStream.format("memory").queryName("pq_stream_encode")
+      .outputMode("append").start()
+    try {
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      input.addData(rows.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("pq_stream_encode")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamed == batchCodes) // identical codes, batch vs stream
+    } finally query.stop()
+  }
+
   test("IVF-PQ prunes to probed lists and still finds the home cluster") {
     // ids interleaved across clusters (id % 3 = cluster) so the
     // smallest-id seeds land in three DIFFERENT clusters — the sampling
