@@ -16,7 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  // Schema cache: every query calls load() 1-3×, and each uncached
+  // spark.read.parquet lists the path and reads footers to infer the
+  // schema — pure fixed cost repeated ~200× across the query set. The
+  // data itself is NOT cached (scans stay lazy/pushdown-friendly);
+  // only the inferred StructType is reused.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark
+      .sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read nanos as long and truncate to micros with
@@ -24,9 +34,14 @@ object Tables {
       // ~1.7e18 ns). DuckDB oracles use CAST(ts AS TIMESTAMP), which
       // truncates identically.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      val schema = schemaCache.getOrElseUpdate(path,
+        spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      val schema = schemaCache.getOrElseUpdate(path,
+        spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
     }
+  }
 }
