@@ -164,6 +164,23 @@ object Relational3 extends QueryPack {
         col("p_partkey").bitwiseOR(lit(1L)).as("key_odd"),
         bit_count(col("p_partkey")).as("key_bits"))
     },
+    "f09_null_fns" -> { (s, dir) =>
+      // NULL semantics over real outer-join nulls: coalesce, nullif,
+      // null-safe equality (<=>), and the CASE-on-null family
+      val byCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .join(byCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders_filled"),
+          nullif(col("c_mktsegment"), lit("BUILDING"))
+            .as("segment_or_null"),
+          (col("n_orders") <=> lit(null).cast("long"))
+            .as("never_ordered"),
+          when(col("n_orders").isNull, "none").otherwise("has")
+            .as("order_status"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,5 +293,16 @@ object Relational3 extends QueryPack {
                 p_partkey | 1 AS key_odd,
                 CAST(bit_count(p_partkey) AS INT) AS key_bits
          FROM part""",
+    "f09_null_fns" ->
+      """WITH by_cust AS (
+           SELECT o_custkey, count(1) AS n_orders FROM orders
+           GROUP BY o_custkey)
+         SELECT c_custkey,
+                coalesce(n_orders, 0) AS n_orders_filled,
+                nullif(c_mktsegment, 'BUILDING') AS segment_or_null,
+                n_orders IS NOT DISTINCT FROM NULL AS never_ordered,
+                CASE WHEN n_orders IS NULL THEN 'none' ELSE 'has' END
+                  AS order_status
+         FROM customer LEFT JOIN by_cust ON c_custkey = o_custkey""",
   )
 }

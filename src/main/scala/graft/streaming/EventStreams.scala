@@ -32,6 +32,22 @@ object EventStreams {
 
   private val functions = org.apache.spark.sql.functions
 
+  /** Sliding (hopping) windows: each event lands in width/slide
+    * overlapping buckets — the incremental counterpart of the batch
+    * `e03_sliding_window` bucket arithmetic. State per open window is
+    * one partial aggregate; the watermark closes windows whose end has
+    * passed.
+    */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("sum_value"))
+
   /** Session windows via the built-in session_window (gap-based). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "1 hour"): DataFrame =

@@ -35,6 +35,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding window counts each event in overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val query = EventStreams.slidingCounts(events, "10 minutes",
+      "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((ts(7), 2.0)) // lands in [10:00,10:10) and [10:05,10:15)
+      query.processAllAvailable()
+      val starts = spark.table("sliding_test")
+        .orderBy("window_start").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toSeq
+      assert(starts == Seq(ts(0) -> 1L, ts(5) -> 1L))
+    } finally query.stop()
+  }
+
   test("session window merges events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
