@@ -68,17 +68,33 @@ object IvfIndex {
     centroids.toDF("centroid_id", "centroid")
   }
 
-  /** Nearest centroid per vector (broadcast centroids, map-side). */
-  private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("dist").asc, col("centroid_id"))
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        VectorFunctions.l2Distance(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("centroid_id"))
+  /** Centroids as driver-side literals (k·dim doubles — kilobytes),
+    * sorted by id. Ids are 1..k contiguous (the fit/seed contract).
+    */
+  private def centroidLits(centroids: DataFrame): Seq[Seq[Double]] =
+    centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** Nearest-centroid id as a PURE PROJECTION: an inline distance array
+    * over plan-time centroid literals + argmin. `array_position` returns
+    * the FIRST minimum → ties break to the smallest centroid id, the
+    * same (dist, id) ordering the window formulation had. Replaces a
+    * crossJoin + per-id window sort — zero shuffle, zero sort, which is
+    * the difference between "assignment is a map stage" and "assignment
+    * re-sorts the corpus" at 100 TB.
+    */
+  private def nearestExpr(v: org.apache.spark.sql.Column,
+                          cents: Seq[Seq[Double]]) = {
+    val dists = array(cents.map(c =>
+      VectorFunctions.l2Sq(v, typedLit(c))): _*)
+    array_position(dists, array_min(dists)).cast("int")
   }
+
+  /** Nearest centroid per vector (map-side argmin). */
+  private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.select(col("id"), col("v"),
+      nearestExpr(col("v"), centroidLits(centroids)).as("centroid_id"))
 
   /** Corpus rows tagged with their inverted-list id. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
@@ -88,22 +104,27 @@ object IvfIndex {
 
   /** Each query's `nProbe` nearest inverted lists:
     * (query_id, qv, qnrm, centroid_id) — the coarse-pruning half of IVF,
-    * reused by [[IvfPq]].
+    * reused by [[IvfPq]]. Map-side: (dist, id) structs sorted inline
+    * (array_sort orders structs field-by-field — same (cdist,
+    * centroid_id) ordering the window formulation had), top nProbe
+    * sliced and exploded. No crossJoin, no window.
     */
   def probes(queries: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, nProbe: Int): DataFrame = {
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("centroid_id"))
+    val cents = centroidLits(centroids)
+    val qv = col("qv")
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.l2Sq(qv, typedLit(c)).as("d"),
+        lit(i + 1).as("cid"))
+    }: _*)
     queries
       .select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        VectorFunctions.l2Distance(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"),
-        VectorFunctions.norm(col("qv")).as("qnrm"), col("centroid_id"))
+      .select(col("query_id"), qv,
+        VectorFunctions.norm(qv).as("qnrm"),
+        explode(transform(
+          slice(array_sort(scored), 1, math.min(nProbe, cents.size)),
+          s => s.getField("cid"))).as("centroid_id"))
   }
 
   /** Approximate top-k: each query probes its `nProbe` nearest lists. */

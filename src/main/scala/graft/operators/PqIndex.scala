@@ -97,7 +97,12 @@ object PqIndex {
   }
 
   /** Nearest codeword per (id, subspace) — broadcast codebook, map-side
-    * except the top-1 window per (id, subspace).
+    * except the top-1 window per (id, subspace). Used only by [[fit]],
+    * which trains on a SAMPLE at scale, so the window sort is bounded by
+    * sample size; the corpus-wide path is the map-side [[encode]]. (An
+    * all-literal when-chain variant benched slower here: the m·k-node
+    * expression tree blows past efficient codegen for no shuffle saved
+    * on a sample.)
     */
   private def assignCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"), col("subspace"))
