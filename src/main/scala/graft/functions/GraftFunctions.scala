@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
 
 /** SQL-surface registration for graft's function library, so every
@@ -25,6 +26,11 @@ object GraftFunctions {
       (s: String) => if (s == null) null else NameUtil.toSnake(s))
     spark.udf.register("graft_to_standard",
       (s: String) => if (s == null) null else NameUtil.toStandard(s))
+    // typed Aggregator exposed to the DataFrame/SQL surface:
+    // graft_top3(id, score) → array<struct<id,score>> (k=3 variant;
+    // instantiate TopKAggregator directly for other k)
+    spark.udf.register("graft_top3",
+      F.udaf(new TopKAggregator(3), Encoders.product[Scored]))
   }
 
   // Column-API re-exports (one import site for users)
