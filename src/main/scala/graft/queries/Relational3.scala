@@ -164,6 +164,17 @@ object Relational3 extends QueryPack {
         col("p_partkey").bitwiseOR(lit(1L)).as("key_odd"),
         bit_count(col("p_partkey")).as("key_bits"))
     },
+    "f10_json_build" -> { (s, dir) =>
+      // JSON construction + extraction roundtrip (q21 covers parsing
+      // external JSON; this covers producing it)
+      val doc = to_json(struct(col("p_partkey").as("k"),
+        col("p_brand").as("brand"), col("p_size").as("size")))
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        doc.as("json_doc"),
+        get_json_object(doc, "$.brand").as("brand_back"),
+        get_json_object(doc, "$.size").cast("int").as("size_back"))
+    },
     "f09_null_fns" -> { (s, dir) =>
       // NULL semantics over real outer-join nulls: coalesce, nullif,
       // null-safe equality (<=>), and the CASE-on-null family
@@ -292,6 +303,17 @@ object Relational3 extends QueryPack {
                 p_partkey & 255 AS key_lo,
                 p_partkey | 1 AS key_odd,
                 CAST(bit_count(p_partkey) AS INT) AS key_bits
+         FROM part""",
+    "f10_json_build" ->
+      """SELECT p_partkey,
+                to_json(struct_pack(k := p_partkey, brand := p_brand,
+                  size := p_size))::VARCHAR AS json_doc,
+                json_extract_string(to_json(struct_pack(k := p_partkey,
+                  brand := p_brand, size := p_size)), '$.brand')
+                  AS brand_back,
+                CAST(json_extract_string(to_json(struct_pack(
+                  k := p_partkey, brand := p_brand, size := p_size)),
+                  '$.size') AS INT) AS size_back
          FROM part""",
     "f09_null_fns" ->
       """WITH by_cust AS (
