@@ -27,9 +27,10 @@ object TextFunctions {
     * text → 0.
     */
   def rollingHashMod(c: Column, p: Long = 1000000007L): Column = {
-    val codes = when(length(c) <= 0, typedLit(Seq.empty[Long])).otherwise(
-      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))
-        .cast("long")))
+    // split-into-chars is one linear pass; the substr(i, 1) formulation
+    // would rescan the UTF8String from byte 0 per position (O(n²))
+    val codes = transform(filter(split(c, ""), ch => ch =!= ""),
+      ch => ascii(ch).cast("long"))
     aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % p)
   }
 

@@ -32,28 +32,21 @@ object IvfPq {
       .join(IvfIndex.assign(corpus, idCol, vecCol, centroids)
         .select(col("id"), col("centroid_id")), Seq("id"))
 
-  /** Top-k via coarse pruning + ADC. `indexed` is [[index]]'s output. */
+  /** Top-k via coarse pruning + ADC. `indexed` is [[index]]'s output.
+    * The scoring tail (table join, per-candidate sum, top-k tie-break)
+    * is [[PqIndex.adcTopK]], shared with plain PQ search.
+    */
   def search(indexed: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, centroids: DataFrame, codebook: DataFrame,
              k: Int, nProbe: Int = 2): DataFrame = {
     val probes = IvfIndex.probes(queries, idCol, vecCol, centroids, nProbe)
       .select(col("query_id"), col("centroid_id"))
     val table = PqIndex.adcTable(queries, idCol, vecCol, codebook)
-
     val triples = indexed.select(col("id"), col("centroid_id"),
       posexplode(col("codes")).as(Seq("subspace", "code")))
-
-    val wk = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist").asc, col("id"))
-    triples
-      .join(broadcast(probes), Seq("centroid_id"))
-      .join(broadcast(table), Seq("query_id", "subspace", "code"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sqrt(sum(col("pd2"))).as("approx_dist"))
-      .filter(col("id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        col("approx_dist"), col("rank"))
+    PqIndex.adcTopK(
+      triples.join(broadcast(probes), Seq("centroid_id"))
+        .select(col("query_id"), col("id"), col("subspace"), col("code")),
+      table, k)
   }
 }

@@ -166,20 +166,16 @@ object PqIndex {
         VectorFunctions.l2Sq(col("sv"), col("codeword")).as("pd2"))
   }
 
-  /** ADC top-k: approximate L2 distance = Σ_subspaces ‖q_s − cw(code_s)‖².
-    * `queries` is small (broadcast); the encoded corpus never re-reads
-    * the raw vectors.
+  /** Shared ADC scoring tail: candidate (query_id, id, subspace, code)
+    * rows joined with the partial-distance table, summed per candidate,
+    * top-k per query. Used by [[search]] and [[IvfPq.search]] so the
+    * tie-break / distance arithmetic can never diverge between them.
     */
-  def search(encoded: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, codebook: DataFrame, k: Int): DataFrame = {
-    val table = adcTable(queries, idCol, vecCol, codebook)
-
-    val triples = encoded.select(col("id"),
-      posexplode(col("codes")).as(Seq("subspace", "code")))
-
+  private[operators] def adcTopK(candidates: DataFrame, table: DataFrame,
+                                 k: Int): DataFrame = {
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("id"))
-    triples.join(broadcast(table), Seq("subspace", "code"))
+    candidates.join(broadcast(table), Seq("query_id", "subspace", "code"))
       .groupBy(col("query_id"), col("id"))
       .agg(sqrt(sum(col("pd2"))).as("approx_dist"))
       .filter(col("id") =!= col("query_id"))
@@ -187,5 +183,18 @@ object PqIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("approx_dist"), col("rank"))
+  }
+
+  /** ADC top-k: approximate L2 distance = Σ_subspaces ‖q_s − cw(code_s)‖².
+    * `queries` is small (broadcast); the encoded corpus never re-reads
+    * the raw vectors.
+    */
+  def search(encoded: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebook: DataFrame, k: Int): DataFrame = {
+    val table = adcTable(queries, idCol, vecCol, codebook)
+    val triples = encoded.select(col("id"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+    adcTopK(triples.crossJoin(
+      broadcast(table.select(col("query_id")).distinct())), table, k)
   }
 }

@@ -68,9 +68,12 @@ object EventTime extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           round(sum(dec(col("value"))), 2).cast(DoubleType).as("sum_value"))
     },
-    // Funnel analysis (view → click → purchase in strict event-time
-    // order): one conditional-aggregate pass keyed by user — the
-    // training-pipeline "did this entity complete the sequence" shape.
+    // FIRST-TOUCH funnel analysis: complete iff the user's FIRST view
+    // precedes their FIRST click precedes their FIRST purchase (the
+    // standard attribution definition; a user whose first click came
+    // before any view is deliberately incomplete even if a later
+    // view→click→purchase chain exists). One conditional-aggregate
+    // pass keyed by user.
     "e04_funnel" -> { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"))

@@ -135,8 +135,10 @@ object SqliteDialect extends SinkDialect
 object DerbyDialect extends SinkDialect {
   override def dropTable(table: SqlTableDef): Seq[String] = Seq.empty
   override def createIndex(table: SqlTableDef,
-                           index: SqlIndexDef): Seq[String] =
+                           index: SqlIndexDef): Seq[String] = {
+    require(index.tableName == table.name)
     Seq(s"CREATE INDEX ${index.name} ON ${table.name}(${index.fieldName})")
+  }
 }
 
 /** Dry-run execution (X1): collects every statement instead of executing,

@@ -145,18 +145,21 @@ object EventStreams {
                               session_end: java.sql.Timestamp, n_events: Long)
 
   /** Timer-driven streaming sessionization on the state-v2 API: events
-    * buffer in a [[ListState]]; every arrival re-arms one event-time
-    * timer at (latest event + gap); when the WATERMARK crosses that
-    * expiry the timer fires and the closed session is emitted exactly
-    * once, state cleared. This is the full state-v2 surface — list
-    * state, timer registration/deletion, `handleExpiredTimer` — and the
-    * semantics `session_window` gives declaratively, re-expressed for
-    * pipelines that need custom per-session logic (e.g. emitting only
-    * sessions matching a pattern).
+    * buffer in a [[ListState]]; ONE event-time timer is kept armed at
+    * the EARLIEST unclosed session's expiry (min session-max + gap).
+    * When the watermark crosses it, every session whose expiry has
+    * passed is emitted and evicted; later sessions stay buffered with
+    * the timer re-armed. Buffering until each session's own expiry
+    * passes the watermark (rather than emitting eagerly when a
+    * later-session event arrives) is what keeps results correct under
+    * late-but-within-watermark data, and gap-splitting the buffer
+    * means a key with several event bursts emits several sessions —
+    * the `session_window` semantics, re-expressed for pipelines that
+    * need custom per-session logic.
     *
-    * Scale shape: state per key is one in-flight session, evicted on
-    * close; timers live in the state store, so a billion quiet users
-    * cost nothing per batch.
+    * Scale shape: state per key is bounded by the watermark horizon
+    * (closed sessions evict on their timer); timers live in the state
+    * store, so a billion quiet users cost nothing per batch.
     */
   class SessionizeProcessor(gapMs: Long)
       extends StatefulProcessor[Long, EventRow, SessionOut] {
@@ -170,32 +173,63 @@ object EventStreams {
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    override def handleInputRows(key: Long, rows: Iterator[EventRow],
-                                 timerValues: TimerValues)
-        : Iterator[SessionOut] = {
-      rows.foreach(buffer.appendValue)
-      val latest = buffer.get().map(_.ts.getTime).max
-      val expiry = latest + gapMs
+    /** Gap-split a time-sorted event list into sessions. */
+    private def sessionsOf(sorted: Seq[EventRow]): Seq[Seq[EventRow]] = {
+      val out = scala.collection.mutable.Buffer.empty[Seq[EventRow]]
+      var cur = scala.collection.mutable.Buffer.empty[EventRow]
+      var lastTs = Long.MinValue
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e.ts.getTime - lastTs > gapMs) {
+          out += cur.toSeq; cur = scala.collection.mutable.Buffer.empty
+        }
+        cur += e
+        lastTs = math.max(lastTs, e.ts.getTime)
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+
+    private def arm(expiry: Long): Unit = {
       if (armed.exists() && armed.get() != expiry)
         getHandle.deleteTimer(armed.get())
       if (!armed.exists() || armed.get() != expiry) {
         getHandle.registerTimer(expiry)
         armed.update(expiry)
       }
+    }
+
+    private def emitClosed(upTo: Long): Iterator[SessionOut] = {
+      val all = buffer.get().toSeq.sortBy(_.ts.getTime)
+      if (all.isEmpty) { armed.clear(); return Iterator.empty }
+      val (closed, open) = sessionsOf(all)
+        .partition(s => s.last.ts.getTime + gapMs <= upTo)
+      buffer.clear()
+      open.flatten.foreach(buffer.appendValue)
+      if (open.nonEmpty) arm(open.head.last.ts.getTime + gapMs)
+      else armed.clear()
+      closed.iterator.map { s =>
+        SessionOut(keyOf(s), new java.sql.Timestamp(s.head.ts.getTime),
+          new java.sql.Timestamp(s.last.ts.getTime), s.size.toLong)
+      }
+    }
+
+    private def keyOf(s: Seq[EventRow]): Long = s.head.user_id
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues)
+        : Iterator[SessionOut] = {
+      rows.foreach(buffer.appendValue)
+      val sessions = sessionsOf(buffer.get().toSeq.sortBy(_.ts.getTime))
+      if (sessions.nonEmpty)
+        arm(sessions.head.last.ts.getTime + gapMs)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo)
-        : Iterator[SessionOut] = {
-      val events = buffer.get().toSeq
-      buffer.clear(); armed.clear()
-      if (events.isEmpty) Iterator.empty
-      else Iterator.single(SessionOut(key,
-        new java.sql.Timestamp(events.map(_.ts.getTime).min),
-        new java.sql.Timestamp(events.map(_.ts.getTime).max),
-        events.size.toLong))
-    }
+        : Iterator[SessionOut] =
+      emitClosed(math.max(expiredTimerInfo.getExpiryTimeInMs,
+        timerValues.getCurrentWatermarkInMs))
   }
 
   /** Sessionize a stream of (user_id, ts, value) with a gap timeout.

@@ -207,22 +207,27 @@ class EventStreamsSpec extends SparkSpec {
         .writeStream.format("memory").queryName("sessionize_v2_test")
         .outputMode(OutputMode.Append()).start()
       try {
-        // user 1: two events 5 min apart (one session)
+        // user 1: two events 5 min apart (one session) AND a second
+        // burst >gap later in the same batch (a second session — the
+        // buffer must gap-split, not merge)
         input.addData(EventStreams.EventRow(1L, ts(0), 1.0),
-          EventStreams.EventRow(1L, ts(5), 1.0))
+          EventStreams.EventRow(1L, ts(5), 1.0),
+          EventStreams.EventRow(1L, ts(25), 1.0))
         query.processAllAvailable()
-        // push the watermark way past the session's expiry
+        // push the watermark way past both sessions' expiries
         input.addData(EventStreams.EventRow(2L, ts(50), 1.0))
         query.processAllAvailable()
         input.addData(EventStreams.EventRow(2L, ts(51), 1.0))
         query.processAllAvailable()
         val out = spark.table("sessionize_v2_test")
           .as[EventStreams.SessionOut].collect()
-        val u1 = out.filter(_.user_id == 1L)
-        assert(u1.length == 1)
-        assert(u1.head.session_start == ts(0))
-        assert(u1.head.session_end == ts(5))
-        assert(u1.head.n_events == 2L)
+        val u1 = out.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+        assert(u1.length == 2, out.mkString(", "))
+        assert(u1(0).session_start == ts(0))
+        assert(u1(0).session_end == ts(5))
+        assert(u1(0).n_events == 2L)
+        assert(u1(1).session_start == ts(25))
+        assert(u1(1).n_events == 1L)
       } finally query.stop()
     }
   }

@@ -59,9 +59,9 @@ class JdbcRoundTripSpec extends SparkSpec {
       assert(names.map(n => Option(n).map(_.toLowerCase).getOrElse(""))
         .contains("siren_siren_mini_idx"), names.toString)
     } finally conn.close()
-  }
 
-  test("filter pushdown reaches the JDBC source on read-back") {
+    // filter pushdown reaches the JDBC source on read-back (same test so
+    // the table's existence doesn't depend on cross-test ordering)
     val plan = spark.read.jdbc(url, "siren_mini", props)
       .filter(col("siren") > 101L)
       .queryExecution.executedPlan.toString

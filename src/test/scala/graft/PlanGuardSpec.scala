@@ -73,7 +73,7 @@ class PlanGuardSpec extends SparkSpec {
     val exempt = Set("d08_char_jaccard_pairs", "d09_ngram_jaccard_pairs",
       "s06_cosine_pairs_exact", "f01_levenshtein",
       "d11_dedup_survivors", "s05_ivf_topk", "s07_pq_topk",
-      "s08_ivfpq_topk")
+      "s08_ivfpq_topk", "s09_opq_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .filter(name => plan(name).contains("CartesianProduct"))
