@@ -21,6 +21,12 @@ object Tables {
   // schema — pure fixed cost repeated ~200× across the query set. The
   // data itself is NOT cached (scans stay lazy/pushdown-friendly);
   // only the inferred StructType is reused.
+  //
+  // ASSUMES the benchmark layout is immutable within a JVM (it is:
+  // /root/testdata is read-only). If a dataset at a cached path were
+  // regenerated with a different schema, reads would silently miscast —
+  // key by path+footer fingerprint before reusing this loader on
+  // mutable paths (ADVICE r2).
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark
       .sql.types.StructType]

@@ -19,12 +19,19 @@ object TextFunctions {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Cross-engine-reproducible document fingerprint: left fold of
-    * `h = (h*31 + codepoint) mod 1e9+7` over the text's characters.
+    * `h = (h*31 + char_code) mod 1e9+7` over the text's characters.
     * Stays within BIGINT under ANSI mode (h < 1e9+7, so h*31+cp < 2^35)
-    * and matches a DuckDB `list_reduce` fold exactly — unlike
+    * and matches a DuckDB `list_reduce` fold — unlike
     * [[graft.functions.PolyHashFunctions.poly_hash]], whose wrapping
     * 64-bit arithmetic no oracle can replicate. Empty/null-safe: empty
     * text → 0.
+    *
+    * ASCII-ONLY exactness guarantee (ADVICE r2): char codes come from
+    * Spark's `ascii()` while the DuckDB oracle uses `unicode()`; the two
+    * agree on ASCII but can diverge on multi-byte characters (surrogate
+    * handling in `split("")` differs too). The test corpora are ASCII;
+    * for arbitrary Unicode, normalize both sides to explicit codepoints
+    * first.
     */
   def rollingHashMod(c: Column, p: Long = 1000000007L): Column = {
     // split-into-chars is one linear pass; the substr(i, 1) formulation

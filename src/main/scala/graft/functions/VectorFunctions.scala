@@ -48,6 +48,27 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Squared L2 between `v[offset, offset+cw.length)` and a plan-time
+    * codeword, computed in place (no slice allocation) — see
+    * [[VectorL2SqWindow]].
+    */
+  def l2SqWindow(v: Column, offset: Int, cw: Seq[Double]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VectorL2SqWindow(
+      ColumnBridge.expression(v), offset, cw))
+  }
+
+  /** Full PQ code assignment in one codegen'd nested loop — see
+    * [[PqEncode]]. `codebook(s*k + c)` = codeword for subspace s, code
+    * c+1.
+    */
+  def pqEncode(v: Column, m: Int, subDim: Int,
+               codebook: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(v), m, subDim, codebook))
+  }
+
   /** Deterministic sign-flipped Walsh–Hadamard rotation — the structured
     * orthonormal transform ("fast JL" rotation) that OPQ-style product
     * quantization applies before splitting into subspaces, spreading

@@ -111,7 +111,19 @@ object Dedup {
     // this the signature aggregation (the dominant cost) runs twice.
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshPairsFromSigs(sigs, bands, rowsPerBand, threshold)
+  }
 
+  /** LSH banding + candidate verification over PRECOMPUTED signatures
+    * ([[minhashSignatures]] output, ideally persisted by the caller).
+    * Signatures are the dominant cost and are threshold-independent, so
+    * building them once and deriving pair sets at several thresholds
+    * (e.g. candidate mining at 0.3, dedup decisions at 0.5) costs one
+    * corpus pass instead of one per threshold.
+    */
+  def minhashLshPairsFromSigs(sigs: DataFrame, bands: Int,
+                              rowsPerBand: Int,
+                              threshold: Double): DataFrame = {
     // (band index, hash of the band's signature slice) → candidate buckets.
     // xxhash64 hashes the array value directly — no string serialization.
     val banded = sigs.select(col("id"), col("sig"),
@@ -152,32 +164,39 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var persisted = edges.groupBy(col("src").as("id"))
+    var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
 
+    // Convergence detector: labels only ever DECREASE, so the sum of all
+    // labels strictly drops while anything improves and is stable exactly
+    // at the fixpoint — one scalar agg per round instead of a second
+    // labels join + improved-flag count. Decimal sum: immune to overflow
+    // at any graph size.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("component").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighbor's current component, take the min over neighborhood+self;
-      // the `improved` flag rides along so convergence detection is one
-      // filter-count over the persisted next frame — no extra join
-      val next = edges
+      // message passing: each node takes the min over its neighbors'
+      // labels and its own — ONE join per round (the union with the
+      // current labels carries "self")
+      val msgs = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "dst_component"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_component")).as("neighbor_min"))
-        .join(labels, Seq("id"))
-        .select(col("id"),
-          least(col("component"), col("neighbor_min")).as("component"),
-          (col("neighbor_min") < col("component")).as("improved"))
+        .select(col("src").as("id"), col("dst_component").as("component"))
+      val next = msgs.unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.filter(col("improved")).count()
-      persisted.unpersist()
-      persisted = next
-      labels = next.select(col("id"), col("component"))
-      converged = changed == 0
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     edges.unpersist()

@@ -76,19 +76,24 @@ object IvfIndex {
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1).map(_._2).toSeq
 
-  /** Nearest-centroid id as a PURE PROJECTION: an inline distance array
-    * over plan-time centroid literals + argmin. `array_position` returns
-    * the FIRST minimum → ties break to the smallest centroid id, the
-    * same (dist, id) ordering the window formulation had. Replaces a
-    * crossJoin + per-id window sort — zero shuffle, zero sort, which is
-    * the difference between "assignment is a map stage" and "assignment
-    * re-sorts the corpus" at 100 TB.
+  /** Nearest-centroid id as a PURE PROJECTION: `array_min` over (dist,
+    * id) structs built from plan-time centroid literals — lexicographic
+    * struct ordering gives the smallest distance with ties to the
+    * smallest centroid id, the same (dist, id) ordering the window
+    * formulation had, and each distance is evaluated exactly ONCE per
+    * row (`array_position(dists, array_min(dists))` re-evaluated the
+    * whole distance set twice — no CSE across array expressions).
+    * Replaces a crossJoin + per-id window sort — zero shuffle, zero
+    * sort, which is the difference between "assignment is a map stage"
+    * and "assignment re-sorts the corpus" at 100 TB.
     */
   private def nearestExpr(v: org.apache.spark.sql.Column,
                           cents: Seq[Seq[Double]]) = {
-    val dists = array(cents.map(c =>
-      VectorFunctions.l2Sq(v, typedLit(c))): _*)
-    array_position(dists, array_min(dists)).cast("int")
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.l2Sq(v, typedLit(c)).as("d"),
+        lit(i + 1).as("cid"))
+    }: _*)
+    array_min(scored).getField("cid").cast("int")
   }
 
   /** Nearest centroid per vector (map-side argmin). */

@@ -48,25 +48,45 @@ object PqIndex {
           m: Int, k: Int, iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val subs = subvectors(corpus, idCol, vecCol, m)
+    // each Lloyd iteration scans this frame once — persist across them
+    val vecs = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Seeds: the k smallest-id vectors (TakeOrdered — no shuffle-sort of
+    // the corpus), sliced into subvectors driver-side. Every subspace
+    // seeds from the same k rows, exactly as the old per-subspace window
+    // did. This is also where the dim % m contract is ENFORCED: a bad m
+    // must fail loudly, not silently drop tail dimensions.
+    val seeds = vecs.orderBy(col("id")).limit(k).collect()
+    require(seeds.nonEmpty, "PqIndex.fit: empty corpus")
+    val dim = seeds.head.getSeq[Double](1).size
+    require(m > 0 && dim % m == 0,
+      s"PqIndex.fit: vector dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
     // codebook on the driver between iterations (m·k·subDim doubles);
-    // shipping it per round avoids the iterative-lineage trap. Seeds:
-    // each subspace's codewords start from the k smallest-id subvectors.
+    // shipping it per round avoids the iterative-lineage trap.
     var codebook: Seq[(Int, Int, Seq[Double])] =
-      subs.withColumn("rn", row_number().over(
-        Window.partitionBy(col("subspace")).orderBy(col("id"))))
-        .filter(col("rn") <= k)
-        .select(col("subspace"), col("rn"), col("sv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+      for {
+        (r, i) <- seeds.toSeq.zipWithIndex
+        s <- 0 until m
+      } yield (s, i + 1,
+        r.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim))
 
     for (_ <- 1 to iters) {
-      val cdf = codebook.toDF("subspace", "code", "codeword")
-      val means = assignCodes(subs, cdf)
+      val cb = codebook.map { case (s, c, cw) => (s, c) -> cw }.toMap
+      // Assignment is a PURE PROJECTION against the driver-held codebook
+      // (the same literal-argmin as [[encodeExpr]], which ties to the
+      // smallest code like the old window did) — no broadcast join, no
+      // per-(id, subspace) window sort. The only shuffle per iteration
+      // is the partial-aggregated means groupBy.
+      val means = vecs
+        .select(col("v"),
+          posexplode(encodeExpr(col("v"), cb)).as(Seq("subspace", "code")))
         .select(col("subspace"), col("code"),
-          posexplode(col("sv")).as(Seq("dim", "x")))
+          posexplode(slice(col("v"), col("subspace") * subDim + 1,
+            lit(subDim))).as(Seq("dim", "x")))
         .groupBy(col("subspace"), col("code"), col("dim"))
         .agg(avg(col("x")).as("mean"))
         .groupBy(col("subspace"), col("code"))
@@ -80,59 +100,46 @@ object PqIndex {
         (s, c, means.getOrElse((s, c), old))
       }
     }
-    subs.unpersist()
+    vecs.unpersist()
     codebook.toDF("subspace", "code", "codeword")
   }
 
-  /** (id, subspace, subvector) rows — the unit PQ trains/encodes on. */
+  /** (id, subspace, subvector) rows — the unit ADC tables are built on.
+    * The dim % m contract is enforced per row via `raise_error` so a bad
+    * m fails loudly instead of silently truncating tail dimensions
+    * (ADVICE r2).
+    */
   private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
                          m: Int): DataFrame = {
+    val n = size(col(vecCol))
+    val subDim = when(n % m === 0, (n / m).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("PqIndex: vector dim "), n.cast("string"),
+        lit(s" not divisible by m=$m"))))
     val dv = transform(col(vecCol), x => x.cast("double"))
-    corpus.select(col(idCol).as("id"), dv.as("v"),
-      (size(col(vecCol)) / m).as("sub_dim"))
+    corpus.select(col(idCol).as("id"), dv.as("v"), subDim.as("sub_dim"))
       .select(col("id"), posexplode(
         array((0 until m).map(s =>
           slice(col("v"), col("sub_dim") * s + 1, col("sub_dim"))): _*))
         .as(Seq("subspace", "sv")))
   }
 
-  /** Nearest codeword per (id, subspace) — broadcast codebook, map-side
-    * except the top-1 window per (id, subspace). Used only by [[fit]],
-    * which trains on a SAMPLE at scale, so the window sort is bounded by
-    * sample size; the corpus-wide path is the map-side [[encode]]. (An
-    * all-literal when-chain variant benched slower here: the m·k-node
-    * expression tree blows past efficient codegen for no shuffle saved
-    * on a sample.)
-    */
-  private def assignCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("subspace"))
-      .orderBy(col("d2").asc, col("code"))
-    subs.join(broadcast(codebook), Seq("subspace"))
-      .withColumn("d2", VectorFunctions.l2Sq(col("sv"), col("codeword")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("subspace"), col("sv"), col("code"))
-  }
-
   /** Encoding expression against a DRIVER-COLLECTED codebook: for each
-    * subspace, the (1-based) position of the nearest codeword in an
-    * inline distance array. Ties break to the smallest code
-    * (`array_position` returns the first minimum), matching
-    * [[assignCodes]]'s (d2, code) ordering. The codebook is kilobytes,
-    * so inlining it makes encode a pure per-row projection.
+    * subspace, the code of the nearest codeword, ties to the smallest
+    * code. ONE codegen'd expression ([[graft.functions.PqEncode]]) — a
+    * composed slice/l2sq/argmin tree of m·k sub-expressions exceeds
+    * whole-stage codegen limits and falls back to ~0.5 ms/row
+    * interpreted eval; the fused loop stays codegen'd at ~µs/row. The
+    * codebook is kilobytes, so inlining it keeps encode a pure per-row
+    * projection.
     */
   private def encodeExpr(vec: Column,
                          cb: Map[(Int, Int), Seq[Double]]): Column = {
     val m = cb.keys.map(_._1).max + 1
+    val k = cb.keys.map(_._2).max
     val subDim = cb.head._2.size
-    array((0 until m).map { s =>
-      val sub = slice(vec, lit(s * subDim + 1), lit(subDim))
-      val codewords = cb.keys.filter(_._1 == s).map(_._2).toSeq.sorted
-        .map(code => cb((s, code)))
-      val dists = array(codewords.map(cw =>
-        VectorFunctions.l2Sq(sub, typedLit(cw))): _*)
-      array_position(dists, array_min(dists)).cast("int")
-    }: _*)
+    val flat = for (s <- 0 until m; c <- 1 to k) yield cb((s, c))
+    VectorFunctions.pqEncode(vec, m, subDim, flat)
   }
 
   /** Encode the corpus: (id, codes array<int> ordered by subspace).
@@ -148,8 +155,12 @@ object PqIndex {
     val cb = codebook.collect().map { r =>
       (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)
     }.toMap
-    val dv = transform(col(vecCol), x => x.cast("double"))
-    corpus.select(col(idCol).as("id"), encodeExpr(dv, cb).as("codes"))
+    // no transform-to-double wrapper: VectorL2SqWindow reads float
+    // elements directly (casting per element — identical values), and a
+    // transform expression here would be RE-EVALUATED by every one of
+    // the m·k distance terms after projection collapse.
+    corpus.select(col(idCol).as("id"),
+      encodeExpr(col(vecCol), cb).as("codes"))
   }
 
   /** Per-query ADC lookup table (query_id, subspace, code, partial d²):

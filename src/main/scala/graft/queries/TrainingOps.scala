@@ -17,8 +17,34 @@ object TrainingOps extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private val rotatedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** Per-(session, key) persisted-frame cache for the reusable index
+    * artifacts (rotated embeddings, minhash signatures). Keyed by the
+    * SparkSession as well as the data key, and entries whose session has
+    * stopped are dropped on every access — a cached plan bound to a
+    * stopped session would throw on reuse, and its persist would leak
+    * (ADVICE r2).
+    */
+  private val frameCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+
+  private def cachedFrame(s: SparkSession, key: String)
+                         (build: => DataFrame): DataFrame =
+    frameCache.synchronized {
+      frameCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      frameCache.getOrElseUpdate((s, key),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Shared minhash signatures (threshold-independent): d06 mines
+    * candidates at 0.3 and d11 makes dedup decisions at 0.5 over ONE
+    * signature pass.
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, s"minhash64:$dir")(
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64))
 
   def queries: Map[String, QueryFn] = Map(
     "d01_dedup_exact" -> { (s, dir) =>
@@ -93,8 +119,8 @@ object TrainingOps extends QueryPack {
         PolyHashFunctions.poly_hash(col("text")).as("fingerprint"))
     },
     "d06_minhash_lsh_pairs" -> { (s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      Dedup.minhashLshPairsFromSigs(minhashSigs(s, dir),
+        bands = 16, rowsPerBand = 4, threshold = 0.3)
     },
     "d07_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -112,10 +138,10 @@ object TrainingOps extends QueryPack {
     },
     "d11_dedup_survivors" -> { (s, dir) =>
       // full dedup decision: minhash pairs → connected components →
-      // one survivor per near-dup cluster
+      // one survivor per near-dup cluster (signatures shared with d06)
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val pairs = Dedup.minhashLshPairsFromSigs(minhashSigs(s, dir),
+        bands = 16, rowsPerBand = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       Dedup.nearDupSurvivors(docs, "doc_id", pairs)
     },
@@ -136,15 +162,14 @@ object TrainingOps extends QueryPack {
       // rotated PQ (OPQ-lite): Walsh-Hadamard energy balancing before
       // subspace quantization; rotation is orthonormal so distances are
       // preserved and fit/encode/search run unchanged.
-      // Persisted VIA A PER-DIR CACHE: fit, encode, and the query side
-      // each re-derive from this frame (the 64-dot rotation is the
-      // dominant projection), and caching by dir means repeated
+      // Persisted VIA THE (session, dir) CACHE: fit, encode, and the
+      // query side each re-derive from this frame (the 64-dot rotation
+      // is the dominant projection), and caching means repeated
       // invocations in one JVM reuse one pinned frame instead of
       // leaking a new one each time.
-      val rotated = rotatedCache.getOrElseUpdate(dir,
+      val rotated = cachedFrame(s, s"rotated:$dir")(
         graft.operators.PqIndex.rotate(
-          t(s, dir, "embeddings"), "embedding", 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          t(s, dir, "embeddings"), "embedding", 64))
       val codebook = graft.operators.PqIndex.fit(
         rotated, "vec_id", "embedding", m = 8, k = 16, iters = 3)
       val encoded = graft.operators.PqIndex.encode(
