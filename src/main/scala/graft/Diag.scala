@@ -5,53 +5,44 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc scale diagnostics (not part of the driver contract). */
 object Diag {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    val emb = Tables.load(spark, dir, "embeddings")
-    emb.count()
+    val dir = "/root/testdata/sf0.001"
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("nation")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
 
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    def attempt(label: String)(sql: String): Unit =
+      try {
+        val n = spark.sql(sql).count()
+        println(s"OK $label rows=$n")
+      } catch {
+        case e: Throwable =>
+          println(s"FAIL $label: ${e.getMessage.take(200)}")
+      }
 
-    time("ivf fit cold") {
-      graft.operators.IvfIndex.fit(
-        emb, "vec_id", "embedding", k = 8, iters = 3).count()
+    attempt("lateral") {
+      """SELECT n.n_name, o.o_orderkey
+        |FROM nation n,
+        |LATERAL (SELECT c.c_custkey FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c.c_acctbal DESC LIMIT 2) top_c,
+        |LATERAL (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey = top_c.c_custkey LIMIT 1) o
+        |""".stripMargin
     }
-    for (it <- Seq(0, 1, 3)) time(s"ivf fit warm ($it iters)") {
-      graft.operators.IvfIndex.fit(
-        emb, "vec_id", "embedding", k = 8, iters = it).count()
+    attempt("recursive") {
+      """WITH RECURSIVE r(n, s) AS (
+        |  SELECT 1, CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT n + 1, s + n + 1 FROM r WHERE n < 10
+        |)
+        |SELECT * FROM r""".stripMargin
     }
-    val centroids = time("ivf fit") {
-      val c = graft.operators.IvfIndex.fit(
-        emb, "vec_id", "embedding", k = 8, iters = 3)
-      c.count(); c
-    }
-    val codebook = time("pq fit") {
-      val c = graft.operators.PqIndex.fit(
-        emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
-      c.count(); c
-    }
-    val indexed = time("ivfpq index") {
-      val i = graft.operators.IvfPq.index(
-        emb, "vec_id", "embedding", centroids, codebook)
-      i.count(); i
-    }
-    time("ivfpq search 1st") {
-      graft.operators.IvfPq.search(indexed,
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        centroids, codebook, k = 5, nProbe = 2).count()
-    }
-    time("ivfpq search 2nd") {
-      graft.operators.IvfPq.search(indexed,
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        centroids, codebook, k = 5, nProbe = 2).count()
+    attempt("variant") {
+      """SELECT variant_get(parse_json('{"a": 5}'), '$.a', 'int') AS a"""
     }
     spark.stop()
   }

@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.EventTime,
     graft.queries.TrainingOps,
     graft.queries.Relational2,
-    graft.queries.Relational3)
+    graft.queries.Relational3,
+    graft.queries.Relational4)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round-3 surface widening (SURVEY.md §2.b): TPC-H-shaped multi-join
+  * pipelines (the broadcast-chain + join-reorder shapes a warehouse
+  * lives on), linear-regression aggregates, array functions, VARIANT
+  * JSON, gaps-and-islands, LATERAL joins, recursive CTEs, and
+  * null-safe joins.
+  *
+  * Float discipline per QueryPack scaladoc: money sums go through
+  * DECIMAL(38,4); libm-backed aggregates (corr/regr_*) are rounded on
+  * both sides because engines may differ in the last ulp.
+  */
+object Relational4 extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 4))
+  private def money(c: Column): Column =
+    round(sum(dec(c)), 2).cast(DoubleType)
+  private def vol: Column =
+    col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** Register the dir's table as a temp view for SQL-surface queries
+    * (LATERAL / WITH RECURSIVE have no DataFrame-API equivalent).
+    * createOrReplaceTempView keeps re-registration safe if a session
+    * mixes dirs.
+    */
+  private def view(s: SparkSession, dir: String, name: String): Unit =
+    t(s, dir, name).createOrReplaceTempView(name)
+
+  def queries: Map[String, QueryFn] = Map(
+    // ---- TPC-H-shaped multi-join pipelines ------------------------------
+    "t01_regional_supplier_volume" -> { (s, dir) =>
+      // Q5 shape: revenue from orders where customer and supplier share
+      // a nation, constrained to one region+year. Fact-fact joins
+      // shuffle on their keys; every dimension (supplier, nation,
+      // region) broadcasts — no dimension ever shuffles the fact table.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          year(col("o_orderdate")) === 1996)
+        .groupBy(col("n_name"))
+        .agg(money(vol).as("revenue"), count(lit(1)).as("n_items"))
+    },
+    "t02_nation_pair_volume" -> { (s, dir) =>
+      // Q7 shape: shipping volume between distinct nation pairs by ship
+      // year — the same fact spine with TWO roles of one dimension
+      // (supplier nation vs customer nation), both broadcast.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = broadcast(t(s, dir, "supplier"))
+      val n1 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(money(vol).as("revenue"))
+    },
+    "t03_returned_item_report" -> { (s, dir) =>
+      // Q10 shape: revenue lost to returns per customer, top 20 with a
+      // total order (revenue DESC, custkey) so LIMIT is deterministic.
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(money(vol).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    "t04_market_share" -> { (s, dir) =>
+      // Q8 shape: NATION_0's share of supplier revenue in the AMERICA
+      // customer region per order year. Numerator and denominator are
+      // exact decimal sums; ONE double division at the end (dividing
+      // decimals would round at engine-specific scales).
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = broadcast(t(s, dir, "supplier"))
+      val n1 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_regionkey")))
+      val r = broadcast(t(s, dir, "region"))
+      val n2 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("c_nk"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .filter(col("r_name") === "AMERICA")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(dec(when(col("supp_nation") === "NATION_0", vol)
+            .otherwise(0))).cast(DoubleType) /
+            sum(dec(vol)).cast(DoubleType)).as("share"),
+          money(vol).as("total_revenue"))
+    },
+
+    // ---- aggregate surface ----------------------------------------------
+    "a07_regression_aggs" -> { (s, dir) =>
+      // built-in linear-regression aggregate family; rounded on both
+      // sides because co-moment accumulation differs at ulp level
+      // between engines (and across partition merge orders)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"),
+            col("l_quantity")), 2).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity"))
+            .cast("long").as("n"))
+    },
+
+    // ---- scalar function surface ----------------------------------------
+    "f11_array_fns" -> { (s, dir) =>
+      val words = split(col("p_name"), " ")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        array_join(array_sort(words), ",").as("sorted_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        array_position(words, "widget").as("widget_pos"),
+        array_join(array_remove(words, element_at(words, 1)), ",")
+          .as("tail_words"),
+        array_join(reverse(words), ",").as("rev_words"))
+    },
+    "f12_variant_json" -> { (s, dir) =>
+      // Spark 4 VARIANT type: parse once, typed extraction — the
+      // engine-native path for semi-structured columns (vs per-access
+      // string re-parsing with get_json_object)
+      t(s, dir, "events").select(
+        col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+        (variant_get(parse_json(col("props")), "$.k", "int") % 10)
+          .as("k_bucket"))
+    },
+
+    // ---- event analysis -------------------------------------------------
+    "e05_activity_islands" -> { (s, dir) =>
+      // gaps-and-islands: consecutive-activity-day runs per user via
+      // the day − row_number grouping trick (one window + one agg; no
+      // self-join)
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("int").as("n_islands"),
+          max(col("len")).cast("int").as("longest"))
+    },
+
+    // ---- SQL-only operator surface (LATERAL, WITH RECURSIVE) ------------
+    "q31_lateral_topk" -> { (s, dir) =>
+      view(s, dir, "nation"); view(s, dir, "customer")
+      // correlated LATERAL subquery: per-nation top-3 customers by
+      // balance — decorrelates to the same WindowGroupLimit shape as
+      // q07, but exercises the lateral-join operator surface
+      s.sql(
+        """SELECT n.n_name, tc.c_custkey, tc.c_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) tc
+          |""".stripMargin)
+    },
+    "q32_recursive_chain" -> { (s, dir) =>
+      view(s, dir, "orders")
+      // recursive CTE (Spark 4): walk sampled customers' orders in date
+      // order, accumulating an exact-decimal running total — the
+      // iterative-fixpoint operator the CC loop hand-rolls, expressed
+      // declaratively. Each recursion step re-evaluates the step input
+      // and costs a full job, so the walk is BOUNDED: a 5% customer
+      // sample and depth ≤ 6 (an unbounded walk over every chain ran
+      // 16s at sf0.1 on iteration overhead alone — at scale you bound
+      // recursion or hand it to a window).
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT o_custkey, o_orderkey, rn,
+          |         CAST(o_totalprice AS DECIMAL(38,4)) AS run_total,
+          |         1 AS depth
+          |  FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          |               row_number() OVER (PARTITION BY o_custkey
+          |                 ORDER BY o_orderdate, o_orderkey) AS rn
+          |        FROM orders WHERE o_custkey % 20 = 0) ranked
+          |  WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.o_custkey, r.o_orderkey, r.rn,
+          |         CAST(c.run_total + CAST(r.o_totalprice AS DECIMAL(38,4))
+          |           AS DECIMAL(38,4)),
+          |         c.depth + 1
+          |  FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          |               row_number() OVER (PARTITION BY o_custkey
+          |                 ORDER BY o_orderdate, o_orderkey) AS rn
+          |        FROM orders WHERE o_custkey % 20 = 0) r
+          |  JOIN chain c
+          |    ON r.o_custkey = c.o_custkey AND r.rn = c.rn + 1
+          |  WHERE c.depth < 6
+          |)
+          |SELECT o_custkey, o_orderkey, CAST(depth AS INT) AS depth,
+          |       CAST(round(run_total, 2) AS DOUBLE) AS run_total
+          |FROM chain
+          |""".stripMargin)
+    },
+    "q33_null_safe_join" -> { (s, dir) =>
+      // null-safe equality (<=>) as a hash-join key: NULL groups pair
+      // up instead of vanishing — full outer so one-sided keys survive
+      val o = t(s, dir, "orders").withColumn("k",
+        when(col("o_orderpriority") === "1-URGENT",
+          lit(null).cast("string")).otherwise(col("o_orderpriority")))
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .groupBy(col("k").as("ka")).agg(count(lit(1)).as("n_even"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .groupBy(col("k").as("kb")).agg(count(lit(1)).as("n_odd"))
+      a.join(b, col("ka") <=> col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("k"),
+          col("n_even"), col("n_odd"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_regional_supplier_volume" ->
+      """SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+           count(1) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+         GROUP BY n_name""",
+    "t02_nation_pair_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name < n2.n_name
+         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
+    "t03_returned_item_report" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_mktsegment
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "t04_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_0'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+             AS DECIMAL(38,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(38,4))) AS DOUBLE) AS share,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))), 2) AS DOUBLE) AS total_revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'AMERICA'
+         GROUP BY year(o_orderdate)""",
+    "a07_regression_aggs" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2)
+             AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "f11_array_fns" ->
+      """WITH w AS (
+           SELECT p_partkey, string_split(p_name, ' ') AS words
+           FROM part)
+         SELECT p_partkey,
+           array_to_string(list_sort(words), ',') AS sorted_words,
+           CAST(len(list_distinct(words)) AS INT) AS n_distinct,
+           CAST(list_position(words, 'widget') AS BIGINT) AS widget_pos,
+           array_to_string(list_filter(words, x -> x <> words[1]), ',')
+             AS tail_words,
+           array_to_string(list_reverse(words), ',') AS rev_words
+         FROM w""",
+    "f12_variant_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10
+             AS k_bucket
+         FROM events""",
+    "e05_activity_islands" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+         d AS (
+           SELECT user_id, day,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS INT) AS rn
+           FROM days),
+         isl AS (
+           SELECT user_id, day - rn AS grp, count(1) AS len
+           FROM d GROUP BY user_id, day - rn)
+         SELECT user_id, CAST(count(1) AS INT) AS n_islands,
+                CAST(max(len) AS INT) AS longest
+         FROM isl GROUP BY user_id""",
+    "q31_lateral_topk" ->
+      """SELECT n.n_name, tc.c_custkey, tc.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) tc""",
+    "q32_recursive_chain" ->
+      """WITH RECURSIVE chain AS (
+           SELECT o_custkey, o_orderkey, rn,
+                  CAST(o_totalprice AS DECIMAL(38,4)) AS run_total,
+                  1 AS depth
+           FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                        row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS rn
+                 FROM orders WHERE o_custkey % 20 = 0) ranked
+           WHERE rn = 1
+           UNION ALL
+           SELECT r.o_custkey, r.o_orderkey, r.rn,
+                  CAST(c.run_total + CAST(r.o_totalprice
+                    AS DECIMAL(38,4)) AS DECIMAL(38,4)),
+                  c.depth + 1
+           FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                        row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS rn
+                 FROM orders WHERE o_custkey % 20 = 0) r
+           JOIN chain c
+             ON r.o_custkey = c.o_custkey AND r.rn = c.rn + 1
+           WHERE c.depth < 6)
+         SELECT o_custkey, o_orderkey, CAST(depth AS INT) AS depth,
+                CAST(round(run_total, 2) AS DOUBLE) AS run_total
+         FROM chain""",
+    "q33_null_safe_join" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                       ELSE o_orderpriority END AS k
+           FROM orders),
+         a AS (SELECT k AS ka, count(1) AS n_even FROM o
+               WHERE o_orderkey % 2 = 0 GROUP BY k),
+         b AS (SELECT k AS kb, count(1) AS n_odd FROM o
+               WHERE o_orderkey % 2 = 1 GROUP BY k)
+         SELECT coalesce(ka, kb) AS k, n_even, n_odd
+         FROM a FULL JOIN b ON ka IS NOT DISTINCT FROM kb""",
+  )
+}

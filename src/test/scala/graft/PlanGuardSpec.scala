@@ -79,4 +79,16 @@ class PlanGuardSpec extends SparkSpec {
       .filter(name => plan(name).contains("CartesianProduct"))
     assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
   }
+
+  test("TPC-H multi-join pipelines broadcast every dimension") {
+    for (q <- Seq("t01_regional_supplier_volume", "t02_nation_pair_volume",
+      "t03_returned_item_report", "t04_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q missing broadcast")
+      // only the fact-fact joins (lineitem⋈orders, orders⋈customer) may
+      // shuffle-sort; every dimension must ride a broadcast
+      val smj = "\\(\\d+\\) SortMergeJoin".r.findAllIn(p).length
+      assert(smj <= 2, s"$q has $smj sort-merge joins (dims must broadcast)")
+    }
+  }
 }
