@@ -181,6 +181,37 @@ object Relational4 extends QueryPack {
           max(col("len")).cast("int").as("longest"))
     },
 
+    "e06_gap_fill" -> { (s, dir) =>
+      // time-series resample: densify each user's daily event counts to
+      // a gapless series (sequence + explode + left join), zero-filled
+      // — the standard pre-training-feature regularization step
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val spans = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val allDays = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      allDays.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"))
+    },
+
+    // ---- binary / opaque-bytes surface ----------------------------------
+    "f13_binary_fns" -> { (s, dir) =>
+      // the multimodal story's scalar layer: opaque bytes measured,
+      // digested, and transported (octet_length / md5 / sha2 / base64)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"),
+        sha2(col("text").cast("binary"), 256).as("sha"),
+        // Spark's base64 is MIME-chunked (\r\n every 76 chars); DuckDB's
+        // to_base64 is not — normalize to the unchunked form
+        regexp_replace(base64(col("text").cast("binary")), "\r\n", "")
+          .as("b64"))
+    },
+
     // ---- SQL-only operator surface (LATERAL, WITH RECURSIVE) ------------
     "q31_lateral_topk" -> { (s, dir) =>
       view(s, dir, "nation"); view(s, dir, "customer")
@@ -349,6 +380,31 @@ object Relational4 extends QueryPack {
          SELECT user_id, CAST(count(1) AS INT) AS n_islands,
                 CAST(max(len) AS INT) AS longest
          FROM isl GROUP BY user_id""",
+    "e06_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  count(1) AS n_events
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY user_id),
+         all_days AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                    AS day
+           FROM spans)
+         SELECT a.user_id, a.day,
+                CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+         FROM all_days a
+         LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day""",
+    "f13_binary_fns" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS digest,
+           sha256(text) AS sha,
+           to_base64(encode(text)) AS b64
+         FROM documents""",
     "q31_lateral_topk" ->
       """SELECT n.n_name, tc.c_custkey, tc.c_acctbal
          FROM nation n,

