@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.TrainingOps,
     graft.queries.Relational2,
     graft.queries.Relational3,
-    graft.queries.Relational4)
+    graft.queries.Relational4,
+    graft.queries.TrainingOps2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

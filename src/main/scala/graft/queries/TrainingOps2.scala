@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.functions.{SamplingFunctions, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators round 2: deterministic sampling / dataset
+  * splitting, sequence packing, and repetition-based quality signals —
+  * the steps between "deduped corpus" and "training batches".
+  *
+  * All five are oracle-checked: sampling is content-hash-bucketed (the
+  * cross-engine mod-prime fold, see d12), packing is a prefix-sum over
+  * a per-shard window, and the repetition signal is an exact bigram
+  * mode. No RNG anywhere — a re-run on a different cluster layout
+  * produces byte-identical splits, which is the property a training
+  * pipeline actually needs from its sampler.
+  */
+object TrainingOps2 extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB replica of [[TextFunctions.rollingHashMod]] (see d12). */
+  private val foldSql =
+    """list_reduce([0::BIGINT] ||
+         list_transform(range(length(text)),
+           i -> unicode(substring(text, CAST(i+1 AS INT), 1))),
+         (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  override def queries: Map[String, QueryFn] = Map(
+
+    "d14_hash_sample" -> { (s, dir) =>
+      // deterministic 10% Bernoulli sample: membership is a pure
+      // function of content — stable across runs, partitionings, and
+      // engines (no rand()); a map-side filter, so at 100 TB it
+      // prunes at the scan with zero shuffle
+      val bucket = SamplingFunctions.hashBucket(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket.cast("int").as("bucket"))
+        .filter(col("bucket") < 10)
+    },
+
+    "d15_split_assign" -> { (s, dir) =>
+      // reproducible 80/10/10 train/val/test assignment by content
+      // bucket — the leak-free split: near-identical runs agree, and
+      // a document can never migrate between splits
+      val bucket = SamplingFunctions.hashBucket(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        bucket.cast("int").as("bucket"),
+        SamplingFunctions.splitLabel(bucket).as("split"))
+    },
+
+    "d16_stratified_sample" -> { (s, dir) =>
+      // stratified (re-balancing) sample: down-sample the dominant
+      // language to 20%, keep the rest at 60% — per-stratum rate as a
+      // CASE over the same content bucket, still one map-side pass
+      val bucket = SamplingFunctions.hashBucket(col("text"))
+      val rate = when(col("lang") === "en", lit(20)).otherwise(lit(60))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          bucket.cast("int").as("bucket"), rate.as("rate"))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    },
+
+    "d17_seq_packing" -> { (s, dir) =>
+      // sequence packing (concat-and-chunk): documents are concatenated
+      // in deterministic order WITHIN EACH SOURCE SHARD and cut into
+      // 512-token context windows; each doc reports the window its
+      // first token lands in. Partitioning by shard keeps the prefix
+      // sum parallel (packing is sequential only inside a shard — the
+      // layout a 100 TB corpus already has), avoiding the global
+      // single-partition ORDER BY a naive formulation would need.
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("end_off", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("end_off") - col("n_tokens")).cast("long").as("start_off"),
+          floor((col("end_off") - col("n_tokens")) / lit(512))
+            .cast("int").as("pack_id"))
+    },
+
+    "d18_top_bigram" -> { (s, dir) =>
+      // Gopher-style repetition signal: the fraction of bigrams claimed
+      // by the single most frequent bigram (high → boilerplate/spam).
+      // Shuffles only (doc_id, bigram) pairs — never document bodies —
+      // with map-side partial counts; ties broken to the
+      // lexicographically smallest bigram so the answer is unique.
+      val docs = t(s, dir, "documents")
+      val bg = docs.select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
+      val counts = bg.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("n"))
+      val mx = counts.groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bigrams"))
+      counts.join(mx, "doc_id")
+        .filter(col("n") === col("top_n"))
+        .groupBy(col("doc_id"), col("top_n"), col("n_bigrams"))
+        .agg(min(col("bg")).as("top_bigram"))
+        .select(col("doc_id"), col("top_bigram"),
+          col("top_n").cast("int").as("top_n"),
+          col("n_bigrams").cast("int").as("n_bigrams"),
+          (col("top_n").cast("double") / col("n_bigrams").cast("double"))
+            .as("top_frac"))
+    })
+
+  override def oracleSql: Map[String, String] = Map(
+    "d14_hash_sample" ->
+      s"""WITH fp AS (
+           SELECT doc_id, $foldSql % 100 AS bucket FROM documents)
+         SELECT doc_id, CAST(bucket AS INT) AS bucket
+         FROM fp WHERE bucket < 10""",
+    "d15_split_assign" ->
+      s"""WITH fp AS (
+           SELECT doc_id, lang, $foldSql % 100 AS bucket FROM documents)
+         SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM fp""",
+    "d16_stratified_sample" ->
+      s"""WITH fp AS (
+           SELECT doc_id, lang, $foldSql % 100 AS bucket FROM documents)
+         SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+         FROM fp
+         WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END""",
+    "d17_seq_packing" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS end_off
+           FROM toks)
+         SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+                CAST(end_off - n_tokens AS BIGINT) AS start_off,
+                CAST((end_off - n_tokens) // 512 AS INT) AS pack_id
+         FROM c""",
+    "d18_top_bigram" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] AS bg
+           FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+         counts AS (SELECT doc_id, bg, count(1) AS n FROM bg GROUP BY 1, 2),
+         mx AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_bigrams
+                FROM counts GROUP BY 1)
+         SELECT c.doc_id, min(c.bg) AS top_bigram,
+                CAST(m.top_n AS INT) AS top_n,
+                CAST(m.n_bigrams AS INT) AS n_bigrams,
+                CAST(m.top_n AS DOUBLE) / CAST(m.n_bigrams AS DOUBLE)
+                  AS top_frac
+         FROM counts c JOIN mx m ON c.doc_id = m.doc_id AND c.n = m.top_n
+         GROUP BY c.doc_id, m.top_n, m.n_bigrams""")
+}
