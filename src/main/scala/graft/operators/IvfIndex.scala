@@ -71,7 +71,7 @@ object IvfIndex {
   /** Centroids as driver-side literals (k·dim doubles — kilobytes),
     * sorted by id. Ids are 1..k contiguous (the fit/seed contract).
     */
-  private def centroidLits(centroids: DataFrame): Seq[Seq[Double]] =
+  private[operators] def centroidLits(centroids: DataFrame): Seq[Seq[Double]] =
     centroids.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1).map(_._2).toSeq

@@ -151,7 +151,7 @@ object PqIndex {
     * as they arrive, the streaming half of index maintenance.
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-             codebook: DataFrame): DataFrame = {
+             codebook: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val cb = codebook.collect().map { r =>
       (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)
     }.toMap
@@ -159,8 +159,8 @@ object PqIndex {
     // elements directly (casting per element — identical values), and a
     // transform expression here would be RE-EVALUATED by every one of
     // the m·k distance terms after projection collapse.
-    corpus.select(col(idCol).as("id"),
-      encodeExpr(col(vecCol), cb).as("codes"))
+    corpus.select(col(idCol).as("id") +: keep.map(col) :+
+      encodeExpr(col(vecCol), cb).as("codes"): _*)
   }
 
   /** Per-query ADC lookup table (query_id, subspace, code, partial d²):
@@ -183,10 +183,13 @@ object PqIndex {
     * tie-break / distance arithmetic can never diverge between them.
     */
   private[operators] def adcTopK(candidates: DataFrame, table: DataFrame,
-                                 k: Int): DataFrame = {
+                                 k: Int,
+                                 joinKeys: Seq[String] =
+                                   Seq("query_id", "subspace", "code"))
+      : DataFrame = {
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("id"))
-    candidates.join(broadcast(table), Seq("query_id", "subspace", "code"))
+    candidates.join(broadcast(table), joinKeys)
       .groupBy(col("query_id"), col("id"))
       .agg(sqrt(sum(col("pd2"))).as("approx_dist"))
       .filter(col("id") =!= col("query_id"))

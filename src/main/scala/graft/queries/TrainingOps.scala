@@ -199,6 +199,21 @@ object TrainingOps extends QueryPack {
         rotated.filter(col("vec_id") < 5), "vec_id", "embedding",
         codebook, k = 5)
     },
+    "s10_ivfpq_residual_topk" -> { (s, dir) =>
+      // residual IVF-PQ (IVFADC): codes quantize (v − coarse centroid),
+      // so the same m·k budget describes only within-cell spread —
+      // tighter distances than s08 at identical storage cost
+      val emb = t(s, dir, "embeddings")
+      val centroids = ivfCentroids(s, dir)
+      val codebook = cachedFrame(s, s"rescb:$dir", persist = false)(
+        graft.operators.IvfPq.fitResidual(
+          emb, "vec_id", "embedding", centroids, m = 8, kCodes = 16))
+      val indexed = graft.operators.IvfPq.indexResidual(
+        emb, "vec_id", "embedding", centroids, codebook)
+      graft.operators.IvfPq.searchResidual(indexed,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        centroids, codebook, k = 5, nProbe = 2)
+    },
     "s08_ivfpq_topk" -> { (s, dir) =>
       // IVF-PQ: coarse-pruned + code-compressed ANN (the
       // billion-vector-scale serving shape); both index parts come from
