@@ -25,47 +25,65 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Train k centroids with `iters` Lloyd iterations. Returns a small
-    * DataFrame (centroid_id, centroid: array<double>) — broadcastable.
+  /** Train k centroids with `iters` Lloyd iterations on a bounded,
+    * deterministic sample. Returns a small DataFrame (centroid_id,
+    * centroid: array<double>) — broadcastable.
+    *
+    * The model is k·dim doubles — KILOBYTES — so training it with
+    * per-iteration cluster jobs is backwards: every round re-ships new
+    * centroid literals (a fresh codegen compile) and runs a full
+    * scan+shuffle to compute means a single core can produce in
+    * microseconds. Instead: ONE cluster job (TakeOrdered of the
+    * `sampleCap` smallest-id vectors — bounded driver memory,
+    * deterministic membership), then Lloyd runs driver-side over the
+    * sample array. This is also the 100 TB flow — a coarse quantizer is
+    * always trained on a ~0.1% sample; only `assign`/`search` ever scan
+    * the corpus, and they stay distributed (map-side, centroids as
+    * plan-time literals).
+    *
+    * Determinism: seeds are the k smallest-id vectors, the sample is
+    * id-ordered (accumulation order fixed), distance ties go to the
+    * smallest centroid id, empty clusters keep their previous centroid.
+    * No RNG anywhere.
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int = 5): DataFrame = {
+          k: Int, iters: Int = 5, sampleCap: Int = 65536): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // each Lloyd iteration scans this frame once — persist across them
-    val vecs = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col("id")).limit(sampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "IvfIndex.fit: empty corpus")
+    val dim = sample(0).length
 
-    // Centroids live on the DRIVER between iterations (k·dim doubles —
-    // tiny) and are re-shipped as data each round. Keeping them as a
-    // DataFrame would chain each iteration's plan onto the last —
-    // exponential lineage, the classic iterative-algorithm trap.
-    var centroids: Seq[(Int, Seq[Double])] =
-      vecs.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
-        case (r, i) => (i + 1, r.getSeq[Double](1))
-      }.toSeq
-
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      val cdf = centroids.toDF("centroid_id", "centroid")
-      // new centroid = element-wise mean of assigned vectors; empty
-      // clusters keep their previous centroid
-      val means = assignTo(vecs, cdf)
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("centroid_id"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
-          .as("pairs"))
-        .select(col("centroid_id"),
-          transform(col("pairs"), p => p.getField("m")).as("new_centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.map { case (cid, old) =>
-        (cid, means.getOrElse(cid, old))
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // strict: ties → smallest id
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
       }
     }
-    vecs.unpersist()
-    centroids.toDF("centroid_id", "centroid")
+    centroids.zipWithIndex
+      .map { case (cw, i) => (i + 1, cw.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
   }
 
   /** Centroids as driver-side literals (k·dim doubles — kilobytes),

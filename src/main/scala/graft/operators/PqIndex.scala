@@ -40,68 +40,72 @@ object PqIndex {
     df.withColumn(vecCol,
       graft.functions.VectorFunctions.rotateHadamard(col(vecCol), dim))
 
-  /** Train per-subspace codebooks. Returns a small DataFrame
-    * (subspace, code, codeword: array<double>) — broadcastable.
-    * `dim` must be divisible by `m`.
+  /** Train per-subspace codebooks on a bounded, deterministic sample.
+    * Returns a small DataFrame (subspace, code, codeword: array<double>)
+    * — broadcastable. `dim` must be divisible by `m`.
+    *
+    * Same training discipline as [[IvfIndex.fit]]: the model is
+    * m·k·subDim doubles — kilobytes — so Lloyd runs DRIVER-SIDE over one
+    * TakeOrdered sample (the `sampleCap` smallest-id vectors) instead of
+    * re-shipping fresh codeword literals (a codegen recompile) plus a
+    * scan+shuffle per iteration. One cluster job total; encode/search
+    * stay distributed. At 100 TB you train on a sample regardless — only
+    * the cap changes.
+    *
+    * Determinism: every subspace seeds from the k smallest-id vectors'
+    * subvectors, the sample is id-ordered, distance ties go to the
+    * smallest code, empty codes keep their previous codeword. No RNG.
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
-          m: Int, k: Int, iters: Int = 5): DataFrame = {
+          m: Int, k: Int, iters: Int = 5,
+          sampleCap: Int = 65536): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // each Lloyd iteration scans this frame once — persist across them
-    val vecs = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Seeds: the k smallest-id vectors (TakeOrdered — no shuffle-sort of
-    // the corpus), sliced into subvectors driver-side. Every subspace
-    // seeds from the same k rows, exactly as the old per-subspace window
-    // did. This is also where the dim % m contract is ENFORCED: a bad m
-    // must fail loudly, not silently drop tail dimensions.
-    val seeds = vecs.orderBy(col("id")).limit(k).collect()
-    require(seeds.nonEmpty, "PqIndex.fit: empty corpus")
-    val dim = seeds.head.getSeq[Double](1).size
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col("id")).limit(sampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "PqIndex.fit: empty corpus")
+    val dim = sample(0).length
+    // the dim % m contract is ENFORCED here: a bad m must fail loudly,
+    // not silently drop tail dimensions
     require(m > 0 && dim % m == 0,
       s"PqIndex.fit: vector dim $dim not divisible by m=$m")
     val subDim = dim / m
 
-    // codebook on the driver between iterations (m·k·subDim doubles);
-    // shipping it per round avoids the iterative-lineage trap.
-    var codebook: Seq[(Int, Int, Seq[Double])] =
-      for {
-        (r, i) <- seeds.toSeq.zipWithIndex
-        s <- 0 until m
-      } yield (s, i + 1,
-        r.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim))
+    // codebook(s)(c): codeword c+1 of subspace s
+    var codebook: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      sample.take(k).map(v => v.slice(s * subDim, (s + 1) * subDim)))
 
     for (_ <- 1 to iters) {
-      val cb = codebook.map { case (s, c, cw) => (s, c) -> cw }.toMap
-      // Assignment is a PURE PROJECTION against the driver-held codebook
-      // (the same literal-argmin as [[encodeExpr]], which ties to the
-      // smallest code like the old window did) — no broadcast join, no
-      // per-(id, subspace) window sort. The only shuffle per iteration
-      // is the partial-aggregated means groupBy.
-      val means = vecs
-        .select(col("v"),
-          posexplode(encodeExpr(col("v"), cb)).as(Seq("subspace", "code")))
-        .select(col("subspace"), col("code"),
-          posexplode(slice(col("v"), col("subspace") * subDim + 1,
-            lit(subDim))).as(Seq("dim", "x")))
-        .groupBy(col("subspace"), col("code"), col("dim"))
-        .agg(avg(col("x")).as("mean"))
-        .groupBy(col("subspace"), col("code"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
-          .as("pairs"))
-        .select(col("subspace"), col("code"),
-          transform(col("pairs"), p => p.getField("mean")).as("cw"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-      codebook = codebook.map { case (s, c, old) =>
-        (s, c, means.getOrElse((s, c), old))
+      codebook = Array.tabulate(m) { s =>
+        val cws = codebook(s)
+        val sums = Array.fill(cws.length)(new Array[Double](subDim))
+        val counts = new Array[Long](cws.length)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cws.length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = v(s * subDim + i) - cws(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c } // ties → smallest code
+            c += 1
+          }
+          val acc = sums(best); var i = 0
+          while (i < subDim) { acc(i) += v(s * subDim + i); i += 1 }
+          counts(best) += 1
+        }
+        cws.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
       }
     }
-    vecs.unpersist()
-    codebook.toDF("subspace", "code", "codeword")
+    (for { s <- 0 until m; c <- codebook(s).indices }
+      yield (s, c + 1, codebook(s)(c).toSeq))
+      .toDF("subspace", "code", "codeword")
   }
 
   /** (id, subspace, subvector) rows — the unit ADC tables are built on.
