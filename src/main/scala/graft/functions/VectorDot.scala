@@ -360,3 +360,100 @@ case class PqEncode(child: Expression, m: Int, subDim: Int,
   override protected def withNewChildInternal(
       newChild: Expression): PqEncode = copy(child = newChild)
 }
+
+/** Dense matrix × vector as ONE codegen'd expression: `rows` is a
+  * plan-time rotation/projection matrix carried as a reference object
+  * (never serialized into the generated source). A formulation of one
+  * [[VectorDot]] per output row works but costs `d` separate expressions
+  * — at d=64 the array constructor's tree blows past whole-stage-codegen
+  * thresholds and the whole projection falls back to interpreted eval
+  * (the same failure mode [[PqEncode]] fixed for encoding). The fused
+  * loop stays codegen'd regardless of d.
+  *
+  * Null elements contribute 0; a vector shorter than the matrix width
+  * uses the available prefix (same conventions as [[VectorDot]]).
+  */
+case class MatVec(child: Expression, rows: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def nRows: Int = rows.size
+  private def nCols: Int = rows.head.size
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"mat_vec needs array<float|double>, got ${dt.sql}")
+    }
+
+  @transient private lazy val matArr: Array[Array[Double]] =
+    rows.map(_.toArray).toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val f = isFloat
+    val n = math.min(nCols, x.numElements())
+    val out = new Array[Double](nRows)
+    var r = 0
+    while (r < nRows) {
+      val row = matArr(r)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val xv = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+          acc += row(i) * xv
+        }
+        i += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val matRef = ctx.addReferenceObj("mat", matArr, "double[][]")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val get =
+        if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n > $nCols) $n = $nCols;
+         |double[] $out = new double[$nRows];
+         |for (int $r = 0; $r < $nRows; $r++) {
+         |  double[] $row = $matRef[$r];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      $acc += $row[$i] * $get;
+         |    }
+         |  }
+         |  $out[$r] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MatVec = copy(child = newChild)
+}

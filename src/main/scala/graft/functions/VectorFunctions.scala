@@ -92,7 +92,12 @@ object VectorFunctions {
         h * s * scale
       }
     }
-    array(rows.map(r => dot(v, typedLit(r.toSeq))): _*)
+    // ONE fused expression, not d separate dots: the d-element array
+    // constructor over d VectorDots overflows whole-stage-codegen
+    // thresholds at d≥64 and drops the projection to interpreted eval
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      MatVec(ColumnBridge.expression(v), rows.map(_.toSeq).toSeq))
   }
 
   /** Supported embedding width for [[srpBucket]] plane literals. */
