@@ -197,6 +197,43 @@ object Relational4 extends QueryPack {
           coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"))
     },
 
+    "e07_locf_fill" -> { (s, dir) =>
+      // gap-fill with last-observation-carried-forward: densify each
+      // user's daily series (as e06), then fill missing days with the
+      // last observed daily max via an ignoreNulls running window —
+      // the standard feature-regularization for sparse signals
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("day_max"))
+      val spans = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_max"), ignoreNulls = true).over(w)
+            .as("locf_value"))
+    },
+
+    "j04_bloom_prune_join" -> { (s, dir) =>
+      // bloom-pruned fact⋈dim join: lineitem rows are pre-filtered
+      // map-side against a distributed-built bloom of urgent order keys
+      // BEFORE the shuffle join — shuffle volume drops to ~join
+      // selectivity, semantics stay exact (no false negatives + the
+      // real join downstream). The oracle is the PLAIN join.
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.BloomPrune.prunedEquiJoin(
+        t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+        expectedKeys = 200000L)
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          money(vol).as("revenue"))
+    },
+
     // ---- binary / opaque-bytes surface ----------------------------------
     "f13_binary_fns" -> { (s, dir) =>
       // the multimodal story's scalar layer: opaque bytes measured,
@@ -398,6 +435,36 @@ object Relational4 extends QueryPack {
                 CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
          FROM all_days a
          LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day""",
+    "e07_locf_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  max(value) AS day_max
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY user_id),
+         grid AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                    AS day
+           FROM spans)
+         SELECT g.user_id, g.day,
+                last_value(d.day_max IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS locf_value
+         FROM grid g
+         LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""",
+    "j04_bloom_prune_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(count(1) AS BIGINT) AS n_lines,
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1""",
     "f13_binary_fns" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.BloomPrune
+import org.apache.spark.sql.functions._
+
+/** Bloom-pruned joins: exact semantics (no false negatives + the real
+  * join downstream), real pruning (fact rows drop before the shuffle),
+  * tunable false-positive rate.
+  */
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val dim = (0L until 100L).map(i => (i * 7, s"d$i"))
+      .toDF("k", "payload")
+    val fact = (0L until 10000L).map(i => (i, i % 11))
+      .toDF("fk", "grp")
+    (fact, dim)
+  }
+
+  test("pruned join result equals the plain join exactly") {
+    val (fact, dim) = fixture
+    val pruned = BloomPrune.prunedEquiJoin(fact, dim, "fk", "k",
+      expectedKeys = 100L)
+      .select("fk", "payload").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+    val plain = fact.join(dim, col("fk") === col("k"))
+      .select("fk", "payload").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == plain)
+    assert(plain.size == 100) // multiples of 7 < 700
+  }
+
+  test("probe prunes most non-matching fact rows before the join") {
+    val (fact, dim) = fixture
+    val bloom = BloomPrune.build(dim, "k", expectedKeys = 100L,
+      fpp = 0.01)
+    val kept = fact.filter(
+      BloomPrune.mightContain(bloom, col("fk"))).count()
+    // 100 true keys; at 1% fpp the other ~9900 contribute ~99 FPs —
+    // allow generous slack, the point is 10000 → ~hundreds
+    assert(kept >= 100 && kept < 600, s"kept $kept of 10000")
+  }
+
+  test("no false negatives even when undersized") {
+    val (fact, dim) = fixture
+    // expectedKeys deliberately 10× too small → high fpp, never a miss
+    val bloom = BloomPrune.build(dim, "k", expectedKeys = 10L)
+    val keys = dim.select("k").as[Long].collect().toSet
+    val kept = fact.filter(
+      BloomPrune.mightContain(bloom, col("fk")))
+      .select("fk").as[Long].collect().toSet
+    assert(keys.filter(_ < 10000L).subsetOf(kept))
+  }
+}
