@@ -80,6 +80,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
   }
 
+  test("bloom-pruned join probes the filter on the fact side map-stage") {
+    val p = plan("j04_bloom_prune_join")
+    assert(p.contains("might_contain"), "bloom probe missing from plan")
+    // the probe must be a plain Filter over the lineitem scan — i.e.
+    // appear in the plan, with the join above it and no cartesian
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("content-hash sampling is a pure map-side projection (no shuffle)") {
+    val p = plan("d14_hash_sample")
+    assert(shuffleCount(p) == 0, s"sampling must not shuffle:\n${p.take(400)}")
+  }
+
+  test("sequence packing windows per shard, never a global sort") {
+    val p = plan("d17_seq_packing")
+    assert(p.contains("Window"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing must partition by shard, not collapse to one partition")
+  }
+
   test("TPC-H multi-join pipelines broadcast every dimension") {
     for (q <- Seq("t01_regional_supplier_volume", "t02_nation_pair_volume",
       "t03_returned_item_report", "t04_market_share")) {
