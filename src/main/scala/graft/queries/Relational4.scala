@@ -249,6 +249,28 @@ object Relational4 extends QueryPack {
           .as("b64"))
     },
 
+    "f14_map_fns" -> { (s, dir) =>
+      // map-typed column surface: build map<event_type, count> per user
+      // (map_from_entries over a sorted entry list — deterministic entry
+      // order), then interrogate it with map_keys / map_values /
+      // element_at / map_filter / to_json. The oracle reconstructs the
+      // same scalars from the flat counts — values are what's checked,
+      // the map operators are what's exercised.
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+            .as("total"),
+          element_at(col("m"), "purchase").as("n_purchase"),
+          size(map_filter(col("m"), (_, v) => v >= 5)).as("n_frequent"),
+          to_json(col("m")).as("m_json"))
+    },
+
     // ---- SQL-only operator surface (LATERAL, WITH RECURSIVE) ------------
     "q31_lateral_topk" -> { (s, dir) =>
       view(s, dir, "nation"); view(s, dir, "customer")
@@ -472,6 +494,20 @@ object Relational4 extends QueryPack {
            sha256(text) AS sha,
            to_base64(encode(text)) AS b64
          FROM documents""",
+    "f14_map_fns" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(1) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(count(*) AS INT) AS n_keys,
+                CAST(sum(n) AS BIGINT) AS total,
+                CAST(max(CASE WHEN event_type = 'purchase' THEN n END)
+                  AS BIGINT) AS n_purchase,
+                CAST(count(CASE WHEN n >= 5 THEN 1 END) AS INT)
+                  AS n_frequent,
+                '{' || string_agg('"' || event_type || '":' || n, ','
+                  ORDER BY event_type) || '}' AS m_json
+         FROM c GROUP BY user_id""",
     "q31_lateral_topk" ->
       """SELECT n.n_name, tc.c_custkey, tc.c_acctbal
          FROM nation n,

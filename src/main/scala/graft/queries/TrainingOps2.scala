@@ -66,6 +66,30 @@ object TrainingOps2 extends QueryPack {
         .select(col("doc_id"), col("lang"), col("bucket"))
     },
 
+    "d19_mixture_weights" -> { (s, dir) =>
+      // data-derived mixture re-balancing: target a UNIFORM mix across
+      // languages by computing each stratum's sampling rate FROM the
+      // observed counts (rate = total/n_strata/count, capped at 100%),
+      // then hash-sampling at that rate — the curriculum/mixing step
+      // after quality filtering. Rates are a 5-row aggregate (broadcast
+      // back); the keep-decision stays a map-side bucket compare.
+      val docs = t(s, dir, "documents")
+      val withB = docs.select(col("doc_id"), col("lang"),
+        SamplingFunctions.hashBucket(col("text")).cast("int").as("bucket"))
+      val wAll = Window.partitionBy()
+      val rates = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .withColumn("n_strata", count(lit(1)).over(wAll))
+        .select(col("lang"),
+          least(lit(100L), expr("(total * 100) div (n_strata * cnt)"))
+            .cast("int").as("rate_pct"))
+      withB.join(broadcast(rates), Seq("lang"))
+        .filter(col("bucket") < col("rate_pct"))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          col("rate_pct"))
+    },
+
     "d17_seq_packing" -> { (s, dir) =>
       // sequence packing (concat-and-chunk): documents are concatenated
       // in deterministic order WITHIN EACH SOURCE SHARD and cut into
@@ -130,6 +154,19 @@ object TrainingOps2 extends QueryPack {
          SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
          FROM fp
          WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END""",
+    "d19_mixture_weights" ->
+      s"""WITH fp AS (
+           SELECT doc_id, lang, $foldSql % 100 AS bucket FROM documents),
+         st AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         rates AS (
+           SELECT lang,
+                  LEAST(100, (sum(cnt) OVER () * 100) //
+                             (count(*) OVER () * cnt)) AS rate_pct
+           FROM st)
+         SELECT f.doc_id, f.lang, CAST(f.bucket AS INT) AS bucket,
+                CAST(r.rate_pct AS INT) AS rate_pct
+         FROM fp f JOIN rates r ON f.lang = r.lang
+         WHERE f.bucket < r.rate_pct""",
     "d17_seq_packing" ->
       """WITH toks AS (
            SELECT doc_id, source,
