@@ -160,86 +160,6 @@ case class VectorL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Squared L2 between a WINDOW of the input array
-  * (`[offset, offset+codeword.length)`) and a plan-time codeword — the
-  * PQ encode/assign primitive. Reads the source array in place (no
-  * `slice` materialization), so an m×k-codeword argmin costs zero
-  * allocations per row. Same accumulation order and null/short-array
-  * semantics as [[VectorL2Sq]] over the equivalent slice, so codes are
-  * bit-identical to the slice formulation it replaced.
-  */
-case class VectorL2SqWindow(child: Expression, offset: Int,
-                            codeword: Seq[Double])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "vector_l2sq_window"
-
-  private def isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckSuccess
-      case dt =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(
-            s"vector_l2sq_window needs array<float|double>, got ${dt.sql}")
-    }
-
-  @transient private lazy val cw: Array[Double] = codeword.toArray
-
-  override protected def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val f = isFloat
-    val n = math.min(cw.length, x.numElements() - offset)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (!x.isNullAt(offset + i)) {
-        val xv =
-          if (f) x.getFloat(offset + i).toDouble
-          else x.getDouble(offset + i)
-        val d = xv - cw(i)
-        acc += d * d
-      }
-      i += 1
-    }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val cwRef = ctx.addReferenceObj("cw", cw, "double[]")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      val get =
-        if (isFloat) s"(double) $a.getFloat($offset + $i)"
-        else s"$a.getDouble($offset + $i)"
-      s"""
-         |int $n = $a.numElements() - $offset;
-         |if ($n > $cwRef.length) $n = $cwRef.length;
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($offset + $i)) {
-         |    double $d = $get - $cwRef[$i];
-         |    $acc += $d * $d;
-         |  }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(
-      newChild: Expression): VectorL2SqWindow = copy(child = newChild)
-}
-
 /** Full PQ encoding as ONE codegen'd expression: for each of `m`
   * subspaces, the (1-based) code of the nearest codeword to the vector's
   * subspace window, ties to the smallest code. `codebook(s*k + c)` is

@@ -48,16 +48,6 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
-  /** Squared L2 between `v[offset, offset+cw.length)` and a plan-time
-    * codeword, computed in place (no slice allocation) — see
-    * [[VectorL2SqWindow]].
-    */
-  def l2SqWindow(v: Column, offset: Int, cw: Seq[Double]): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(VectorL2SqWindow(
-      ColumnBridge.expression(v), offset, cw))
-  }
-
   /** Full PQ code assignment in one codegen'd nested loop — see
     * [[PqEncode]]. `codebook(s*k + c)` = codeword for subspace s, code
     * c+1.

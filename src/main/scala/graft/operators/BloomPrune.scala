@@ -41,17 +41,43 @@ object BloomPrune {
   /** Build a bloom filter of `dim`'s key column (distributed one-pass
     * aggregation; returns the serialized bitmap — kilobytes to
     * megabytes depending on `expectedKeys`).
+    *
+    * xxhash64 is TYPE-sensitive: the same number hashed as int vs
+    * bigint produces different bits, so a build/probe pair over
+    * mixed-width key columns would false-NEGATIVE every match. Both
+    * [[build]] and [[mightContain]] therefore hash through
+    * [[canonicalKey]]; always probe with the same canonicalization the
+    * filter was built with (automatic inside [[prunedEquiJoin]]).
     */
   def build(dim: DataFrame, dimKey: String, expectedKeys: Long,
             fpp: Double = 0.01): Array[Byte] = {
     val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(col(dimKey))),
+      ColumnBridge.expression(xxhash64(canonicalKey(dim, dimKey))),
       Literal(expectedKeys), Literal(numBits(expectedKeys, fpp)))
     dim.agg(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
   }
 
-  /** Membership probe column for a pre-built filter. */
+  /** The key in the type it is hashed as: integral types widen to
+    * bigint, fractional to double, everything else to string — so two
+    * columns that EQUI-JOIN equal also HASH equal regardless of
+    * declared width.
+    */
+  def canonicalKey(df: DataFrame, key: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(key).cast("bigint")
+      case FloatType | DoubleType | _: DecimalType =>
+        col(key).cast("double")
+      case _ => col(key).cast("string")
+    }
+  }
+
+  /** Membership probe column for a pre-built filter. `key` must carry
+    * the same canonicalization the filter was built with (see
+    * [[canonicalKey]]).
+    */
   def mightContain(bloom: Array[Byte], key: Column): Column =
     ColumnBridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
@@ -62,13 +88,22 @@ object BloomPrune {
     * `expectedKeys` sizes the filter — overestimating costs bits,
     * underestimating costs false-positive shuffle rows, never
     * correctness.
+    *
+    * Only join types that cannot null-extend the FACT side are allowed:
+    * an outer join would have to keep fact rows with no dim match, and
+    * those are exactly the rows the pre-filter removes.
     */
   def prunedEquiJoin(fact: DataFrame, dim: DataFrame,
                      factKey: String, dimKey: String,
                      expectedKeys: Long, fpp: Double = 0.01,
                      joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "leftsemi", "semi", "cross")(jt),
+      s"BloomPrune.prunedEquiJoin: joinType '$joinType' would null-extend" +
+        " or negate the pruned fact side (pruning drops exactly the" +
+        " non-matching rows an outer/anti join must keep)")
     val bloom = build(dim, dimKey, expectedKeys, fpp)
-    fact.filter(mightContain(bloom, col(factKey)))
+    fact.filter(mightContain(bloom, canonicalKey(fact, factKey)))
       .join(dim, col(factKey) === col(dimKey), joinType)
   }
 }

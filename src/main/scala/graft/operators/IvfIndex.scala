@@ -47,14 +47,12 @@ object IvfIndex {
     * No RNG anywhere.
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int = 5, sampleCap: Int = 65536): DataFrame = {
+          k: Int, iters: Int = 5, sampleCap: Int = 65536,
+          sampleByHash: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] = corpus
-      .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .orderBy(col("id")).limit(sampleCap)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = Sampling.collectSample(
+      corpus, idCol, vecCol, sampleCap, sampleByHash)
     require(sample.nonEmpty, "IvfIndex.fit: empty corpus")
     val dim = sample(0).length
 
@@ -63,18 +61,22 @@ object IvfIndex {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
+        val n = math.min(dim, v.length) // ragged vector: missing tail = 0
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < centroids.length) {
           var d = 0.0; var i = 0
-          while (i < dim) {
+          while (i < n) {
             val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          while (i < dim) { // centroid tail vs implicit zeros
+            d += centroids(c)(i) * centroids(c)(i); i += 1
           }
           if (d < bestD) { bestD = d; best = c } // strict: ties → smallest id
           c += 1
         }
         val s = sums(best); var i = 0
-        while (i < dim) { s(i) += v(i); i += 1 }
+        while (i < n) { s(i) += v(i); i += 1 }
         counts(best) += 1
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>

@@ -58,14 +58,12 @@ object PqIndex {
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           m: Int, k: Int, iters: Int = 5,
-          sampleCap: Int = 65536): DataFrame = {
+          sampleCap: Int = 65536, sampleByHash: Boolean = false)
+      : DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] = corpus
-      .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .orderBy(col("id")).limit(sampleCap)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = Sampling.collectSample(
+      corpus, idCol, vecCol, sampleCap, sampleByHash)
     require(sample.nonEmpty, "PqIndex.fit: empty corpus")
     val dim = sample(0).length
     // the dim % m contract is ENFORCED here: a bad m must fail loudly,
@@ -73,10 +71,15 @@ object PqIndex {
     require(m > 0 && dim % m == 0,
       s"PqIndex.fit: vector dim $dim not divisible by m=$m")
     val subDim = dim / m
+    // a ragged shorter vector reads as zero-padded (same convention as
+    // the distributed distance expressions)
+    @inline def at(v: Array[Double], i: Int): Double =
+      if (i < v.length) v(i) else 0.0
 
     // codebook(s)(c): codeword c+1 of subspace s
     var codebook: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
-      sample.take(k).map(v => v.slice(s * subDim, (s + 1) * subDim)))
+      sample.take(k).map(v =>
+        Array.tabulate(subDim)(i => at(v, s * subDim + i))))
 
     for (_ <- 1 to iters) {
       codebook = Array.tabulate(m) { s =>
@@ -89,13 +92,13 @@ object PqIndex {
           while (c < cws.length) {
             var d = 0.0; var i = 0
             while (i < subDim) {
-              val t = v(s * subDim + i) - cws(c)(i); d += t * t; i += 1
+              val t = at(v, s * subDim + i) - cws(c)(i); d += t * t; i += 1
             }
             if (d < bestD) { bestD = d; best = c } // ties → smallest code
             c += 1
           }
           val acc = sums(best); var i = 0
-          while (i < subDim) { acc(i) += v(s * subDim + i); i += 1 }
+          while (i < subDim) { acc(i) += at(v, s * subDim + i); i += 1 }
           counts(best) += 1
         }
         cws.zipWithIndex.map { case (old, c) =>
@@ -159,8 +162,8 @@ object PqIndex {
     val cb = codebook.collect().map { r =>
       (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)
     }.toMap
-    // no transform-to-double wrapper: VectorL2SqWindow reads float
-    // elements directly (casting per element — identical values), and a
+    // no transform-to-double wrapper: PqEncode reads float elements
+    // directly (casting per element — identical values), and a
     // transform expression here would be RE-EVALUATED by every one of
     // the m·k distance terms after projection collapse.
     corpus.select(col(idCol).as("id") +: keep.map(col) :+

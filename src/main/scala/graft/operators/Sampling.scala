@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic sample collection for the index trainers
+  * ([[IvfIndex.fit]] / [[PqIndex.fit]]): ONE TakeOrdered cluster job,
+  * bounded driver memory, null vectors dropped (nothing to train on),
+  * per-element nulls read as 0 (the same convention the distributed
+  * distance expressions use).
+  *
+  * Two orderings, both deterministic:
+  *  - by id (default): stable, cheap, and exactly reproduces historical
+  *    fit results — but BIASED when ids correlate with content (e.g.
+  *    monotone ids on a drifting stream train on the oldest data
+  *    forever).
+  *  - by xxhash64(id) (`byHash = true`): a uniform pseudo-random sample
+  *    of the corpus, still fully deterministic — what a drift-refreshing
+  *    trainer ([[graft.streaming.StreamingPqIndex]]) must use.
+  */
+private[operators] object Sampling {
+
+  def collectSample(corpus: DataFrame, idCol: String, vecCol: String,
+                    cap: Int, byHash: Boolean): Array[Array[Double]] = {
+    val base = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => coalesce(x.cast("double"), lit(0.0))).as("v"))
+    val ordered =
+      if (byHash) base.orderBy(xxhash64(col("id")), col("id"))
+      else base.orderBy(col("id"))
+    ordered.limit(cap).collect().map(_.getSeq[Double](1).toArray)
+  }
+}

@@ -266,7 +266,9 @@ object Relational4 extends QueryPack {
           size(map_keys(col("m"))).as("n_keys"),
           aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
             .as("total"),
-          element_at(col("m"), "purchase").as("n_purchase"),
+          // try_: ANSI element_at THROWS on a missing key; a user with
+          // zero purchases must yield NULL like the oracle's CASE
+          try_element_at(col("m"), lit("purchase")).as("n_purchase"),
           size(map_filter(col("m"), (_, v) => v >= 5)).as("n_frequent"),
           to_json(col("m")).as("m_json"))
     },

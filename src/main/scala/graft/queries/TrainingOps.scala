@@ -29,17 +29,36 @@ object TrainingOps extends QueryPack {
 
   private def cachedFrame(s: SparkSession, key: String,
                           persist: Boolean = true)
-                         (build: => DataFrame): DataFrame =
+                         (build: => DataFrame): DataFrame = {
+    // never run `build` (cluster jobs: fits, signature passes) under
+    // the cache monitor — that would serialize unrelated artifact
+    // builds. Check-release-build-publish: a racing duplicate build is
+    // deterministic and idempotent; the loser unpersists its copy.
     frameCache.synchronized {
       frameCache.filterInPlace { case ((sess, _), _) =>
         !sess.sparkContext.isStopped
       }
-      frameCache.getOrElseUpdate((s, key),
-        if (persist)
-          build.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else build)
+      frameCache.get((s, key))
+    } match {
+      case Some(df) => df
+      case None =>
+        val built =
+          if (persist)
+            build.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else build
+        frameCache.synchronized {
+          frameCache.get((s, key)) match {
+            case Some(winner) =>
+              if (persist) built.unpersist(blocking = false)
+              winner
+            case None =>
+              frameCache.update((s, key), built)
+              built
+          }
+        }
     }
+  }
 
   /** Shared ANN index artifacts: coarse centroids and PQ codebooks are
     * built ONCE per (session, dir) and reused by every query that

@@ -35,7 +35,28 @@ class StreamingPqIndex(m: Int, k: Int, iters: Int = 3,
   /** Current (version, codebook) — codebook is None until first batch. */
   def current: (Int, Option[DataFrame]) = (codebookVersion, codebook)
 
+  /** RESTART RECOVERY: version numbers live only in this object, so a
+    * recovered query (foreachBatch checkpoint restart) MUST re-seed
+    * from its sink before processing — otherwise the fresh instance
+    * re-fits as "version 1" and its tags collide with rows an earlier
+    * incarnation wrote under a different version-1 codebook, silently
+    * corrupting per-version ADC. Persist (version, codebook) wherever
+    * the codes go (both are kilobytes) and restore them here; new
+    * versions continue from `version + 1`.
+    */
+  def restore(version: Int, cb: DataFrame): Unit = {
+    require(version > 0, s"restore: version must be positive, got $version")
+    codebookVersion = version
+    codebook = Some(cb)
+  }
+
   /** Handle one microbatch: maybe refresh the codebook, then encode.
+    *
+    * The refresh fit samples `history` BY HASH of the id, not by
+    * smallest id: with monotone stream ids an id-ordered sample would
+    * pin training to the oldest rows forever, making the drift refresh
+    * a no-op — the hash order keeps the sample uniform over everything
+    * seen, still deterministic.
     *
     * @param batch   new vectors (idCol, vecCol) for this microbatch
     * @param batchId foreachBatch's monotone batch id
@@ -48,7 +69,8 @@ class StreamingPqIndex(m: Int, k: Int, iters: Int = 3,
     val due = codebook.isEmpty || (refreshEvery > 0 &&
       batchId % refreshEvery == 0)
     if (due) {
-      codebook = Some(PqIndex.fit(history, idCol, vecCol, m, k, iters))
+      codebook = Some(PqIndex.fit(history, idCol, vecCol, m, k, iters,
+        sampleByHash = true))
       codebookVersion += 1
     }
     PqIndex.encode(batch, idCol, vecCol, codebook.get)

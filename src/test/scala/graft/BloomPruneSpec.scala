@@ -42,6 +42,28 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept >= 100 && kept < 600, s"kept $kept of 10000")
   }
 
+  test("mixed-width keys hash consistently (int fact key, bigint dim key)") {
+    val dim = (0L until 100L).map(i => (i * 7, s"d$i")).toDF("k", "payload")
+    val factInt = (0 until 10000).map(i => (i, i % 11)).toDF("fk", "grp")
+    val pruned = BloomPrune.prunedEquiJoin(factInt, dim, "fk", "k",
+      expectedKeys = 100L)
+      .select("fk", "payload").collect().map(r =>
+        (r.getInt(0), r.getString(1))).toSet
+    assert(pruned.size == 100, "int-typed fact keys must still match")
+  }
+
+  test("outer/anti join types are rejected (pruning would drop kept rows)") {
+    val (fact, dim) = fixture
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedEquiJoin(fact, dim, "fk", "k",
+        expectedKeys = 100L, joinType = "left")
+    }
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedEquiJoin(fact, dim, "fk", "k",
+        expectedKeys = 100L, joinType = "left_anti")
+    }
+  }
+
   test("no false negatives even when undersized") {
     val (fact, dim) = fixture
     // expectedKeys deliberately 10× too small → high fpp, never a miss

@@ -40,6 +40,19 @@ class IvfIndexSpec extends SparkSpec {
       assert(lists(i) == lists(i % 3), s"vector $i in wrong list")
   }
 
+  test("fit tolerates null and ragged vectors (skip / zero-pad)") {
+    val messy = clustered.union(
+      Seq((100L, null.asInstanceOf[Array[Float]]),
+        (101L, Array(10.0f, 0.1f))) // short vector: missing dims = 0
+        .toDF("vec_id", "embedding"))
+    val c = IvfIndex.fit(messy, "vec_id", "embedding", k = 3, iters = 2)
+      .collect()
+    assert(c.length == 3) // trained, didn't throw
+    val cb = graft.operators.PqIndex.fit(messy, "vec_id", "embedding",
+      m = 3, k = 2, iters = 2).collect()
+    assert(cb.length == 3 * 2)
+  }
+
   test("search with nProbe=1 matches brute force on clustered data") {
     val centroids = IvfIndex.fit(clustered, "vec_id", "embedding", 3, 4)
     val queries = clustered.filter(col("vec_id") < 3)

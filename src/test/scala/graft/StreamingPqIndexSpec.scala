@@ -58,6 +58,18 @@ class StreamingPqIndexSpec extends SparkSpec {
     assert(byVersion(1).keySet == (0L until 8L).toSet) // batches 0+1
     assert(byVersion(2).keySet == (8L until 12L).toSet) // batch 2
 
+    // restart recovery: a fresh instance re-seeded from the sink
+    // continues the version sequence instead of colliding at 1
+    val recovered = new StreamingPqIndex(m = 4, k = 3, refreshEvery = 2)
+    recovered.restore(2, codebooks(2))
+    val afterRestart = recovered.processBatch(
+      spark.createDataFrame(cluster(5.0f, 12 until 16))
+        .toDF("vec_id", "embedding"),
+      batchId = 4, history = history, "vec_id", "embedding")
+      .select("codebook_version").distinct().collect().map(_.getInt(0))
+    assert(afterRestart.toSeq == Seq(3),
+      "post-restore refresh must continue from the restored version")
+
     // every emitted code row reproduces under ITS version's codebook
     for ((v, rows) <- byVersion) {
       val ids = rows.keySet
