@@ -64,6 +64,28 @@ class BloomPruneSpec extends SparkSpec {
     }
   }
 
+  test("probe runs on an unbounded stream (stateless expression)") {
+    // the use case prunedEquiJoin's doc claims: a pre-built key set
+    // pruning a STREAMING fact source, where no runtime subquery exists
+    implicit val sqlCtx = spark.sqlContext
+    val (_, dim) = fixture
+    val bloom = BloomPrune.build(dim, "k", expectedKeys = 100L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val pruned = input.toDF().toDF("fk")
+      .filter(BloomPrune.mightContain(bloom, col("fk")))
+    val q = pruned.writeStream.format("memory")
+      .queryName("bloom_stream").outputMode("append").start()
+    try {
+      input.addData(0L until 1000L: _*)
+      q.processAllAvailable()
+      val kept = spark.table("bloom_stream").collect().map(_.getLong(0))
+      val trueKeys = (0L until 100L).map(_ * 7).filter(_ < 1000L).toSet
+      assert(trueKeys.subsetOf(kept.toSet)) // no false negatives
+      assert(kept.length < 400) // and it actually pruned
+    } finally q.stop()
+  }
+
   test("no false negatives even when undersized") {
     val (fact, dim) = fixture
     // expectedKeys deliberately 10× too small → high fpp, never a miss
