@@ -162,6 +162,29 @@ object TrainingOps extends QueryPack {
       Dedup.minhashLshPairsFromSigs(minhashSigs(s, dir),
         bands = 16, rowsPerBand = 4, threshold = 0.3)
     },
+    "d20_decontam_near_dup" -> { (s, dir) =>
+      // train/eval DECONTAMINATION: near-dup pairs (shared minhash
+      // signatures, threshold 0.5) that CROSS the d15 content-hash
+      // split boundary — i.e. eval documents whose near-copy sits in
+      // train. Exact duplicates can never appear here: identical
+      // content ⇒ identical hash bucket ⇒ same split (asserted in
+      // SamplingSpec); only jittered copies can leak, which is exactly
+      // what the near-dup miner catches. Rows-only (LSH candidate set).
+      val pairs = Dedup.minhashLshPairsFromSigs(minhashSigs(s, dir),
+        bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val split = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.SamplingFunctions.splitLabel(
+          graft.functions.SamplingFunctions.hashBucket(col("text")))
+          .as("split"))
+      pairs
+        .join(split.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("split", "split_a"), Seq("id_a"))
+        .join(split.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("split", "split_b"), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"),
+          col("est_jaccard"))
+    },
     "d07_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8, prefixBits = 8)
