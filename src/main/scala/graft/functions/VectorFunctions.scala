@@ -68,12 +68,18 @@ object VectorFunctions {
     * The d rows are PLAN-TIME literals → d codegen'd dots per row, only
     * paid at index build/query-encode time. `dim` must be a power of 2.
     */
-  def rotateHadamard(v: Column, dim: Int): Column = {
+  /** The signed Walsh–Hadamard rotation matrix rows (orthonormal).
+    * Shared by [[rotateHadamard]] and as [[graft.operators.OpqIndex]]'s
+    * initialization (OPQ's alternating refinement is stuck at identity
+    * if started there — the Procrustes step maps X onto its own
+    * axis-aligned quantization).
+    */
+  def hadamardRows(dim: Int): Seq[Seq[Double]] = {
     require(dim > 0 && (dim & (dim - 1)) == 0,
       s"Hadamard rotation needs a power-of-2 dim, got $dim")
     val scale = 1.0 / math.sqrt(dim.toDouble)
-    val rows = Array.tabulate(dim) { i =>
-      Array.tabulate(dim) { j =>
+    Seq.tabulate(dim) { i =>
+      Seq.tabulate(dim) { j =>
         val h =
           if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
         val s =
@@ -82,12 +88,23 @@ object VectorFunctions {
         h * s * scale
       }
     }
+  }
+
+  def rotateHadamard(v: Column, dim: Int): Column =
     // ONE fused expression, not d separate dots: the d-element array
     // constructor over d VectorDots overflows whole-stage-codegen
     // thresholds at d≥64 and drops the projection to interpreted eval
+    matVec(v, hadamardRows(dim))
+
+  /** Dense matrix × vector (`out(r) = rows(r)·v`) as one fused codegen
+    * expression — see [[MatVec]]. Carries any plan-time projection/
+    * rotation matrix: the structured Hadamard rotation above and
+    * [[graft.operators.OpqIndex]]'s learned rotation both serve
+    * through this.
+    */
+  def matVec(v: Column, rows: Seq[Seq[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(
-      MatVec(ColumnBridge.expression(v), rows.map(_.toSeq).toSeq))
+    ColumnBridge.column(MatVec(ColumnBridge.expression(v), rows))
   }
 
   /** Supported embedding width for [[srpBucket]] plane literals. */

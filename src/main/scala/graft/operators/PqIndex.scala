@@ -65,18 +65,33 @@ object PqIndex {
     val sample = Sampling.collectSample(
       corpus, idCol, vecCol, sampleCap, sampleByHash)
     require(sample.nonEmpty, "PqIndex.fit: empty corpus")
+    val codebook = lloydPq(sample, m, k, iters)
+    (for { s <- 0 until m; c <- codebook(s).indices }
+      yield (s, c + 1, codebook(s)(c).toSeq))
+      .toDF("subspace", "code", "codeword")
+  }
+
+  /** Ragged shorter vector reads as zero-padded (same convention as the
+    * distributed distance expressions).
+    */
+  @inline private[operators] def at(v: Array[Double], i: Int): Double =
+    if (i < v.length) v(i) else 0.0
+
+  /** Driver-side per-subspace Lloyd core shared by [[fit]] and
+    * [[OpqIndex.fit]]. Returns codebook(s)(c) = codeword c+1 of
+    * subspace s. Deterministic: smallest-id seeds (sample order),
+    * ties → smallest code, empty codes keep their previous codeword.
+    */
+  private[operators] def lloydPq(sample: Array[Array[Double]],
+                                 m: Int, k: Int, iters: Int)
+      : Array[Array[Array[Double]]] = {
     val dim = sample(0).length
     // the dim % m contract is ENFORCED here: a bad m must fail loudly,
     // not silently drop tail dimensions
     require(m > 0 && dim % m == 0,
       s"PqIndex.fit: vector dim $dim not divisible by m=$m")
     val subDim = dim / m
-    // a ragged shorter vector reads as zero-padded (same convention as
-    // the distributed distance expressions)
-    @inline def at(v: Array[Double], i: Int): Double =
-      if (i < v.length) v(i) else 0.0
 
-    // codebook(s)(c): codeword c+1 of subspace s
     var codebook: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
       sample.take(k).map(v =>
         Array.tabulate(subDim)(i => at(v, s * subDim + i))))
@@ -87,16 +102,7 @@ object PqIndex {
         val sums = Array.fill(cws.length)(new Array[Double](subDim))
         val counts = new Array[Long](cws.length)
         sample.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cws.length) {
-            var d = 0.0; var i = 0
-            while (i < subDim) {
-              val t = at(v, s * subDim + i) - cws(c)(i); d += t * t; i += 1
-            }
-            if (d < bestD) { bestD = d; best = c } // ties → smallest code
-            c += 1
-          }
+          val best = nearestCode(v, s * subDim, subDim, cws)
           val acc = sums(best); var i = 0
           while (i < subDim) { acc(i) += at(v, s * subDim + i); i += 1 }
           counts(best) += 1
@@ -106,9 +112,26 @@ object PqIndex {
         }
       }
     }
-    (for { s <- 0 until m; c <- codebook(s).indices }
-      yield (s, c + 1, codebook(s)(c).toSeq))
-      .toDF("subspace", "code", "codeword")
+    codebook
+  }
+
+  /** 0-based index of the nearest codeword for `v[off, off+subDim)`,
+    * ties to the smallest code — the same tie-break [[PqEncode]] uses.
+    */
+  private[operators] def nearestCode(v: Array[Double], off: Int,
+                                     subDim: Int,
+                                     cws: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cws.length) {
+      var d = 0.0; var i = 0
+      while (i < subDim) {
+        val t = at(v, off + i) - cws(c)(i); d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** (id, subspace, subvector) rows — the unit ADC tables are built on.

@@ -71,6 +71,32 @@ object TrainingOps extends QueryPack {
       graft.operators.IvfIndex.fit(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3))
 
+  /** Learned-OPQ model cache: (rotation rows, codebook) per (session,
+    * dir) — same build-outside-the-monitor discipline as cachedFrame
+    * (the model is plain driver data, nothing to unpersist on a lost
+    * race).
+    */
+  private val opqCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (Seq[Seq[Double]], DataFrame)]
+
+  private def opqModel(s: SparkSession, dir: String)
+      : (Seq[Seq[Double]], DataFrame) =
+    opqCache.synchronized {
+      opqCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      opqCache.get((s, dir))
+    } match {
+      case Some(m) => m
+      case None =>
+        val built = graft.operators.OpqIndex.fit(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 8, k = 16, lloydIters = 3, opqIters = 3)
+        opqCache.synchronized {
+          opqCache.getOrElseUpdate((s, dir), built)
+        }
+    }
+
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, s"pqcb:$dir", persist = false)(
       graft.operators.PqIndex.fit(
@@ -235,6 +261,21 @@ object TrainingOps extends QueryPack {
       val codebook = cachedFrame(s, s"opqcb:$dir", persist = false)(
         graft.operators.PqIndex.fit(
           rotated, "vec_id", "embedding", m = 8, k = 16, iters = 3))
+      val encoded = graft.operators.PqIndex.encode(
+        rotated, "vec_id", "embedding", codebook)
+      graft.operators.PqIndex.search(encoded,
+        rotated.filter(col("vec_id") < 5), "vec_id", "embedding",
+        codebook, k = 5)
+    },
+    "s11_opq_learned_topk" -> { (s, dir) =>
+      // LEARNED OPQ (Ge et al. 2013): alternating Lloyd/Procrustes
+      // rotation (Hadamard-initialized) fit driver-side on the sample,
+      // served as one fused MatVec projection + the standard
+      // zero-shuffle PQ encode and ADC search. Compare s09 (structured
+      // rotation) — same serving path, trained vs blind rotation.
+      val emb = t(s, dir, "embeddings")
+      val (rot, codebook) = opqModel(s, dir)
+      val rotated = graft.operators.OpqIndex.rotate(emb, "embedding", rot)
       val encoded = graft.operators.PqIndex.encode(
         rotated, "vec_id", "embedding", codebook)
       graft.operators.PqIndex.search(encoded,
