@@ -325,6 +325,23 @@ object Relational4 extends QueryPack {
           |FROM chain
           |""".stripMargin)
     },
+    "f15_filter_clause" -> { (s, dir) =>
+      view(s, dir, "lineitem")
+      // SQL FILTER clause on aggregates — per-group conditional
+      // aggregation without CASE arithmetic (Catalyst compiles it to
+      // the same partial-aggregated plan as q27's CASE form)
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(count(1) FILTER (WHERE l_quantity > 25) AS BIGINT)
+          |    AS n_bulk,
+          |  CAST(count(1) FILTER (WHERE l_discount = 0.0) AS BIGINT)
+          |    AS n_undiscounted,
+          |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+          |    FILTER (WHERE l_returnflag <> 'A'), 2) AS DOUBLE)
+          |    AS non_a_price
+          |FROM lineitem GROUP BY l_returnflag
+          |""".stripMargin)
+    },
     "q33_null_safe_join" -> { (s, dir) =>
       // null-safe equality (<=>) as a hash-join key: NULL groups pair
       // up instead of vanishing — full outer so one-sided keys survive
@@ -541,6 +558,16 @@ object Relational4 extends QueryPack {
          SELECT o_custkey, o_orderkey, CAST(depth AS INT) AS depth,
                 CAST(round(run_total, 2) AS DOUBLE) AS run_total
          FROM chain""",
+    "f15_filter_clause" ->
+      """SELECT l_returnflag,
+           CAST(count(1) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             AS n_bulk,
+           CAST(count(1) FILTER (WHERE l_discount = 0.0) AS BIGINT)
+             AS n_undiscounted,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+             FILTER (WHERE l_returnflag <> 'A'), 2) AS DOUBLE)
+             AS non_a_price
+         FROM lineitem GROUP BY l_returnflag""",
     "q33_null_safe_join" ->
       """WITH o AS (
            SELECT o_orderkey,
