@@ -76,11 +76,14 @@ object TrainingOps2 extends QueryPack {
       val docs = t(s, dir, "documents")
       val withB = docs.select(col("doc_id"), col("lang"),
         SamplingFunctions.hashBucket(col("text")).cast("int").as("bucket"))
-      val wAll = Window.partitionBy()
-      val rates = docs.groupBy(col("lang"))
+      // grand totals as a broadcast 1-row aggregate cross-joined back —
+      // same 5-row math as a whole-frame window, but no `WindowExec: No
+      // Partition Defined` path at all (keeps the bench tail clean)
+      val perLang = docs.groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("total", sum(col("cnt")).over(wAll))
-        .withColumn("n_strata", count(lit(1)).over(wAll))
+      val grand = perLang.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_strata"))
+      val rates = perLang.crossJoin(broadcast(grand))
         .select(col("lang"),
           least(lit(100L), expr("(total * 100) div (n_strata * cnt)"))
             .cast("int").as("rate_pct"))
