@@ -1,0 +1,259 @@
+package graft
+
+import java.sql.DriverManager
+
+import graft.schema._
+import graft.sinks._
+import org.apache.spark.sql.functions._
+
+/** K2/K3 bulk-load execution paths.
+  *
+  * The PG `COPY FROM STDIN` and MariaDB `LOAD DATA` servers don't exist
+  * in this sandbox, so the proof splits the way the reference's own
+  * tests do (`tests/test_import_fantoir.py:63-155` asserts statement
+  * ORDER on a fake connection; `test_import_sirene.py:68-74` round-trips
+  * a real embedded database):
+  *
+  *  - the full bulk LIFECYCLE executes LIVE against embedded Derby with
+  *    a CSV-consuming channel standing in for CopyManager — DDL,
+  *    TRUNCATE, per-partition copy, stats, index all really run, and
+  *    the data round-trips through spark.read.jdbc;
+  *  - the PostgreSQL/MariaDB statement streams are golden-asserted in
+  *    DROP→CREATE→TRUNCATE→COPY→ANALYZE→INDEX order;
+  *  - the MariaDB channel's temp-file bridge is observed mid-flight via
+  *    an injected statement runner: spill exists and carries
+  *    header+rows at execution time, and is removed afterwards.
+  */
+class BulkCopySpec extends SparkSpec {
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/derby-test.log")
+
+  private val url = "jdbc:derby:memory:graftbulk;create=true"
+  private val props = new java.util.Properties()
+
+  private val tableDef = SqlTableDef(
+    "bulk_mini",
+    Seq(
+      SqlFieldDef("bulk_mini", "siren", SqlTypes.BIGINT, rank = 0),
+      SqlFieldDef("bulk_mini", "nom", SqlTypeDef("varchar(100)",
+        org.apache.spark.sql.types.StringType), rank = 1),
+      SqlFieldDef("bulk_mini", "capital", SqlTypes.DOUBLE_PRECISION,
+        rank = 2)),
+    Seq(SqlIndexDef("bulk_mini", "siren", SqlIndexType.Hash)))
+
+  /** Postgres-ORDERED lifecycle rendered in Derby-executable SQL:
+    * no DROP (fresh in-memory db), TRUNCATE before copy, Derby's stats
+    * call standing in for ANALYZE.
+    */
+  private object PgOrderOnDerby extends SinkDialect {
+    override def dropTable(t: SqlTableDef): Seq[String] = Seq.empty
+    override def prepareCopy(t: SqlTableDef): Seq[String] =
+      Seq(s"TRUNCATE TABLE ${t.name}")
+    override def finalizeCopy(t: SqlTableDef): Seq[String] =
+      Seq("CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS('APP', '" +
+        t.name.toUpperCase + "', NULL)")
+    override def createIndex(t: SqlTableDef,
+                             ix: SqlIndexDef): Seq[String] =
+      Seq(s"CREATE INDEX ${ix.name} ON ${t.name}(${ix.fieldName})")
+  }
+
+  test("bulk lifecycle executes live: copy channel loads, data round-trips") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sink = new JdbcSink(url, props, PgOrderOnDerby, seen.add(_))
+    // a comma and an embedded quote exercise the CSV quoting contract
+    val rows = Seq((101L, "ACME, \"INC\"", 1000.5),
+      (102L, "GLOBEX", 250.0), (103L, "INITECH", 99.25),
+      (104L, null.asInstanceOf[String], 0.0))
+    val df = rows.toDF("siren", "nom", "capital")
+
+    sink.writeTableBulk(df, tableDef, BulkCopySpec.DerbyCsvChannel,
+      numPartitions = 2)
+
+    val back = spark.read.jdbc(url, "bulk_mini", props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(back == rows.toSet, back.toString)
+
+    // statement order: CREATE → TRUNCATE → COPY → stats → INDEX
+    val ordered = seen.toArray(Array.empty[String]).toSeq
+    val kinds = ordered.map(_.takeWhile(_ != ' '))
+    assert(kinds == Seq("CREATE", "TRUNCATE", "COPY", "CALL", "CREATE"),
+      ordered.mkString(" | "))
+    assert(ordered(2).startsWith("COPY bulk_mini FROM STDIN"), ordered(2))
+
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, "BULK_MINI",
+        false, false)
+      val names = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("INDEX_NAME")).toSet
+      assert(names.exists(n => Option(n).exists(
+        _.equalsIgnoreCase("siren_bulk_mini_idx"))), names.toString)
+    } finally conn.close()
+  }
+
+  test("PostgreSQL transcript: DROP→CREATE→TRUNCATE→COPY→ANALYZE→INDEX") {
+    val sink = new JdbcSink("jdbc:postgresql:fake", props, PostgresDialect)
+    val t = sink.dryRunTranscript(tableDef, Some(PgCopyChannel()))
+    val kinds = t.map(_.split("[ \n]")(0))
+    assert(kinds == Seq("DROP", "CREATE", "TRUNCATE", "COPY", "ANALYZE",
+      "DROP", "CREATE"), t.mkString(" | "))
+    assert(t(3) ==
+      "COPY bulk_mini FROM STDIN WITH (FORMAT CSV, HEADER TRUE, " +
+        "ENCODING 'UTF_8')", t(3))
+    assert(t(4) == "ANALYZE bulk_mini")
+    assert(t(6).contains("USING hash(siren)"), t(6))
+  }
+
+  test("MariaDB channel bridges through a temp spill that lives exactly " +
+    "as long as the load") {
+    BulkCopySpec.loadLog.clear()
+    val ch = MariaDbLoadChannel(run = BulkCopySpec.recordingRun)
+    val n = ch.copyIn("jdbc:mariadb:fake", props, tableDef,
+      Iterator("siren,nom,capital", "101,ACME,1000.5", "102,GLOBEX,250.0"))
+    assert(n == 2)
+    val log = BulkCopySpec.loadLog.toArray(Array.empty[String]).toSeq
+    assert(log.size == 1)
+    val Array(sql, spilled) = log.head.split("\u0001")
+    // the statement is the reference's LOAD DATA shape, LOCAL variant,
+    // pointing at the spill
+    assert(sql.startsWith("LOAD DATA LOCAL INFILE '"), sql)
+    assert(sql.contains("INTO TABLE `bulk_mini`"), sql)
+    assert(sql.contains("IGNORE 1 LINES"), sql)
+    // at execution time the spill held header + rows …
+    assert(spilled ==
+      "siren,nom,capital\n101,ACME,1000.5\n102,GLOBEX,250.0\n")
+    // … and it is gone afterwards
+    val path = sql.split("'")(1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)), path)
+  }
+
+  test("MariaDB dry-run transcript orders spill-load like the reference") {
+    val sink = new JdbcSink("jdbc:mariadb:fake", props, MariaDbDialect)
+    val t = sink.dryRunTranscript(tableDef, Some(MariaDbLoadChannel()))
+    val kinds = t.map(_.split("[ \n]")(0))
+    assert(kinds == Seq("DROP", "CREATE", "LOAD", "DROP", "CREATE"),
+      t.mkString(" | "))
+    assert(t(2).startsWith("LOAD DATA LOCAL INFILE"), t(2))
+    assert(t(4).contains("(siren(255))"), t(4))
+  }
+
+  test("MySQL-family URLs get rewriteBatchedStatements injected; " +
+    "explicit settings win; other URLs untouched") {
+    val p = new java.util.Properties()
+    val my = JdbcSink.effectiveProps("jdbc:mysql://h/db", p)
+    assert(my.getProperty("rewriteBatchedStatements") == "true")
+    val maria = JdbcSink.effectiveProps("jdbc:mariadb://h/db", p)
+    assert(maria.getProperty("rewriteBatchedStatements") == "true")
+    assert(p.isEmpty, "caller props must not be mutated")
+    val explicit = new java.util.Properties()
+    explicit.setProperty("rewriteBatchedStatements", "false")
+    assert(JdbcSink.effectiveProps("jdbc:mysql://h/db", explicit)
+      .getProperty("rewriteBatchedStatements") == "false")
+    val pg = JdbcSink.effectiveProps("jdbc:postgresql://h/db", p)
+    assert(pg eq p)
+  }
+
+  test("LinesReader streams lines newline-joined through chunked reads") {
+    val r = new LinesReader(Iterator("a,b", "", "c"))
+    val buf = new Array[Char](3)
+    val sb = new StringBuilder
+    var n = r.read(buf, 0, 3)
+    while (n != -1) { sb.appendAll(buf, 0, n); n = r.read(buf, 0, 3) }
+    assert(sb.toString == "a,b\n\nc\n")
+  }
+}
+
+object BulkCopySpec {
+  /** In-JVM log for the injected MariaDB statement runner (static so the
+    * serialized closure finds it after round-tripping in local mode).
+    * Entries are `sql SOH spill-file-content` captured at execution
+    * time — proving the bridge file exists exactly when the statement
+    * runs.
+    */
+  val loadLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  val recordingRun: (String, java.util.Properties, String) => Long = {
+    (_, _, sql) =>
+      val path = sql.split("'")(1)
+      val content = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      loadLog.add(sql + "\u0001" + content)
+      content.linesIterator.size - 1L
+  }
+
+  /** Stand-in for pgjdbc's CopyManager in the live Derby lifecycle test:
+    * consumes the channel's CSV lines (header first, RFC 4180 quoting)
+    * and applies them with a prepared INSERT — data really flows
+    * through the bulk path's rendering, partitioning, and connection
+    * handling, only the final wire protocol is swapped.
+    */
+  case object DerbyCsvChannel extends CopyChannel {
+    override def describe(table: SqlTableDef): String =
+      PostgresDialect.copyStream(table, "UTF-8", CsvDialect.unix).head
+
+    private def parse(line: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var i = 0
+      var inQ = false
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQ) {
+          if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+            sb.append('"'); i += 1
+          } else if (c == '"') inQ = false
+          else sb.append(c)
+        } else c match {
+          case '"' => inQ = true
+          case ',' => out += sb.result(); sb.clear()
+          case other => sb.append(other)
+        }
+        i += 1
+      }
+      out += sb.result()
+      out.result()
+    }
+
+    override def copyIn(url: String, props: java.util.Properties,
+                        table: SqlTableDef,
+                        lines: Iterator[String]): Long = {
+      require(lines.hasNext, "header expected")
+      lines.next() // header
+      val conn = DriverManager.getConnection(url, props)
+      try {
+        val marks = Seq.fill(table.fields.size)("?").mkString(", ")
+        val ps = conn.prepareStatement(
+          s"INSERT INTO ${table.name} VALUES ($marks)")
+        try {
+          var n = 0L
+          lines.foreach { line =>
+            val cells = parse(line)
+            table.fields.zip(cells).zipWithIndex.foreach {
+              case ((f, cell), i) =>
+                import org.apache.spark.sql.types._
+                if (cell.isEmpty && f.sqlType.sparkType != StringType)
+                  ps.setNull(i + 1, java.sql.Types.NULL)
+                else f.sqlType.sparkType match {
+                  case LongType => ps.setLong(i + 1, cell.toLong)
+                  case IntegerType => ps.setInt(i + 1, cell.toInt)
+                  case DoubleType => ps.setDouble(i + 1, cell.toDouble)
+                  case DateType =>
+                    ps.setDate(i + 1, java.sql.Date.valueOf(cell))
+                  case _ =>
+                    if (cell.isEmpty) ps.setNull(i + 1, java.sql.Types.VARCHAR)
+                    else ps.setString(i + 1, cell)
+                }
+            }
+            ps.addBatch()
+            n += 1
+          }
+          ps.executeBatch()
+          n
+        } finally ps.close()
+      } finally conn.close()
+    }
+  }
+}
