@@ -29,6 +29,8 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    // X3: one progress line per 500k input rows (import_fantoir.py:196-200)
+    spark.sparkContext.addSparkListener(new graft.pipelines.ProgressMeter())
     try {
       val transcripts: Map[String, Seq[String]] = source match {
         case "sirene" => Pipelines.importSirene(spark, path, rdbms, jdbcUrl)

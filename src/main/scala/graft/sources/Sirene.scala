@@ -103,6 +103,24 @@ object Sirene {
   /** Rename positionally to the table's processed names and cast each
     * column to its declared Spark type (T1).
     */
+  /** Lenient boolean per the reference's `type_boolean`
+    * (`sql_type.py:77-83`): case-folded, trimmed, accepts
+    * true/yes/on/1 and false/no/off/0. Spark's cast accepts
+    * true/yes/1 but NOT on/off, so booleans get this `when`-chain
+    * instead; unrecognized tokens degrade to null (the try_cast
+    * discipline — the reference raises, but its bulk path delegates
+    * malformed-value policy to the DBMS).
+    */
+  def lenientBoolean(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lower, trim, when}
+    val tok = lower(trim(c))
+    when(tok.isin("true", "yes", "on", "1"), true)
+      .when(tok.isin("false", "no", "off", "0"), false)
+      .otherwise(org.apache.spark.sql.functions.lit(null)
+        .cast(org.apache.spark.sql.types.BooleanType))
+  }
+
   def castTo(raw: DataFrame, table: SqlTableDef): DataFrame = {
     import org.apache.spark.sql.functions.col
     val renamed = raw.toDF(table.fields.map(_.fieldName): _*)
@@ -110,7 +128,11 @@ object Sirene {
     // the job under ANSI mode — the lenient behavior the reference's
     // bulk-copy path delegates to the DBMS.
     renamed.select(table.fields.map(f =>
-      col(f.fieldName).try_cast(f.sqlType.sparkType).as(f.fieldName)): _*)
+      (f.sqlType.sparkType match {
+        case org.apache.spark.sql.types.BooleanType =>
+          lenientBoolean(col(f.fieldName))
+        case t => col(f.fieldName).try_cast(t)
+      }).as(f.fieldName)): _*)
   }
 
   /** Discover `(tableName, dataZip, dessinCsv)` triples in a directory

@@ -1,0 +1,54 @@
+package graft
+
+/** Recall floors for the ANN family (VERDICT r3 "Next round" #6): every
+  * approximate tier is joined against s01's EXACT brute-force top-5 and
+  * must clear a stated recall@5 floor on the sf0.001 embeddings.
+  *
+  * The measured sf0.001 ladder (floors sit ~0.1 below each):
+  *
+  *  - IVF 0.88 — its only loss is coarse PRUNING (nProbe=2 of 8
+  *    lists); candidates are scored with exact distances.
+  *  - learned OPQ 0.36 — the trained rotation recovers real accuracy
+  *    over blind quantization at the same m=8×k=16 code budget.
+  *  - LSH 0.24 / IVF-PQ 0.24 / Hadamard-OPQ 0.24 / PQ 0.20 /
+  *    residual 0.20 — tiers whose distances are themselves quantized
+  *    (or whose candidate set is 4-plane-bucketed) pay distance
+  *    distortion on every candidate; at a 16-codeword budget on these
+  *    embeddings that costs most of the top-5 (the scale remedy is
+  *    ADC-shortlist + exact re-rank, which s05 demonstrates for the
+  *    pruning side). Floors are regression tripwires, not quality
+  *    claims.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    SparkEntry.queries("s01_cosine_topk")(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallAt5(name: String): Double = {
+    val ann = SparkEntry.queries(name)(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactPairs.intersect(ann).size.toDouble / exactPairs.size
+  }
+
+  // (query, documented floor)
+  private val floors = Seq(
+    "s02_lsh_topk" -> 0.15,
+    "s05_ivf_topk" -> 0.75,
+    "s07_pq_topk" -> 0.10,
+    "s08_ivfpq_topk" -> 0.15,
+    "s09_opq_topk" -> 0.15,
+    "s10_ivfpq_residual_topk" -> 0.10,
+    "s11_opq_learned_topk" -> 0.25)
+
+  for ((name, floor) <- floors)
+    test(s"$name recall@5 >= $floor vs exact top-k") {
+      val r = recallAt5(name)
+      info(f"$name recall@5 = $r%.3f (floor $floor%.2f)")
+      assert(r >= floor, f"$name recall@5 $r%.3f below floor $floor%.2f")
+    }
+}

@@ -72,6 +72,20 @@ class SireneSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("nombre_periodes")))
   }
 
+  test("lenient boolean accepts the reference token set (sql_type.py:77-83)") {
+    import graft.schema.{SqlFieldDef, SqlTableDef}
+    val raw = Seq("true", "TRUE", " yes ", "on", "ON", "1",
+      "false", "No", "off", " OFF", "0", "maybe", "2", "")
+      .toDF("flag")
+    val table = SqlTableDef("t",
+      Seq(SqlFieldDef("t", "flag", SqlTypes.BOOLEAN)), Seq.empty)
+    val got = Sirene.castTo(raw, table)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+      .toSeq
+    val t = Some(true); val f = Some(false)
+    assert(got == Seq(t, t, t, t, t, t, f, f, f, f, f, None, None, None))
+  }
+
   test("data source discovery pairs zips with dessins, skips orphans") {
     val dir = java.nio.file.Files.createTempDirectory("disco")
     java.nio.file.Files.write(dir.resolve("StockA_utf8.zip"),
