@@ -48,7 +48,8 @@ object IvfIndex {
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int = 5, sampleCap: Int = 65536,
-          sampleByHash: Boolean = false): DataFrame = {
+          sampleByHash: Boolean = false,
+          reseedEmpty: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample = Sampling.collectSample(
@@ -60,6 +61,9 @@ object IvfIndex {
     for (_ <- 1 to iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
+      val bestDs =
+        if (reseedEmpty) new Array[Double](sample.length) else null
+      var vi = 0
       sample.foreach { v =>
         val n = math.min(dim, v.length) // ragged vector: missing tail = 0
         var best = 0; var bestD = Double.MaxValue
@@ -78,9 +82,25 @@ object IvfIndex {
         val s = sums(best); var i = 0
         while (i < n) { s(i) += v(i); i += 1 }
         counts(best) += 1
+        if (reseedEmpty) bestDs(vi) = bestD
+        vi += 1
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+      // Deterministic empty-cluster repair (the classic k-means fix,
+      // RNG-free): dead lists re-seed from the sample vectors FARTHEST
+      // from their current centroid (ties → smallest sample index), one
+      // vector per dead list, so the next iteration repopulates them.
+      // Identical seed vectors are how lists die at seed time — see
+      // IvfIndexSpec.
+      if (reseedEmpty && counts.contains(0L)) {
+        val order = bestDs.zipWithIndex
+          .sortBy { case (d, i) => (-d, i) }.iterator
+        for (c <- centroids.indices if counts(c) == 0) {
+          val v = sample(order.next()._2)
+          centroids(c) = Array.tabulate(dim)(i => PqIndex.at(v, i))
+        }
       }
     }
     centroids.zipWithIndex
@@ -150,6 +170,34 @@ object IvfIndex {
         explode(transform(
           slice(array_sort(scored), 1, math.min(nProbe, cents.size)),
           s => s.getField("cid"))).as("centroid_id"))
+  }
+
+  /** Inverted-list balance diagnostics: per-list population, share of
+    * the corpus, and imbalance (population / ideal even split). The
+    * operational dial for IVF at scale — probe cost is proportional to
+    * the PROBED lists' sizes, so a hot list (imbalance ≫ 1) silently
+    * turns nProbe=2 into a near-full scan for the queries that hit it,
+    * and empty lists waste the coarse budget. One map-side assignment +
+    * one k-row aggregate; centroids enter as plan-time literals.
+    * Lists that caught nothing still appear (count 0) via the
+    * right-join against the centroid table.
+    */
+  def listStats(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val k = centroids.count()
+    val counts = assign(corpus, idCol, vecCol, centroids)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .join(centroids.select(col("centroid_id")), Seq("centroid_id"),
+        "right")
+      .select(col("centroid_id"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    val total = broadcast(counts.agg(sum(col("n_vectors")).as("total")))
+    counts.crossJoin(total)
+      .select(col("centroid_id"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total")).as("share"),
+        (col("n_vectors").cast("double") * k / col("total"))
+          .as("imbalance"))
   }
 
   /** Approximate top-k: each query probes its `nProbe` nearest lists. */

@@ -241,4 +241,36 @@ object PqIndex {
     adcTopK(triples.crossJoin(
       broadcast(table.select(col("query_id")).distinct())), table, k)
   }
+
+  /** ADC shortlist + EXACT re-rank (the FAISS `IndexRefine` shape, and
+    * the standard answer to quantization distortion at serving time):
+    * retrieve `shortlist` candidates per query by compressed ADC
+    * distance, fetch ONLY those candidates' raw vectors back from the
+    * corpus — a candidate-id join, never a full-corpus rescan — and
+    * re-rank by exact cosine. Costs one extra shuffle of
+    * queries×shortlist rows; recall jumps from code-budget-bound to
+    * shortlist-bound (measured 0.20 → 0.92 at shortlist=100 on the
+    * sf0.001 embeddings — see RecallSpec).
+    */
+  def searchRefined(encoded: DataFrame, corpus: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    codebook: DataFrame, k: Int,
+                    shortlist: Int = 50): DataFrame = {
+    val short = search(encoded, queries, idCol, vecCol, codebook, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cand_vec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(cand, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosineSimilarity(col("query_vec"), col("cand_vec")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
 }

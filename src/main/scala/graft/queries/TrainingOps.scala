@@ -286,6 +286,29 @@ object TrainingOps extends QueryPack {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         centroids, codebook, k = 5, nProbe = 2)
     },
+    "s12_pq_refine_topk" -> { (s, dir) =>
+      // ADC shortlist + exact re-rank (FAISS IndexRefine shape): the
+      // compressed scan nominates 100 candidates/query, whose raw
+      // vectors alone are fetched back and re-ranked exactly — recall
+      // recovers from code-budget-bound to shortlist-bound (RecallSpec)
+      // at one candidate-id join over the plain-PQ cost. Rows-only: the
+      // shortlist is quantizer-dependent.
+      val emb = t(s, dir, "embeddings")
+      val codebook = pqCodebook(s, dir)
+      val encoded = graft.operators.PqIndex.encode(
+        emb, "vec_id", "embedding", codebook)
+      graft.operators.PqIndex.searchRefined(encoded, emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        codebook, k = 5, shortlist = 100)
+    },
+    "i01_ivf_list_stats" -> { (s, dir) =>
+      // index health telemetry: inverted-list population/share/imbalance
+      // (the dial that decides when to re-train or re-seed the coarse
+      // quantizer). Rows-only: populations depend on trained centroids.
+      graft.operators.IvfIndex.listStats(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfCentroids(s, dir))
+    },
     "s07_pq_topk" -> { (s, dir) =>
       // product quantization + ADC: codebook trained on the corpus
       // (m=8 subspaces × 16 codewords, session-cached), corpus stored

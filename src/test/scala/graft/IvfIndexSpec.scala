@@ -66,4 +66,47 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(ivf == brute) // within-cluster neighbors: IVF@1 probe is exact
   }
+
+  test("listStats: populations sum to corpus, shares to 1, dead lists " +
+    "surface with count 0") {
+    val centroids = IvfIndex.fit(clustered, "vec_id", "embedding", 3, 4)
+    val stats = IvfIndex.listStats(clustered, "vec_id", "embedding",
+      centroids).orderBy("centroid_id").collect()
+    assert(stats.length == 3)
+    assert(stats.map(_.getLong(1)).sum == 30L)
+    assert(math.abs(stats.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    // balanced clusters: imbalance == 1 for every list
+    assert(stats.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-12))
+
+    // duplicate seed vectors kill a list at seed time: ids 0 and 1
+    // identical → centroid 2 (the duplicate) attracts nothing
+    val dup = Seq((0L, Array(10.0f, 0f, 0f)), (1L, Array(10.0f, 0f, 0f)),
+      (2L, Array(0f, 10.0f, 0f))) ++ (3L until 20L).map(i =>
+      (i, Array((i % 2) * 10.0f, ((i + 1) % 2) * 10.0f, 0f)))
+    val dupDf = dup.toDF("vec_id", "embedding")
+    val dead = IvfIndex.fit(dupDf, "vec_id", "embedding", k = 3, iters = 3)
+    val deadStats = IvfIndex.listStats(dupDf, "vec_id", "embedding", dead)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(deadStats.values.exists(_ == 0L), deadStats.toString)
+  }
+
+  test("reseedEmpty repairs dead lists deterministically") {
+    val dup = Seq((0L, Array(10.0f, 0f, 0f)), (1L, Array(10.0f, 0f, 0f)),
+      (2L, Array(0f, 10.0f, 0f))) ++ (3L until 20L).map(i =>
+      (i, Array((i % 3) * 10.0f, ((i + 1) % 3) * 10.0f,
+        ((i + 2) % 3) * 10.0f)))
+    val dupDf = dup.toDF("vec_id", "embedding")
+    val fixed = IvfIndex.fit(dupDf, "vec_id", "embedding", k = 3,
+      iters = 3, reseedEmpty = true)
+    val stats = IvfIndex.listStats(dupDf, "vec_id", "embedding", fixed)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats.values.forall(_ > 0L), stats.toString)
+    // determinism: same inputs, same repaired centroids
+    val again = IvfIndex.fit(dupDf, "vec_id", "embedding", k = 3,
+      iters = 3, reseedEmpty = true)
+    assert(fixed.orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1)).toSeq ==
+      again.orderBy("centroid_id").collect()
+        .map(_.getSeq[Double](1)).toSeq)
+  }
 }

@@ -43,7 +43,10 @@ class RecallSpec extends SparkSpec {
     "s08_ivfpq_topk" -> 0.15,
     "s09_opq_topk" -> 0.15,
     "s10_ivfpq_residual_topk" -> 0.10,
-    "s11_opq_learned_topk" -> 0.25)
+    "s11_opq_learned_topk" -> 0.25,
+    // ADC shortlist=100 + exact re-rank: recall is shortlist-bound
+    // (measured 0.92 vs plain PQ's 0.20 from the same codes)
+    "s12_pq_refine_topk" -> 0.85)
 
   for ((name, floor) <- floors)
     test(s"$name recall@5 >= $floor vs exact top-k") {
