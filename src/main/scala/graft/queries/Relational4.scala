@@ -342,6 +342,30 @@ object Relational4 extends QueryPack {
           |FROM lineitem GROUP BY l_returnflag
           |""".stripMargin)
     },
+    "f07_regexp_extract_all" -> { (s, dir) =>
+      // regexp_extract_all: every match, not just the first — array
+      // reduced to scalars (joined string + count) because the driver's
+      // compare can't hash array cells
+      val nums = regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(nums, ",").as("numbers_csv"),
+        size(nums).as("n_numbers"))
+    },
+    "q34_relational_division" -> { (s, dir) =>
+      // relational DIVISION (the "for all" join): customers whose orders
+      // span EVERY priority class. Division = per-group distinct count
+      // compared against the broadcast universe size — no N-way
+      // self-join, one aggregation + a 1-row broadcast.
+      val o = t(s, dir, "orders")
+      val universe = broadcast(
+        o.agg(countDistinct(col("o_orderpriority")).as("total")))
+      o.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("n_prios"))
+        .crossJoin(universe)
+        .filter(col("n_prios") === col("total"))
+        .select(col("o_custkey"), col("n_prios"))
+    },
     "q33_null_safe_join" -> { (s, dir) =>
       // null-safe equality (<=>) as a hash-join key: NULL groups pair
       // up instead of vanishing — full outer so one-sided keys survive
@@ -568,6 +592,21 @@ object Relational4 extends QueryPack {
              FILTER (WHERE l_returnflag <> 'A'), 2) AS DOUBLE)
              AS non_a_price
          FROM lineitem GROUP BY l_returnflag""",
+    "f07_regexp_extract_all" ->
+      """SELECT doc_id,
+           coalesce(list_aggregate(regexp_extract_all(text, '[0-9]+'),
+             'string_agg', ','), '') AS numbers_csv,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+             AS n_numbers
+         FROM documents""",
+    "q34_relational_division" ->
+      """WITH u AS (
+           SELECT count(DISTINCT o_orderpriority) AS total FROM orders)
+         SELECT o_custkey,
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+         FROM orders, u
+         GROUP BY o_custkey, u.total
+         HAVING count(DISTINCT o_orderpriority) = u.total""",
     "q33_null_safe_join" ->
       """WITH o AS (
            SELECT o_orderkey,

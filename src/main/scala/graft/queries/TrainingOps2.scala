@@ -31,6 +31,26 @@ object TrainingOps2 extends QueryPack {
 
   override def queries: Map[String, QueryFn] = Map(
 
+    "m01_media_features" -> { (s, dir) =>
+      // multimodal plumbing on the query surface: document bytes stand
+      // in for media blobs (codecs are honest stubs — Multimodal
+      // scaladoc), exercising the REAL pipeline shape per partition:
+      // batch decode → typed metadata, batch featurize → fingerprint,
+      // wide content dropped before the join/output so only small rows
+      // shuffle. Rows-only: fingerprints are wrapping 64-bit PolyHash.
+      val binary = t(s, dir, "documents").select(
+        concat(col("doc_id").cast("string"), lit(".jpg")).as("path"),
+        col("text").cast("binary").as("content"))
+      val meta = graft.multimodal.Multimodal.extractMeta(binary).toDF()
+        .select(col("path"), col("kind"), col("numBytes").as("num_bytes"),
+          col("width"), col("height"), col("channels"))
+      val feats = graft.multimodal.Multimodal.extractFeatures(binary, 16)
+        .toDF()
+        .select(col("path"), col("fingerprint"),
+          round(element_at(col("histogram"), 1), 6).as("hist_bin1"))
+      meta.join(feats, Seq("path"))
+    },
+
     "d14_hash_sample" -> { (s, dir) =>
       // deterministic 10% Bernoulli sample: membership is a pure
       // function of content — stable across runs, partitionings, and
