@@ -88,10 +88,18 @@ final class JdbcSink(url: String, props: java.util.Properties,
     opts.put("quote", csv.quoteChar.toString)
     opts.put("escape",
       (if (csv.doubleQuote) csv.quoteChar else csv.escapeChar).toString)
+    // render in the TABLE's declared column order (the order COPY/LOAD
+    // binds by position), not the DataFrame's — and fail loudly on a
+    // missing column instead of loading values into the wrong fields
+    val missing = table.fields.map(_.fieldName)
+      .filterNot(df.columns.toSet)
+    require(missing.isEmpty,
+      s"writeTableBulk: DataFrame lacks columns ${missing.mkString(", ")}" +
+        s" declared by table ${table.name}")
     val header = table.fields.map(_.fieldName)
       .mkString(csv.delimiter.toString)
-    val lines = df
-      .select(to_csv(struct(df.columns.map(col): _*), opts).as("line"))
+    val lines = df.select(to_csv(
+      struct(table.fields.map(f => col(f.fieldName)): _*), opts).as("line"))
     // locals only — the closure must not capture the (non-serializable)
     // sink; the channel itself is Serializable by contract
     val (u, p, t, ch, hdr) = (url, props, table, channel, header)

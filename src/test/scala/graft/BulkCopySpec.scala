@@ -93,6 +93,28 @@ class BulkCopySpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("bulk write binds by table column order, not DataFrame order; " +
+    "missing columns fail loudly") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sink = new JdbcSink("jdbc:derby:memory:graftbulk2;create=true",
+      props, PgOrderOnDerby, seen.add(_))
+    // shuffled DataFrame column order must still land correctly
+    val df = Seq((9.5, 201L, "ZORG")).toDF("capital", "siren", "nom")
+    sink.writeTableBulk(df, tableDef.copy(name = "bulk_ord",
+      fields = tableDef.fields.map(f => f.copy(tableName = "bulk_ord")),
+      indices = Seq.empty), BulkCopySpec.DerbyCsvChannel)
+    val back = spark.read
+      .jdbc("jdbc:derby:memory:graftbulk2;create=true", "bulk_ord", props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((201L, "ZORG", 9.5)))
+
+    val err = intercept[IllegalArgumentException] {
+      sink.writeTableBulk(df.drop("nom"), tableDef,
+        BulkCopySpec.DerbyCsvChannel)
+    }
+    assert(err.getMessage.contains("nom"), err.getMessage)
+  }
+
   test("PostgreSQL transcript: DROP→CREATE→TRUNCATE→COPY→ANALYZE→INDEX") {
     val sink = new JdbcSink("jdbc:postgresql:fake", props, PostgresDialect)
     val t = sink.dryRunTranscript(tableDef, Some(PgCopyChannel()))
