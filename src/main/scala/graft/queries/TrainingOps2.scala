@@ -144,17 +144,18 @@ object TrainingOps2 extends QueryPack {
         explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
       val counts = bg.groupBy(col("doc_id"), col("bg"))
         .agg(count(lit(1)).as("n"))
-      val mx = counts.groupBy(col("doc_id"))
-        .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bigrams"))
-      counts.join(mx, "doc_id")
-        .filter(col("n") === col("top_n"))
-        .groupBy(col("doc_id"), col("top_n"), col("n_bigrams"))
-        .agg(min(col("bg")).as("top_bigram"))
-        .select(col("doc_id"), col("top_bigram"),
-          col("top_n").cast("int").as("top_n"),
+      // argmax with min-bigram tie-break as ONE aggregation:
+      // min(struct(-n, bg)) orders by n desc then bg asc — no second
+      // pass over counts, no counts⋈max self-join (two shuffles total,
+      // both with map-side partial aggregation)
+      counts.groupBy(col("doc_id"))
+        .agg(min(struct((-col("n")).as("neg_n"), col("bg"))).as("top"),
+          sum(col("n")).as("n_bigrams"))
+        .select(col("doc_id"), col("top.bg").as("top_bigram"),
+          (-col("top.neg_n")).cast("int").as("top_n"),
           col("n_bigrams").cast("int").as("n_bigrams"),
-          (col("top_n").cast("double") / col("n_bigrams").cast("double"))
-            .as("top_frac"))
+          ((-col("top.neg_n")).cast("double") /
+            col("n_bigrams").cast("double")).as("top_frac"))
     })
 
   override def oracleSql: Map[String, String] = Map(
