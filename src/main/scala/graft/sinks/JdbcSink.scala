@@ -82,6 +82,27 @@ final class JdbcSink(url: String, props: java.util.Properties,
       runAll(conn, dialect.createTable(table))
       runAll(conn, dialect.prepareCopy(table))
     }
+    bulkCopy(df, table, channel, csv, numPartitions)
+    withConnection { conn =>
+      runAll(conn, dialect.finalizeCopy(table))
+      table.indices.foreach(ix => runAll(conn, dialect.createIndex(table, ix)))
+    }
+  }
+
+  /** Append-only native bulk load: the per-partition copy WITHOUT the
+    * DDL lifecycle — what a `foreachBatch` streaming sink calls per
+    * micro-batch (create once — first batch via [[writeTableBulk]] or
+    * DDL upfront — then COPY-only appends; re-ANALYZE on your own
+    * cadence). See `StreamingSinkSpec`.
+    */
+  def appendBulk(df: DataFrame, table: SqlTableDef, channel: CopyChannel,
+                 csv: CsvDialect = CsvDialect.unix,
+                 numPartitions: Int = 4): Unit =
+    bulkCopy(df, table, channel, csv, numPartitions)
+
+  private def bulkCopy(df: DataFrame, table: SqlTableDef,
+                       channel: CopyChannel, csv: CsvDialect,
+                       numPartitions: Int): Unit = {
     listener(channel.describe(table))
     val opts = new java.util.HashMap[String, String]
     opts.put("sep", csv.delimiter.toString)
@@ -94,7 +115,7 @@ final class JdbcSink(url: String, props: java.util.Properties,
     val missing = table.fields.map(_.fieldName)
       .filterNot(df.columns.toSet)
     require(missing.isEmpty,
-      s"writeTableBulk: DataFrame lacks columns ${missing.mkString(", ")}" +
+      s"bulk load: DataFrame lacks columns ${missing.mkString(", ")}" +
         s" declared by table ${table.name}")
     val header = table.fields.map(_.fieldName)
       .mkString(csv.delimiter.toString)
@@ -110,10 +131,6 @@ final class JdbcSink(url: String, props: java.util.Properties,
           ()
         }
       }
-    withConnection { conn =>
-      runAll(conn, dialect.finalizeCopy(table))
-      table.indices.foreach(ix => runAll(conn, dialect.createIndex(table, ix)))
-    }
   }
 
   /** Dry-run variant: render the full statement transcript without a

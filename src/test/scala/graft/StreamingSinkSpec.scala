@@ -46,4 +46,53 @@ class StreamingSinkSpec extends SparkSpec {
         Set(1L, 2L, 3L))
     } finally query.stop()
   }
+
+  test("streaming micro-batches land through the NATIVE bulk path " +
+    "(first batch full lifecycle, then COPY-only appends)") {
+    import graft.schema._
+    import graft.sinks.JdbcSink
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstreambulk;create=true"
+    val props = new java.util.Properties()
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_stream_bulk_ckpt").toString
+    val tableDef = SqlTableDef("events_bulk",
+      Seq(SqlFieldDef("events_bulk", "event_id", SqlTypes.BIGINT, rank = 0),
+        SqlFieldDef("events_bulk", "payload", SqlTypeDef("varchar(40)",
+          org.apache.spark.sql.types.StringType), rank = 1)),
+      Seq.empty)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Derby-compatible lifecycle (no DROP/ANALYZE — fresh in-memory db)
+    object MinimalDerby extends graft.sinks.SinkDialect {
+      override def dropTable(t: SqlTableDef): Seq[String] = Seq.empty
+      override def createIndex(t: SqlTableDef,
+                               ix: SqlIndexDef): Seq[String] = Seq.empty
+    }
+    val sink = new JdbcSink(url, props, MinimalDerby, seen.add(_))
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.toForeachBatchSink(
+      input.toDF().toDF("event_id", "payload"), checkpoint) {
+      (batch, id) =>
+        if (id == 0) sink.writeTableBulk(batch, tableDef,
+          BulkCopySpec.DerbyCsvChannel)
+        else sink.appendBulk(batch, tableDef, BulkCopySpec.DerbyCsvChannel)
+    }.start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      input.addData((3L, "c"))
+      query.processAllAvailable()
+      val landed = spark.read.jdbc(url, "events_bulk", props)
+        .as[(Long, String)].collect().toSet
+      assert(landed == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // exactly one CREATE; one COPY per non-empty batch; appends never
+      // re-run DDL
+      val kinds = seen.toArray(Array.empty[String]).toSeq
+        .map(_.takeWhile(_ != ' '))
+      assert(kinds.count(_ == "CREATE") == 1, kinds.toString)
+      assert(kinds.count(_ == "COPY") == 2, kinds.toString)
+      assert(kinds.last == "COPY", kinds.toString)
+    } finally query.stop()
+  }
 }
