@@ -34,7 +34,8 @@ object Pipelines {
     */
   def importSirene(spark: SparkSession, sireneDir: String, rdbms: String,
                    jdbcUrl: Option[String] = None,
-                   processNames: String => String = NameUtil.toSnake)
+                   processNames: String => String = NameUtil.toSnake,
+                   bulkCopy: Boolean = true)
       : Map[String, Seq[String]] = {
     val d = dialect(rdbms)
     Sirene.dataSources(java.nio.file.Paths.get(sireneDir)).map {
@@ -48,7 +49,7 @@ object Pipelines {
         }
         val data = Sirene.castTo(
           ZipCsv.readCsv(spark, zip.toString), table)
-        tableName -> sinkOrDryRun(data, table, d, jdbcUrl)
+        tableName -> sinkOrDryRun(data, table, d, jdbcUrl, bulkCopy)
     }.toMap
   }
 
@@ -92,15 +93,35 @@ object Pipelines {
     sinkOrDryRun(df, table, d, jdbcUrl)
   }
 
+  /** The native bulk channel per dialect — PG COPY / MariaDB LOAD DATA;
+    * engines without a bulk command (SQLite) fall back to batched
+    * INSERT, matching `sqlite.py:58-68`.
+    */
+  private def channelFor(d: SinkDialect): Option[CopyChannel] = d match {
+    case PostgresDialect => Some(PgCopyChannel())
+    case MariaDbDialect => Some(MariaDbLoadChannel())
+    case _ => None
+  }
+
+  /** `bulkCopy = true` mirrors the reference's default
+    * (`import_sirene.py:411-413`): PG/MariaDB go through their native
+    * bulk path; dry runs render the bulk statement in the transcript.
+    */
   private def sinkOrDryRun(df: DataFrame, table: SqlTableDef,
-                           d: SinkDialect,
-                           jdbcUrl: Option[String]): Seq[String] =
+                           d: SinkDialect, jdbcUrl: Option[String],
+                           bulkCopy: Boolean = true): Seq[String] = {
+    val channel = if (bulkCopy) channelFor(d) else None
     jdbcUrl match {
       case Some(url) =>
-        new JdbcSink(url, new java.util.Properties, d).writeTable(df, table)
+        val sink = new JdbcSink(url, new java.util.Properties, d)
+        channel match {
+          case Some(ch) => sink.writeTableBulk(df, table, ch)
+          case None => sink.writeTable(df, table)
+        }
         Seq(s"written: ${table.name}")
       case None => // dry run (reference X1): transcript only
         new JdbcSink("jdbc:dry", new java.util.Properties, d)
-          .dryRunTranscript(table)
+          .dryRunTranscript(table, channel)
     }
+  }
 }

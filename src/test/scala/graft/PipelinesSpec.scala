@@ -109,5 +109,20 @@ class PipelinesSpec extends SparkSpec {
     assert(transcript(1).contains("date")) // typed DATE column
     assert(transcript.contains(
       "CREATE INDEX nom_deces_idx ON deces USING hash(nom)"))
+    // bulk_copy defaults ON (import_sirene.py:411-413): the PG dry run
+    // renders the COPY statement between TRUNCATE and ANALYZE
+    val kinds = transcript.map(_.split("[ \n]")(0))
+    assert(kinds.containsSlice(Seq("TRUNCATE", "COPY", "ANALYZE")),
+      transcript.mkString(" | "))
+    // MariaDB dry run renders the LOAD DATA bridge statement instead
+    val maria = Pipelines.importDeces(spark, path.toString, "mariadb")
+    assert(maria.exists(_.startsWith("LOAD DATA LOCAL INFILE")),
+      maria.mkString(" | "))
+    // bulkCopy = false falls back to the batched INSERT transcript
+    val sink = new graft.sinks.JdbcSink("jdbc:dry",
+      new java.util.Properties, graft.sinks.PostgresDialect)
+    assert(sink.dryRunTranscript(
+      graft.schema.SqlTableDef("t", Seq.empty, Seq.empty), None)
+      .exists(_.startsWith("INSERT INTO")))
   }
 }
