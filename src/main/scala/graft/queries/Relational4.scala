@@ -342,6 +342,23 @@ object Relational4 extends QueryPack {
           |FROM lineitem GROUP BY l_returnflag
           |""".stripMargin)
     },
+    "q35_mom_growth" -> { (s, dir) =>
+      // month-over-month revenue growth WITHOUT a global lag window
+      // (an unpartitioned Window.orderBy sorts everything on one task):
+      // the monthly aggregate (≤ a few hundred rows at any SF) self-
+      // joins on month = prev_month + 1, broadcast both sides by size.
+      val monthly = t(s, dir, "orders")
+        .groupBy(trunc(col("o_orderdate").cast("date"), "month")
+          .as("month"))
+        .agg(money(col("o_totalprice")).as("revenue"))
+      val prev = monthly.select(
+        add_months(col("month"), 1).as("month"),
+        col("revenue").as("prev_revenue"))
+      monthly.join(prev, Seq("month"), "left")
+        .select(col("month"), col("revenue"), col("prev_revenue"),
+          round((col("revenue") - col("prev_revenue")) /
+            col("prev_revenue"), 6).as("growth"))
+    },
     "f07_regexp_extract_all" -> { (s, dir) =>
       // regexp_extract_all: every match, not just the first — array
       // reduced to scalars (joined string + count) because the driver's
@@ -592,6 +609,18 @@ object Relational4 extends QueryPack {
              FILTER (WHERE l_returnflag <> 'A'), 2) AS DOUBLE)
              AS non_a_price
          FROM lineitem GROUP BY l_returnflag""",
+    "q35_mom_growth" ->
+      """WITH monthly AS (
+           SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS DATE) AS month,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)
+                    AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1)
+         SELECT m.month, m.revenue, p.revenue AS prev_revenue,
+                round((m.revenue - p.revenue) / p.revenue, 6) AS growth
+         FROM monthly m
+         LEFT JOIN monthly p
+           ON m.month = CAST(p.month + INTERVAL 1 MONTH AS DATE)""",
     "f07_regexp_extract_all" ->
       """SELECT doc_id,
            coalesce(list_aggregate(regexp_extract_all(text, '[0-9]+'),
