@@ -26,6 +26,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0).getLong(0)
       assert(h == graft.functions.PolyHash.hashBytes(
         "hello world".getBytes("UTF-8")))
+      // vector kernels reachable from pure SQL through the same install
+      val r = spark.sql(
+        """SELECT vector_dot(array(1.0F, 2.0F, 3.0F),
+                             array(4.0F, 5.0F, 6.0F)) AS d,
+                  vector_l2sq(array(1.0F, 2.0F), array(4.0F, 6.0F)) AS l
+        """).collect()(0)
+      assert(r.getDouble(0) == 32.0)
+      assert(r.getDouble(1) == 25.0)
     } finally {
       previous.foreach { p =>
         SparkSession.setDefaultSession(p)
