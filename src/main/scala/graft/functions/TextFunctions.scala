@@ -132,4 +132,35 @@ object TextFunctions {
     greatest(least(lenOk * lit(0.25) + alpha * lit(0.35) +
       calm * lit(0.2) + tokOk * lit(0.2), lit(1.0)), lit(0.0))
   }
+
+  /** PII patterns for the redaction pass. Deliberately conservative
+    * RE2-compatible regexes (no backreferences, no lookaround) so the
+    * SAME pattern runs identically under Spark (java.util.regex) and
+    * the DuckDB oracle (RE2) — the cross-engine discipline the rest of
+    * this file follows.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII redaction (the compliance pass between dedup and packing in a
+    * training pipeline): emails, NANP-style phone numbers, and IPv4
+    * literals replaced with typed placeholder tokens. Map-side only —
+    * three codegen'd regexp_replace passes, no UDF.
+    *
+    * Order matters and is fixed: emails first (an email never contains
+    * a phone/IP match once redacted), then phones, then IPs.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Count of matches for `pattern` (the audit metric next to the
+    * redacted text).
+    */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
 }

@@ -103,6 +103,21 @@ object TrainingOps extends QueryPack {
         col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("predicted_lang"))
     },
+    "d21_pii_redact" -> { (s, dir) =>
+      // compliance pass: typed-placeholder redaction of emails/phones/
+      // IPv4 + per-document audit counts — three codegen'd
+      // regexp_replace passes, map-side only (RE2-compatible patterns,
+      // so the oracle runs the SAME regexes)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"),
+        TextFunctions.piiCount(col("text"), TextFunctions.emailRe)
+          .as("n_emails"),
+        TextFunctions.piiCount(col("text"), TextFunctions.phoneRe)
+          .as("n_phones"),
+        TextFunctions.piiCount(col("text"), TextFunctions.ipRe)
+          .as("n_ips"))
+    },
     "d13_quality_score" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -431,6 +446,22 @@ object TrainingOps extends QueryPack {
              + (CASE WHEN mean_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5
                 END) * 0.2, 1.0), 0.0) AS quality
          FROM m""",
+    "d21_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips
+         FROM documents""",
     "d09_ngram_jaccard_pairs" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0

@@ -231,4 +231,26 @@ class TextOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("PII redaction replaces emails/phones/IPs with typed tokens " +
+    "and counts match") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 555-123-4567."),
+      (2L, "from 192.168.0.1 and 10.0.0.255; no pii here: 1234."),
+      (3L, "two mails a@b.io c@d.co and phone 800 555 1212"),
+      (4L, "clean text")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("r"),
+      TextFunctions.piiCount(col("text"), TextFunctions.emailRe).as("e"),
+      TextFunctions.piiCount(col("text"), TextFunctions.phoneRe).as("p"),
+      TextFunctions.piiCount(col("text"), TextFunctions.ipRe).as("i"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) == ("mail <EMAIL> or call <PHONE>.", 1, 1, 0))
+    assert(got(2L) ==
+      ("from <IP> and <IP>; no pii here: 1234.", 0, 0, 2))
+    assert(got(3L) == ("two mails <EMAIL> <EMAIL> and phone <PHONE>",
+      2, 1, 0))
+    assert(got(4L) == ("clean text", 0, 0, 0))
+  }
 }
