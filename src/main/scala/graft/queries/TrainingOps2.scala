@@ -133,6 +133,25 @@ object TrainingOps2 extends QueryPack {
             .cast("int").as("pack_id"))
     },
 
+    "d22_boilerplate_ngrams" -> { (s, dir) =>
+      // boilerplate mining (the CCNet/RefinedWeb-style repeated-segment
+      // signal): word 5-grams ranked by DOCUMENT frequency — segments
+      // shared verbatim across many documents are navigation chrome /
+      // license text / template junk, and this list is what a removal
+      // pass blacklists. Shuffles (doc_id, shingle) pairs only
+      // (distinct per doc map-side); deterministic top-20 tie-broken
+      // lexicographically.
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordShingles(col("text"), 5))).as("shingle"))
+      sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .filter(col("doc_freq") >= 3)
+        .orderBy(col("doc_freq").desc, col("shingle"))
+        .limit(20)
+        .select(col("shingle"), col("doc_freq"))
+    },
+
     "d18_top_bigram" -> { (s, dir) =>
       // Gopher-style repetition signal: the fraction of bigrams claimed
       // by the single most frequent bigram (high → boilerplate/spam).
@@ -206,6 +225,22 @@ object TrainingOps2 extends QueryPack {
                 CAST(end_off - n_tokens AS BIGINT) AS start_off,
                 CAST((end_off - n_tokens) // 512 AS INT) AS pack_id
          FROM c""",
+    "d22_boilerplate_ngrams" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] ||
+                  ' ' || ts[CAST(i+2 AS INT)] || ' ' ||
+                  ts[CAST(i+3 AS INT)] || ' ' || ts[CAST(i+4 AS INT)]
+                    AS shingle
+           FROM toks, UNNEST(range(1, len(ts) - 3)) AS u(i))
+         SELECT shingle, count(1) AS doc_freq
+         FROM sh GROUP BY shingle HAVING count(1) >= 3
+         ORDER BY doc_freq DESC, shingle LIMIT 20""",
     "d18_top_bigram" ->
       """WITH toks AS (
            SELECT doc_id,
