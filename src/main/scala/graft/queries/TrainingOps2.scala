@@ -133,6 +133,41 @@ object TrainingOps2 extends QueryPack {
             .cast("int").as("pack_id"))
     },
 
+    "d23_substring_leak" -> { (s, dir) =>
+      // EXACT-containment decontamination (complements d20's near-dup
+      // pass): an eval/test document appearing verbatim INSIDE a train
+      // document. Seed-and-extend: word-aligned containment implies the
+      // eval doc's FIRST 8-gram occurs among the train doc's 8-grams,
+      // so candidates come from an index join (shuffles (8-gram, id)
+      // pairs — never all-pairs), then verify with one contains() on
+      // space-padded text. The index prune is exact on single-space-
+      // normalized text (this corpus; normalize first otherwise) —
+      // contains() keeps verification exact regardless. Exact-EQUAL
+      // docs can't cross a content-hash split (SamplingSpec), so every
+      // hit here is a PROPER substring leak.
+      val labeled = t(s, dir, "documents").select(col("doc_id"),
+        col("text"),
+        SamplingFunctions.splitLabel(
+          SamplingFunctions.hashBucket(col("text"))).as("split"))
+      val evalDocs = labeled.filter(col("split") =!= "train")
+        .filter(size(TextFunctions.tokens(col("text"))) >= 8)
+        .select(col("doc_id").as("eval_id"),
+          col("text").as("eval_text"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+            .as("g8"))
+      val trainDocs = labeled.filter(col("split") === "train")
+        .select(col("doc_id").as("train_id"),
+          col("text").as("train_text"),
+          explode(array_distinct(
+            TextFunctions.wordShingles(col("text"), 8))).as("g8"))
+      evalDocs.join(trainDocs, Seq("g8"))
+        .filter(contains(
+          concat(lit(" "), col("train_text"), lit(" ")),
+          concat(lit(" "), col("eval_text"), lit(" "))))
+        .select(col("eval_id"), col("train_id"))
+        .distinct()
+    },
+
     "d22_boilerplate_ngrams" -> { (s, dir) =>
       // boilerplate mining (the CCNet/RefinedWeb-style repeated-segment
       // signal): word 5-grams ranked by DOCUMENT frequency — segments
@@ -225,6 +260,18 @@ object TrainingOps2 extends QueryPack {
                 CAST(end_off - n_tokens AS BIGINT) AS start_off,
                 CAST((end_off - n_tokens) // 512 AS INT) AS pack_id
          FROM c""",
+    "d23_substring_leak" ->
+      s"""WITH d AS (
+           SELECT doc_id, text, $foldSql % 100 AS bucket FROM documents),
+         ev AS (
+           SELECT doc_id, text FROM d
+           WHERE bucket >= 80
+             AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> x <> '')) >= 8),
+         tr AS (SELECT doc_id, text FROM d WHERE bucket < 80)
+         SELECT DISTINCT ev.doc_id AS eval_id, tr.doc_id AS train_id
+         FROM ev JOIN tr
+           ON contains(' ' || tr.text || ' ', ' ' || ev.text || ' ')""",
     "d22_boilerplate_ngrams" ->
       """WITH toks AS (
            SELECT doc_id,
