@@ -149,23 +149,39 @@ object TrainingOps2 extends QueryPack {
         col("text"),
         SamplingFunctions.splitLabel(
           SamplingFunctions.hashBucket(col("text"))).as("split"))
+      // the index join shuffles (8-gram, id) PAIRS ONLY — document
+      // bodies never ride the shingle explosion (the same discipline
+      // Dedup applies to signatures); texts join back AFTER the
+      // candidate set is deduped, which is tiny by construction
+      // index keys are xxhash64(8-gram) — 8 bytes shuffle instead of a
+      // ~60-byte string; a hash collision can only ADD a candidate,
+      // and the contains() verification removes it
       val evalDocs = labeled.filter(col("split") =!= "train")
         .filter(size(TextFunctions.tokens(col("text"))) >= 8)
         .select(col("doc_id").as("eval_id"),
-          col("text").as("eval_text"),
-          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
-            .as("g8"))
-      val trainDocs = labeled.filter(col("split") === "train")
+          xxhash64(array_join(
+            slice(TextFunctions.tokens(col("text")), 1, 8), " "))
+            .as("h8"))
+      val trainIdx = labeled.filter(col("split") === "train")
         .select(col("doc_id").as("train_id"),
-          col("text").as("train_text"),
-          explode(array_distinct(
-            TextFunctions.wordShingles(col("text"), 8))).as("g8"))
-      evalDocs.join(trainDocs, Seq("g8"))
+          explode(array_distinct(transform(
+            TextFunctions.wordShingles(col("text"), 8),
+            g => xxhash64(g)))).as("h8"))
+      val cands = evalDocs.join(trainIdx, Seq("h8"))
+        .select(col("eval_id"), col("train_id"))
+        .distinct()
+      // verification texts come straight off the base scan by id — no
+      // split-fold recompute (candidate ids already imply the splits)
+      val texts = t(s, dir, "documents")
+      cands
+        .join(texts.select(col("doc_id").as("eval_id"),
+          col("text").as("eval_text")), Seq("eval_id"))
+        .join(texts.select(col("doc_id").as("train_id"),
+          col("text").as("train_text")), Seq("train_id"))
         .filter(contains(
           concat(lit(" "), col("train_text"), lit(" ")),
           concat(lit(" "), col("eval_text"), lit(" "))))
         .select(col("eval_id"), col("train_id"))
-        .distinct()
     },
 
     "d22_boilerplate_ngrams" -> { (s, dir) =>
