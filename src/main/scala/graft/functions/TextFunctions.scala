@@ -19,19 +19,22 @@ object TextFunctions {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Cross-engine-reproducible document fingerprint: left fold of
-    * `h = (h*31 + char_code) mod 1e9+7` over the text's characters.
-    * Stays within BIGINT under ANSI mode (h < 1e9+7, so h*31+cp < 2^35)
-    * and matches a DuckDB `list_reduce` fold — unlike
+    * `h = (h*31 + codepoint) mod 1e9+7` over the text's characters.
+    * Stays within BIGINT under ANSI mode (h < 1e9+7, cp ≤ 0x10FFFF, so
+    * h*31+cp < 2^35) and matches a DuckDB `list_reduce` fold — unlike
     * [[graft.functions.PolyHashFunctions.poly_hash]], whose wrapping
     * 64-bit arithmetic no oracle can replicate. Empty/null-safe: empty
     * text → 0.
     *
-    * ASCII-ONLY exactness guarantee (ADVICE r2): char codes come from
-    * Spark's `ascii()` while the DuckDB oracle uses `unicode()`; the two
-    * agree on ASCII but can diverge on multi-byte characters (surrogate
-    * handling in `split("")` differs too). The test corpora are ASCII;
-    * for arbitrary Unicode, normalize both sides to explicit codepoints
-    * first.
+    * UNICODE-exact (verified, `TextOpsSpec` "rollingHashMod is
+    * codepoint-exact"): Spark 4's `ascii()` returns the full Unicode
+    * codepoint of the first character (not the first byte), and
+    * `split(c, "")` iterates CODEPOINTS — an astral-plane emoji comes
+    * back as one element, not a surrogate pair. That makes this fold
+    * identical to DuckDB's `unicode(substring(s, i, 1))` fold for
+    * arbitrary valid-UTF-8 text, so content-hash splits/samples
+    * (d12/d14-d16/d19/d23) are cross-engine-stable on real corpora,
+    * not just ASCII.
     */
   def rollingHashMod(c: Column, p: Long = 1000000007L): Column = {
     // split-into-chars is one linear pass; the substr(i, 1) formulation

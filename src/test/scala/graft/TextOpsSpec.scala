@@ -253,4 +253,29 @@ class TextOpsSpec extends SparkSpec {
       2, 1, 0))
     assert(got(4L) == ("clean text", 0, 0, 0))
   }
+
+  test("rollingHashMod is codepoint-exact on non-ASCII text") {
+    import spark.implicits._
+    // golden values computed with the DuckDB oracle fold
+    // (list_reduce over unicode(substring(s,i,1))) AND a pure
+    // codepoint fold — both agree; Spark must too, proving the
+    // content-hash splits are cross-engine-stable beyond ASCII
+    val fixtures = Seq(
+      "hello" -> 99162322L,              // ASCII control
+      "héllo wörld" -> 309710581L,       // latin-1 accents (2-byte UTF-8)
+      "€uro päy" -> 708045705L,          // 3-byte UTF-8 (U+20AC)
+      "日本語テキスト" -> 842898328L,      // CJK, all 3-byte
+      "mixed 😀 emoji" -> 373056797L,    // astral plane (4-byte, U+1F600)
+      "Füße & cœur — déjà" -> 607367883L) // ligature + em-dash mix
+    val got = fixtures.map(_._1).toDF("t")
+      .select(col("t"), TextFunctions.rollingHashMod(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fixtures.foreach { case (s, want) =>
+      assert(got(s) == want, s"fold diverged for '$s'")
+      // cross-check against the JVM codepoint fold (same contract)
+      val ref = s.codePoints().toArray
+        .foldLeft(0L)((a, cp) => (a * 31 + cp) % 1000000007L)
+      assert(ref == want, s"JVM reference fold diverged for '$s'")
+    }
+  }
 }
