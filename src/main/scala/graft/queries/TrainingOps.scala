@@ -225,6 +225,39 @@ object TrainingOps extends QueryPack {
         .select(col("id_a"), col("id_b"))
       Dedup.nearDupSurvivors(docs, "doc_id", pairs)
     },
+    "d24_exact_dedup_survivors" -> { (s, dir) =>
+      // ORACLE ANCHOR for the dedup-cluster machinery (the role s01
+      // plays for ANN): the same connected-components → min-id-survivor
+      // path as d11, but over an EXACT word-3-gram Jaccard edge list a
+      // DuckDB recursive CTE can replicate, so cluster labels and
+      // survivor flags get a hash-checked row instead of rows-only
+      // trust. The candidate prune is the shingle-index join (J ≥ 0.5
+      // implies a shared shingle — never all-pairs); the threshold is
+      // the integer form 3·|A∩B| ≥ |A|+|B| (⟺ J ≥ 0.5), so no float
+      // division can diverge between engines. Raw shingle strings are
+      // the join key here — an xxhash64 key (d23's trick) could merge
+      // two distinct shingles and perturb the exact counts; at corpus
+      // scale the LSH tier (d11) is the read path, this is the anchor.
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordShingles(col("text"), 3)))
+          .as("g"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("id_a"), col("g"))
+        .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+      val edges = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+          Seq("id_b"))
+        .filter(lit(3) * col("c") >= col("na") + col("nb"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.nearDupSurvivors(docs, "doc_id", edges)
+        .select(col("id"), col("component"), col("is_survivor"))
+    },
     "s05_ivf_topk" -> { (s, dir) =>
       // IVF: 8 coarse centroids (deterministic seed, session-cached),
       // probe 2
@@ -357,6 +390,41 @@ object TrainingOps extends QueryPack {
       """SELECT min(doc_id) AS doc_id, md5(text) AS digest,
                 count(1) AS group_size
          FROM documents GROUP BY md5(text)""",
+    // transitive closure over the exact word-3-gram Jaccard edge list
+    // (integer threshold 3·|∩| ≥ |A|+|B| ⟺ J ≥ 0.5), then min-label
+    // components — replicates the CC + survivor semantics exactly
+    "d24_exact_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text),
+               '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] ||
+                  ' ' || ts[CAST(i+2 AS INT)] AS g
+           FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+         sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE 3 * c >= sa.n + sb.n),
+         sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(a, b) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+         comp AS (SELECT a AS id, min(b) AS component
+                  FROM reach GROUP BY a)
+         SELECT d.doc_id AS id,
+                coalesce(c.component, d.doc_id) AS component,
+                d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
     "d02_token_stats" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
