@@ -15,6 +15,23 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-import")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The CLI body minus session lifecycle (so an embedding application
+    * — or a spec — can drive the exact arg-parse → import → transcript
+    * path on its own session). Returns the per-table transcripts it
+    * also prints.
+    */
+  def run(spark: SparkSession,
+          args: Array[String]): Map[String, Seq[String]] = {
     val opts = parseArgs(args.toList, Map.empty)
     val source = opts.getOrElse("source",
       fail("missing -s sirene|fantoir|deces"))
@@ -22,28 +39,20 @@ object Main {
     val path = opts.getOrElse("path", fail("missing -p <path>"))
     val jdbcUrl = opts.get("jdbcUrl")
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(s"graft-import-$source")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
     // X3: one progress line per 500k input rows (import_fantoir.py:196-200)
     spark.sparkContext.addSparkListener(new graft.pipelines.ProgressMeter())
-    try {
-      val transcripts: Map[String, Seq[String]] = source match {
-        case "sirene" => Pipelines.importSirene(spark, path, rdbms, jdbcUrl)
-        case "fantoir" => Pipelines.importFantoir(spark, path, rdbms, jdbcUrl)
-        case "deces" =>
-          Map("deces" -> Pipelines.importDeces(spark, path, rdbms, jdbcUrl))
-        case other => fail(s"unknown source: $other")
-      }
-      transcripts.toSeq.sortBy(_._1).foreach { case (table, statements) =>
-        println(s"-- $table")
-        statements.foreach(println)
-      }
-    } finally spark.stop()
+    val transcripts: Map[String, Seq[String]] = source match {
+      case "sirene" => Pipelines.importSirene(spark, path, rdbms, jdbcUrl)
+      case "fantoir" => Pipelines.importFantoir(spark, path, rdbms, jdbcUrl)
+      case "deces" =>
+        Map("deces" -> Pipelines.importDeces(spark, path, rdbms, jdbcUrl))
+      case other => fail(s"unknown source: $other")
+    }
+    transcripts.toSeq.sortBy(_._1).foreach { case (table, statements) =>
+      println(s"-- $table")
+      statements.foreach(println)
+    }
+    transcripts
   }
 
   @annotation.tailrec

@@ -24,9 +24,24 @@ object Pipelines {
       yield a -> (d: SinkDialect)).toMap
   }
 
-  def dialect(rdbms: String): SinkDialect =
-    dialects.getOrElse(rdbms.toLowerCase,
+  /** User-registered dialects (the extension point the reference's
+    * fixed alias map lacks): a library user targeting an engine beyond
+    * pg/mariadb/sqlite registers its [[SinkDialect]] under a name and
+    * every pipeline + the CLI accept it. Registered engines take the
+    * batched-INSERT sink path unless they also appear in
+    * [[channelFor]]'s native-bulk mapping.
+    */
+  private val extraDialects =
+    scala.collection.concurrent.TrieMap.empty[String, SinkDialect]
+
+  def registerDialect(name: String, d: SinkDialect): Unit =
+    extraDialects.put(name.toLowerCase, d)
+
+  def dialect(rdbms: String): SinkDialect = {
+    val key = rdbms.toLowerCase
+    extraDialects.get(key).orElse(dialects.get(key)).getOrElse(
       throw new IllegalArgumentException(s"unknown rdbms: $rdbms"))
+  }
 
   /** SIRENE (§3.1): per discovered source — dessin → table def →
     * zip CSV → cast → sink. Returns the transcripts (dry run) or writes

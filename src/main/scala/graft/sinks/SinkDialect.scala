@@ -134,6 +134,13 @@ object SqliteDialect extends SinkDialect
   */
 object DerbyDialect extends SinkDialect {
   override def dropTable(table: SqlTableDef): Seq[String] = Seq.empty
+  /** Derby has no TEXT type; render it as max-width VARCHAR. */
+  override def createTable(table: SqlTableDef): Seq[String] =
+    super.createTable(table.copy(fields = table.fields.map { f =>
+      if (f.sqlType.ddl == "text")
+        f.copy(sqlType = f.sqlType.copy(ddl = "VARCHAR(32672)"))
+      else f
+    }))
   override def createIndex(table: SqlTableDef,
                            index: SqlIndexDef): Seq[String] = {
     require(index.tableName == table.name)
