@@ -58,7 +58,7 @@ object TrainingOps extends QueryPack {
       case None =>
         val built = graft.operators.OpqIndex.fit(
           t(s, dir, "embeddings"), "vec_id", "embedding",
-          m = 8, k = 16, lloydIters = 3, opqIters = 3)
+          m = 8, k = 256, lloydIters = 3, opqIters = 3)
         opqCache.synchronized {
           opqCache.getOrElseUpdate((s, dir), built)
         }
@@ -68,7 +68,7 @@ object TrainingOps extends QueryPack {
     cachedFrame(s, s"pqcb:$dir", persist = false)(
       graft.operators.PqIndex.fit(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        m = 8, k = 16, iters = 3))
+        m = 8, k = 256, iters = 3))
 
   /** Shared minhash signatures (threshold-independent): d06 mines
     * candidates at 0.3 and d11 makes dedup decisions at 0.5 over ONE
@@ -284,7 +284,7 @@ object TrainingOps extends QueryPack {
           t(s, dir, "embeddings"), "embedding", 64))
       val codebook = cachedFrame(s, s"opqcb:$dir", persist = false)(
         graft.operators.PqIndex.fit(
-          rotated, "vec_id", "embedding", m = 8, k = 16, iters = 3))
+          rotated, "vec_id", "embedding", m = 8, k = 256, iters = 3))
       val encoded = graft.operators.PqIndex.encode(
         rotated, "vec_id", "embedding", codebook)
       graft.operators.PqIndex.search(encoded,
@@ -314,7 +314,7 @@ object TrainingOps extends QueryPack {
       val centroids = ivfCentroids(s, dir)
       val codebook = cachedFrame(s, s"rescb:$dir", persist = false)(
         graft.operators.IvfPq.fitResidual(
-          emb, "vec_id", "embedding", centroids, m = 8, kCodes = 16))
+          emb, "vec_id", "embedding", centroids, m = 8, kCodes = 256))
       val indexed = graft.operators.IvfPq.indexResidual(
         emb, "vec_id", "embedding", centroids, codebook)
       graft.operators.IvfPq.searchResidual(indexed,
