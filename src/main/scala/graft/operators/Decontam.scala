@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Exact-substring decontamination (the d23 operator, extracted so the
+  * batch query surface and the streaming probe share one
+  * implementation): find eval/test documents appearing VERBATIM inside
+  * train documents.
+  *
+  * Seed-and-extend with a hot-key bound: word-aligned containment
+  * implies EVERY eval 8-gram occurs among the containing train doc's
+  * 8-grams, so each eval doc probes its MINIMUM-document-frequency
+  * gram — the join fan-out is bounded by the rarest posting list the
+  * doc has, and a df=0 gram proves non-containment before the join.
+  * Candidates are verified with one exact `contains()` on space-padded
+  * text, so hash collisions (8-byte xxhash64 keys) can only ADD
+  * candidates, never produce a false leak.
+  *
+  * Scale shape: the index is (train_id, h8) pairs + (id, text) for
+  * verification — document bodies never ride the shingle explosion;
+  * the probe side shuffles (eval_id, pos, h8) triples only. The index
+  * is STATIC relative to the eval feed, which is what makes the
+  * streaming form below a pure per-micro-batch join with no streaming
+  * state at all.
+  */
+object Decontam {
+
+  /** Static train-side artifacts: the shingle index, its per-gram
+    * document frequencies, and the verification texts.
+    */
+  final case class Index(trainIdx: DataFrame, gramDf: DataFrame,
+                         trainTexts: DataFrame)
+
+  /** Build the train-side index from (idCol, textCol) rows. Pass
+    * `cacheKey` to pin the exploded shingle index through
+    * [[graft.FrameCache]] — required when the index outlives one query
+    * (the streaming probe) or is read more than once (it always is:
+    * the DF pass and the candidate join).
+    */
+  def buildIndex(train: DataFrame, idCol: String, textCol: String,
+                 cacheKey: Option[String] = None): Index = {
+    def explodeIdx: DataFrame = train
+      .select(col(idCol).as("train_id"),
+        explode(array_distinct(transform(
+          TextFunctions.wordShingles(col(textCol), 8),
+          g => xxhash64(g)))).as("h8"))
+    val trainIdx = cacheKey match {
+      case Some(key) =>
+        graft.FrameCache.cached(train.sparkSession, key)(explodeIdx)
+      case None => explodeIdx
+    }
+    val gramDf = trainIdx.groupBy(col("h8")).agg(count(lit(1)).as("df"))
+    Index(trainIdx, gramDf,
+      train.select(col(idCol).as("train_id"),
+        col(textCol).as("train_text")))
+  }
+
+  /** Verified (eval_id, train_id) leak pairs for a (bounded) frame of
+    * eval docs against a static index. Works identically on a
+    * micro-batch inside [[probeStream]].
+    */
+  def probe(index: Index, evalDocs: DataFrame, idCol: String,
+            textCol: String): DataFrame = {
+    val evalGrams = evalDocs
+      .filter(size(TextFunctions.tokens(col(textCol))) >= 8)
+      .select(col(idCol).as("eval_id"),
+        posexplode(array_distinct(transform(
+          TextFunctions.wordShingles(col(textCol), 8),
+          g => xxhash64(g)))))
+      .toDF("eval_id", "pos", "h8")
+    val probes = evalGrams.join(index.gramDf, Seq("h8"), "left")
+      .groupBy(col("eval_id"))
+      .agg(min(struct(coalesce(col("df"), lit(0L)).as("df"),
+        col("pos").as("pos"), col("h8").as("h8"))).as("best"))
+      .filter(col("best.df") > 0)
+      .select(col("eval_id"), col("best.h8").as("h8"))
+    val cands = probes.join(index.trainIdx, Seq("h8"))
+      .select(col("eval_id"), col("train_id"))
+      .distinct()
+    cands
+      .join(evalDocs.select(col(idCol).as("eval_id"),
+        col(textCol).as("eval_text")), Seq("eval_id"))
+      .join(index.trainTexts, Seq("train_id"))
+      .filter(contains(
+        concat(lit(" "), col("train_text"), lit(" ")),
+        concat(lit(" "), col("eval_text"), lit(" "))))
+      .select(col("eval_id"), col("train_id"))
+  }
+
+  /** Streaming decontamination: probe an UNBOUNDED eval-document stream
+    * against the static train index, one `foreachBatch` at a time. Late
+    * or out-of-order eval docs need no special handling — the probe is
+    * stateless per batch (the index is the only cross-batch artifact),
+    * so every doc is matched exactly once whenever it arrives, and a
+    * checkpoint restart replays only unprocessed batches. `sink`
+    * receives the verified leak pairs of each non-empty batch — e.g.
+    * [[graft.sinks.JdbcSink.appendBulk]] to land quarantine rows.
+    */
+  def probeStream(evalStream: DataFrame, index: Index, idCol: String,
+                  textCol: String, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    evalStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probe(index, batch, idCol, textCol), batchId)
+      }
+}

@@ -150,63 +150,23 @@ object TrainingOps2 extends QueryPack {
         SamplingFunctions.splitLabel(
           SamplingFunctions.hashBucket(col("text"))).as("split"))
       // the index join shuffles (8-gram, id) PAIRS ONLY — document
-      // bodies never ride the shingle explosion (the same discipline
-      // Dedup applies to signatures); texts join back AFTER the
-      // candidate set is deduped, which is tiny by construction
-      // index keys are xxhash64(8-gram) — 8 bytes shuffle instead of a
-      // ~60-byte string; a hash collision can only ADD a candidate,
-      // and the contains() verification removes it
-      // built once per (session, dir): both the document-frequency
-      // pass and the probe join read it, so the shingle explosion
-      // runs a single time
-      val trainIdx = graft.FrameCache.cached(s, s"d23idx:$dir")(
-        labeled.filter(col("split") === "train")
-          .select(col("doc_id").as("train_id"),
-            explode(array_distinct(transform(
-              TextFunctions.wordShingles(col("text"), 8),
-              g => xxhash64(g)))).as("h8")))
-      // HOT-KEY BOUND (VERDICT r5 #2): probing every eval doc's FIRST
-      // 8-gram drags the whole posting list of any boilerplate-heavy
-      // gram (license headers, nav chrome — exactly what d22 mines)
-      // through the join. Containment implies EVERY eval 8-gram occurs
-      // among the train doc's 8-grams, so probing the eval doc's
-      // MINIMUM-document-frequency gram is an equally exact prune whose
-      // join fan-out is bounded by the rarest posting list the doc has
-      // — a skewed hot key is only ever probed by docs made ENTIRELY
-      // of boilerplate. A gram with df=0 (absent from the index)
-      // proves no train doc can contain the eval doc: dropped before
-      // the join. Ties (same df) break on shingle position, so the
-      // probe choice is deterministic.
-      val gramDf = trainIdx.groupBy(col("h8"))
-        .agg(count(lit(1)).as("df"))
-      val evalGrams = labeled.filter(col("split") =!= "train")
-        .filter(size(TextFunctions.tokens(col("text"))) >= 8)
-        .select(col("doc_id").as("eval_id"),
-          posexplode(array_distinct(transform(
-            TextFunctions.wordShingles(col("text"), 8),
-            g => xxhash64(g)))))
-        .toDF("eval_id", "pos", "h8")
-      val probes = evalGrams.join(gramDf, Seq("h8"), "left")
-        .groupBy(col("eval_id"))
-        .agg(min(struct(coalesce(col("df"), lit(0L)).as("df"),
-          col("pos").as("pos"), col("h8").as("h8"))).as("best"))
-        .filter(col("best.df") > 0)
-        .select(col("eval_id"), col("best.h8").as("h8"))
-      val cands = probes.join(trainIdx, Seq("h8"))
-        .select(col("eval_id"), col("train_id"))
-        .distinct()
-      // verification texts come straight off the base scan by id — no
-      // split-fold recompute (candidate ids already imply the splits)
-      val texts = t(s, dir, "documents")
-      cands
-        .join(texts.select(col("doc_id").as("eval_id"),
-          col("text").as("eval_text")), Seq("eval_id"))
-        .join(texts.select(col("doc_id").as("train_id"),
-          col("text").as("train_text")), Seq("train_id"))
-        .filter(contains(
-          concat(lit(" "), col("train_text"), lit(" ")),
-          concat(lit(" "), col("eval_text"), lit(" "))))
-        .select(col("eval_id"), col("train_id"))
+      // bodies never ride the shingle explosion; index keys are
+      // xxhash64(8-gram) — 8 bytes shuffle instead of a ~60-byte
+      // string, and a collision can only ADD a candidate the
+      // contains() verification removes. The HOT-KEY BOUND (VERDICT r5
+      // #2) lives in Decontam.probe: each eval doc probes its
+      // minimum-document-frequency gram (equally exact — containment
+      // implies every eval gram occurs in the train doc), so fan-out
+      // is bounded by the rarest posting list and df=0 grams drop the
+      // doc before the join. The index is FrameCache-pinned per
+      // (session, dir): the DF pass and the candidate join both read
+      // it, and the streaming probe (DecontamStreamSpec) reuses it
+      // across micro-batches.
+      val index = graft.operators.Decontam.buildIndex(
+        labeled.filter(col("split") === "train"), "doc_id", "text",
+        cacheKey = Some(s"d23idx:$dir"))
+      graft.operators.Decontam.probe(index,
+        labeled.filter(col("split") =!= "train"), "doc_id", "text")
     },
 
     "d22_boilerplate_ngrams" -> { (s, dir) =>

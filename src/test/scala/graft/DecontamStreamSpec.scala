@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Decontam
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming decontamination (VERDICT r5 stretch): an unbounded stream
+  * of eval documents probed per micro-batch against a STATIC train
+  * shingle index. Late-arriving eval docs are matched when they show
+  * up — the probe is stateless per batch, so arrival order can't change
+  * the verdicts.
+  */
+class DecontamStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trainDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "all work and no play makes jack a dull boy every single day " +
+      "of the long cold winter"),
+    (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt"))
+
+  // 8+ tokens, verbatim inside train doc 1 / train doc 2 / nowhere
+  private val leak1 = "quick brown fox jumps over the lazy dog"
+  private val leak2 = "no play makes jack a dull boy every single day"
+  private val clean = "completely novel eval text with eight plus tokens in it"
+
+  test("stream probe matches leaks per batch, late arrivals included") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Decontam.buildIndex(
+      trainDocs.toDF("doc_id", "text"), "doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_decontam_ckpt").toString
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
+    val query = Decontam.probeStream(
+      input.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      checkpoint) { (leaks, _) =>
+      leaks.collect().foreach(r => hits.add((r.getLong(0), r.getLong(1))))
+    }.start()
+    try {
+      input.addData((100L, leak1), (101L, clean))
+      query.processAllAvailable()
+      assert(hits.toArray.toSet == Set((100L, 1L)))
+
+      // a LATE eval doc arrives a batch later — still matched, and the
+      // earlier batch's verdicts are not re-emitted (no streaming state)
+      input.addData((102L, leak2), (103L, "short text"))
+      query.processAllAvailable()
+      assert(hits.toArray(Array.empty[(Long, Long)]).toSet ==
+        Set((100L, 1L), (102L, 2L)))
+    } finally query.stop()
+  }
+
+  test("batch probe and stream probe agree on the same eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Decontam.buildIndex(
+      trainDocs.toDF("doc_id", "text"), "doc_id", "text")
+    val evalDf = Seq((100L, leak1), (101L, clean), (102L, leak2))
+      .toDF("doc_id", "text")
+
+    val batchHits = Decontam.probe(index, evalDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[(Long, String)]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_decontam_ckpt2").toString
+    val streamHits =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val query = Decontam.probeStream(
+      input.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      checkpoint) { (leaks, _) =>
+      leaks.collect().foreach(r =>
+        streamHits.add((r.getLong(0), r.getLong(1))))
+    }.start()
+    try {
+      input.addData((100L, leak1), (101L, clean), (102L, leak2))
+      query.processAllAvailable()
+      assert(streamHits.toArray(Array.empty[(Long, Long)]).toSet ==
+        batchHits)
+      assert(batchHits == Set((100L, 1L), (102L, 2L)))
+    } finally query.stop()
+  }
+}
