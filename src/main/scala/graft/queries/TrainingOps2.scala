@@ -113,6 +113,71 @@ object TrainingOps2 extends QueryPack {
           col("rate_pct"))
     },
 
+    "d25_dup_ngram_frac" -> { (s, dir) =>
+      // Gopher-style repetition filter signal: the fraction of a doc's
+      // word 5-grams that are duplicates of an earlier one (high →
+      // looping/template spam). PURE MAP-SIDE — size/array_distinct
+      // per row, zero shuffle, so at 100 TB this is a free rider on
+      // whatever scan computes it; the division is two exact ints in
+      // IEEE double, bit-identical on any engine
+      val sh = TextFunctions.wordShingles(col("text"), 5)
+      val total = size(sh)
+      val dups = total - size(array_distinct(sh))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        total.as("n_shingles"),
+        dups.as("n_dup"),
+        when(total > 0, dups.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+    },
+
+    "d26_rarest_token" -> { (s, dir) =>
+      // per-doc keyword extraction by corpus rarity: each doc's token
+      // with the smallest document frequency (ties → lexicographically
+      // smallest). Integers + strings only — no idf logarithm whose
+      // rounding could diverge between engines. Two partial-aggregated
+      // shuffles (distinct doc-token pairs, then token DF) and a
+      // token-keyed 1:1 join (each pair matches exactly one DF row, so
+      // a hot token inflates no output); the final argmin is a window
+      // partitioned by doc — never a global sort
+      val docs = t(s, dir, "documents")
+      val tk = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text"))))
+          .as("tok"))
+      val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("tok"))
+      tk.join(dfreq, Seq("tok"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("rare_token"),
+          col("df").cast("int").as("rare_df"))
+    },
+
+    "d27_source_cap_sample" -> { (s, dir) =>
+      // crawl balancing: keep at most 40 docs per source, chosen by
+      // content-hash order (deterministic across runs/engines — see
+      // d12's fold). TWO-PASS cap (the w02 discipline): pass 1 ranks
+      // within (source, hash-bucket) and keeps ≤cap per bucket, so
+      // pass 2's per-source window ranks at most 32·cap candidate rows
+      // per source instead of sorting a whole hot source's documents
+      // in one partition
+      val cap = 40
+      val fp = TextFunctions.rollingHashMod(col("text"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), fp.as("fp"))
+      val w1 = Window.partitionBy(col("source"), pmod(col("fp"), lit(32)))
+        .orderBy(col("fp"), col("doc_id"))
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("fp"), col("doc_id"))
+      docs.withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= cap)
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= cap)
+        .select(col("doc_id"), col("source"), col("rn").cast("int")
+          .as("keep_rank"))
+    },
+
     "d17_seq_packing" -> { (s, dir) =>
       // sequence packing (concat-and-chunk): documents are concatenated
       // in deterministic order WITHIN EACH SOURCE SHARD and cut into
@@ -273,6 +338,52 @@ object TrainingOps2 extends QueryPack {
          SELECT DISTINCT ev.doc_id AS eval_id, tr.doc_id AS train_id
          FROM ev JOIN tr
            ON contains(' ' || tr.text || ' ', ' ' || ev.text || ' ')""",
+    "d25_dup_ngram_frac" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(ts) >= 5 THEN
+                    list_transform(range(1, len(ts) - 3),
+                      i -> ts[CAST(i AS INT)] || ' ' ||
+                           ts[CAST(i+1 AS INT)] || ' ' ||
+                           ts[CAST(i+2 AS INT)] || ' ' ||
+                           ts[CAST(i+3 AS INT)] || ' ' ||
+                           ts[CAST(i+4 AS INT)])
+                  ELSE [] END AS gs
+           FROM toks)
+         SELECT doc_id, CAST(len(gs) AS INT) AS n_shingles,
+                CAST(len(gs) - len(list_distinct(gs)) AS INT) AS n_dup,
+                CASE WHEN len(gs) > 0 THEN
+                  CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) /
+                  CAST(len(gs) AS DOUBLE)
+                ELSE 0.0 END AS dup_frac
+         FROM sh""",
+    "d26_rarest_token" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         tk AS (SELECT DISTINCT doc_id, u.tok
+                FROM toks, UNNEST(ts) AS u(tok)),
+         df AS (SELECT tok, count(1) AS df FROM tk GROUP BY tok)
+         SELECT doc_id, tok AS rare_token, CAST(df AS INT) AS rare_df
+         FROM tk JOIN df USING (tok)
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY df, tok) = 1""",
+    "d27_source_cap_sample" ->
+      s"""WITH fp AS (
+           SELECT doc_id, source, $foldSql AS fp FROM documents)
+         SELECT doc_id, source, CAST(rn AS INT) AS keep_rank FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY fp, doc_id) AS rn
+           FROM fp)
+         WHERE rn <= 40""",
     "d22_boilerplate_ngrams" ->
       """WITH toks AS (
            SELECT doc_id,
