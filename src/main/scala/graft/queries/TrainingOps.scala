@@ -239,10 +239,13 @@ object TrainingOps extends QueryPack {
       // two distinct shingles and perturb the exact counts; at corpus
       // scale the LSH tier (d11) is the read path, this is the anchor.
       val docs = t(s, dir, "documents")
-      val sh = docs.select(col("doc_id"),
-        explode(array_distinct(
-          graft.functions.TextFunctions.wordShingles(col("text"), 3)))
-          .as("g"))
+      // pinned per (session, dir): the size agg and BOTH sides of the
+      // self-join read this frame, so the shingle explosion runs once
+      val sh = cachedFrame(s, s"d24sh:$dir")(
+        docs.select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.TextFunctions.wordShingles(col("text"), 3)))
+            .as("g")))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("id_a"), col("g"))
         .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
