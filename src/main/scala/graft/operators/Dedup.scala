@@ -149,6 +149,65 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** (band, band_hash, id, sig) bucket rows for a signature frame —
+    * the LSH index unit shared by the batch self-join above and the
+    * streaming probe below.
+    */
+  private def bandedIndex(sigs: DataFrame, bands: Int,
+                          rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1,
+          rowsPerBand))): _*)).as(Seq("band", "band_hash")))
+
+  /** Dedup-on-ingest: probe an UNBOUNDED stream of documents against a
+    * STATIC corpus signature index, emitting (new_id, corpus_id,
+    * est_jaccard) near-dup hits per micro-batch — the incremental
+    * complement of [[minhashLshPairs]] (dedup a new crawl against the
+    * existing corpus without re-banding the corpus). Each batch
+    * computes only ITS OWN signatures (one pass over the batch), joins
+    * the precomputed corpus buckets, and verifies on estimated Jaccard;
+    * no streaming state — the static index is the only cross-batch
+    * artifact, so late documents are probed whenever they arrive and a
+    * checkpoint restart replays only unprocessed batches.
+    *
+    * `staticSigs` is [[minhashSignatures]] output for the corpus; pin
+    * it (FrameCache) — every micro-batch reads its banded form.
+    * `shingleSize`/`bands`/`rowsPerBand` must match the parameters the
+    * corpus signatures were built with.
+    */
+  def nearDupProbeStream(docStream: DataFrame, idCol: String,
+                         textCol: String, staticSigs: DataFrame,
+                         shingleSize: Int, bands: Int, rowsPerBand: Int,
+                         threshold: Double, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val corpus = bandedIndex(staticSigs, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("id").as("corpus_id"), col("sig").as("corpus_sig"))
+    docStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchSigs = minhashSignatures(
+          batch.select(col(idCol), col(textCol)), idCol, textCol,
+          shingleSize, bands * rowsPerBand)
+        val probes = bandedIndex(batchSigs, bands, rowsPerBand)
+          .select(col("band"), col("band_hash"),
+            col("id").as("new_id"), col("sig").as("new_sig"))
+        val hits = probes.join(corpus, Seq("band", "band_hash"))
+          .filter(col("new_id") =!= col("corpus_id"))
+          .select(col("new_id"), col("corpus_id"),
+            estimatedJaccard(col("new_sig"), col("corpus_sig"))
+              .as("est_jaccard"))
+          .filter(col("est_jaccard") >= threshold)
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(first(col("est_jaccard")).as("est_jaccard"))
+        sink(hits, batchId)
+      }
+  }
+
   /** Connected components over a near-dup pair list by iterative
     * min-label propagation: every node adopts the smallest label in its
     * neighborhood until fixpoint. Near-dup clusters have tiny diameters,

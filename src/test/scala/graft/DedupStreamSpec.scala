@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Dedup-on-ingest: a stream of new documents probed per micro-batch
+  * against a static corpus signature index — near-dups of existing
+  * corpus docs are flagged on arrival, clean docs pass silently, and
+  * batch [[Dedup.minhashLshPairs]] agrees with the streaming verdicts.
+  */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps in the warm afternoon sun near the barn"
+  private val corpusDocs = Seq(
+    (1L, base),
+    (2L, "completely different text about spark catalyst optimizer " +
+      "rules and whole stage code generation pipelines"),
+    (3L, "a third unrelated document mentioning streaming watermarks " +
+      "and stateful aggregation semantics"))
+
+  // one-word edit of doc 1 → high Jaccard; clean doc shares nothing
+  private val nearDup = base.replace("afternoon", "evening")
+  private val clean = "novel incoming content with no overlap " +
+    "whatsoever against anything already stored in the corpus"
+
+  test("stream probe flags near-dups of the static corpus on arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val sigs = Dedup.minhashSignatures(
+      corpusDocs.toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64)
+
+    val input = MemoryStream[(Long, String)]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_dedup_ckpt").toString
+    val hits =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
+    val query = Dedup.nearDupProbeStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", sigs,
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      checkpoint) { (batchHits, _) =>
+      batchHits.collect().foreach(r =>
+        hits.add((r.getLong(0), r.getLong(1))))
+    }.start()
+    try {
+      input.addData((100L, nearDup), (101L, clean))
+      query.processAllAvailable()
+      assert(hits.toArray(Array.empty[(Long, Long)]).toSet ==
+        Set((100L, 1L)))
+
+      // a late re-post of corpus doc 2's text arrives a batch later
+      input.addData((102L, corpusDocs(1)._2))
+      query.processAllAvailable()
+      assert(hits.toArray(Array.empty[(Long, Long)]).toSet ==
+        Set((100L, 1L), (102L, 2L)))
+    } finally query.stop()
+  }
+
+  test("streaming verdicts agree with the batch pair miner") {
+    // union corpus + stream docs and run the batch LSH pass: every
+    // (new, corpus) streaming hit must appear among the batch pairs
+    val all = (corpusDocs ++ Seq((100L, nearDup), (101L, clean)))
+      .toDF("doc_id", "text")
+    val batchPairs = Dedup.minhashLshPairs(all, "doc_id", "text",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.contains((1L, 100L)))
+    assert(!batchPairs.exists { case (a, b) => a == 101L || b == 101L })
+  }
+}
