@@ -116,6 +116,21 @@ class PlanGuardSpec extends SparkSpec {
       "d19 grand totals must be a broadcast 1-row aggregate, not a window")
   }
 
+  test("repetition fraction is a pure map-side projection (no shuffle)") {
+    val p = plan("d25_dup_ngram_frac")
+    assert(shuffleCount(p) == 0,
+      s"d25 must not shuffle:\n${p.take(400)}")
+  }
+
+  test("rarest-token argmin and source caps window by key, never globally") {
+    for (q <- Seq("d26_rarest_token", "d27_source_cap_sample")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q should use a window")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must never collapse a window to one partition")
+    }
+  }
+
   test("TPC-H multi-join pipelines broadcast every dimension") {
     for (q <- Seq("t01_regional_supplier_volume", "t02_nation_pair_volume",
       "t03_returned_item_report", "t04_market_share")) {
