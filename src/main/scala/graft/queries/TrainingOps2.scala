@@ -113,6 +113,25 @@ object TrainingOps2 extends QueryPack {
           col("rate_pct"))
     },
 
+    "d28_bpe_token_count" -> { (s, dir) =>
+      // subword-budget estimation with a GPT-2-style pretokenizer
+      // regex (contraction suffixes, space-prefixed letter/digit runs,
+      // punctuation runs — no lookarounds, so Java regex and RE2 agree
+      // leftmost-first): n_bpe ≈ what a BPE tokenizer would see before
+      // merges, and fertility (= bpe/whitespace tokens) is the
+      // standard signal for over-segmented (code, non-Latin, noisy)
+      // text. Map-side only — two regexp passes per row, zero shuffle
+      val pat = """'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"""
+      val bpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      val ws = TextFunctions.tokenCount(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        bpe.as("n_bpe"),
+        ws.as("n_ws"),
+        when(ws > 0, bpe.cast("double") / ws.cast("double"))
+          .otherwise(lit(0.0)).as("fertility"))
+    },
+
     "d25_dup_ngram_frac" -> { (s, dir) =>
       // Gopher-style repetition filter signal: the fraction of a doc's
       // word 5-grams that are duplicates of an earlier one (high →
@@ -338,6 +357,21 @@ object TrainingOps2 extends QueryPack {
          SELECT DISTINCT ev.doc_id AS eval_id, tr.doc_id AS train_id
          FROM ev JOIN tr
            ON contains(' ' || tr.text || ' ', ' ' || ev.text || ' ')""",
+    "d28_bpe_token_count" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text,
+                    '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+                    AS n_bpe,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS n_ws
+           FROM documents)
+         SELECT doc_id, CAST(n_bpe AS INT) AS n_bpe,
+                CAST(n_ws AS INT) AS n_ws,
+                CASE WHEN n_ws > 0 THEN
+                  CAST(n_bpe AS DOUBLE) / CAST(n_ws AS DOUBLE)
+                ELSE 0.0 END AS fertility
+         FROM c""",
     "d25_dup_ngram_frac" ->
       """WITH toks AS (
            SELECT doc_id,
