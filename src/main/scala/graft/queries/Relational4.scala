@@ -94,6 +94,34 @@ object Relational4 extends QueryPack {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+    "t05_product_profit" -> { (s, dir) =>
+      // Q9 shape (adapted: the test schema has no partsupp, so retail
+      // price stands in for supply cost): per supplier-nation,
+      // per-order-year profit on parts matching a name fragment. The
+      // part filter lands BEFORE the broadcast, so the probe side
+      // prunes at the join; supplier/nation ride broadcasts; the only
+      // shuffle joins are the lineitem⋈orders fact spine. The profit
+      // difference is computed in double (each product IEEE-exact,
+      // identical on any engine) then summed through DECIMAL(38,4)
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val su = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val n = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(money(vol - col("p_retailprice") * col("l_quantity"))
+          .as("profit"))
+    },
+
     "t04_market_share" -> { (s, dir) =>
       // Q8 shape: NATION_0's share of supplier revenue in the AMERICA
       // customer region per order year. Numerator and denominator are
@@ -438,6 +466,19 @@ object Relational4 extends QueryPack {
          GROUP BY c_custkey, c_name, c_mktsegment
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+    "t05_product_profit" ->
+      """SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity AS DECIMAL(38,4))), 2)
+             AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
     "t04_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_0'

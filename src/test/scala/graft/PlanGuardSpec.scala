@@ -133,7 +133,8 @@ class PlanGuardSpec extends SparkSpec {
 
   test("TPC-H multi-join pipelines broadcast every dimension") {
     for (q <- Seq("t01_regional_supplier_volume", "t02_nation_pair_volume",
-      "t03_returned_item_report", "t04_market_share")) {
+      "t03_returned_item_report", "t04_market_share",
+      "t05_product_profit")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q missing broadcast")
       // only the fact-fact joins (lineitem⋈orders, orders⋈customer) may
