@@ -94,6 +94,25 @@ object Relational4 extends QueryPack {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+    "t06_order_count_histogram" -> { (s, dir) =>
+      // Q13 shape: customer order-count distribution. The order filter
+      // lives in the OUTER-join ON clause — in a WHERE it would turn
+      // the join inner and silently drop zero-order customers (the
+      // classic Q13 trap); count(o_orderkey) then counts 0 for the
+      // unmatched rows. Two aggregations, both partial+final; the
+      // second one's input is one row per customer, already tiny
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"))
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("cnt"))
+        .groupBy(col("cnt").cast("int").as("c_count"))
+        .agg(count(lit(1)).cast("int").as("custdist"))
+    },
+
     "t05_product_profit" -> { (s, dir) =>
       // Q9 shape (adapted: the test schema has no partsupp, so retail
       // price stands in for supply cost): per supplier-nation,
@@ -466,6 +485,15 @@ object Relational4 extends QueryPack {
          GROUP BY c_custkey, c_name, c_mktsegment
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+    "t06_order_count_histogram" ->
+      """SELECT CAST(c_count AS INT) AS c_count,
+                CAST(count(1) AS INT) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
     "t05_product_profit" ->
       """SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INT) AS o_year,
