@@ -94,6 +94,23 @@ object Relational4 extends QueryPack {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+    "q36_not_in_null_aware" -> { (s, dir) =>
+      // NOT IN with a NULLABLE probe — null-aware anti-join semantics:
+      // three-valued logic means a NULL probe value can never satisfy
+      // NOT IN (its comparison is NULL, not TRUE), so 5-LOW rows are
+      // dropped along with the matched priorities. A plain LeftAnti
+      // (q05's shape) would KEEP the null rows — this is the semantic
+      // Spark's null-aware anti join exists for
+      view(s, dir, "orders")
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority
+          |FROM orders
+          |WHERE nullif(o_orderpriority, '5-LOW') NOT IN
+          |  (SELECT o_orderpriority FROM orders
+          |   WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          |""".stripMargin)
+    },
+
     "t06_order_count_histogram" -> { (s, dir) =>
       // Q13 shape: customer order-count distribution. The order filter
       // lives in the OUTER-join ON clause — in a WHERE it would turn
@@ -485,6 +502,12 @@ object Relational4 extends QueryPack {
          GROUP BY c_custkey, c_name, c_mktsegment
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+    "q36_not_in_null_aware" ->
+      """SELECT o_orderkey, o_orderpriority
+         FROM orders
+         WHERE nullif(o_orderpriority, '5-LOW') NOT IN
+           (SELECT o_orderpriority FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))""",
     "t06_order_count_histogram" ->
       """SELECT CAST(c_count AS INT) AS c_count,
                 CAST(count(1) AS INT) AS custdist
