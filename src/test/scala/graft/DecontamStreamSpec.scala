@@ -53,6 +53,41 @@ class DecontamStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpoint restart resumes without re-emitting processed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Decontam.buildIndex(
+      trainDocs.toDF("doc_id", "text"), "doc_id", "text")
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_decontam_restart").toString
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (leaks, _) => leaks.collect().foreach(r =>
+        hits.add((r.getLong(0), r.getLong(1))))
+
+    val input = MemoryStream[(Long, String)]
+    val q1 = Decontam.probeStream(input.toDF().toDF("doc_id", "text"),
+      index, "doc_id", "text", checkpoint)(sink).start()
+    try {
+      input.addData((100L, leak1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(hits.toArray(Array.empty[(Long, Long)]).toSet ==
+      Set((100L, 1L)))
+
+    // restart from the SAME checkpoint: only the post-restart batch is
+    // processed — batch 1's verdict must not be emitted again
+    input.addData((102L, leak2))
+    val q2 = Decontam.probeStream(input.toDF().toDF("doc_id", "text"),
+      index, "doc_id", "text", checkpoint)(sink).start()
+    try {
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = hits.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(all.count(_ == (100L, 1L)) == 1,
+      s"batch 1 verdict re-emitted after restart: $all")
+    assert(all.toSet == Set((100L, 1L), (102L, 2L)))
+  }
+
   test("batch probe and stream probe agree on the same eval set") {
     implicit val sqlCtx = spark.sqlContext
     val index = Decontam.buildIndex(
