@@ -128,12 +128,10 @@ object Dedup {
   def minhashLshPairsFromSigs(sigs: DataFrame, bands: Int,
                               rowsPerBand: Int,
                               threshold: Double): DataFrame = {
-    // (band index, hash of the band's signature slice) → candidate buckets.
-    // xxhash64 hashes the array value directly — no string serialization.
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1,
-          rowsPerBand))): _*)).as(Seq("band", "band_hash")))
+    // ONE banding implementation: both sides of the self-join are views
+    // of [[bandedIndex]] — the same bucket rows the streaming probe
+    // joins, so batch and stream verdicts can't silently diverge.
+    val banded = bandedIndex(sigs, bands, rowsPerBand)
 
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))

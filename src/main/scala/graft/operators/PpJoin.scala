@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact Jaccard set-similarity self-join, candidate-bounded by
+  * PPJoin-style prefix filtering (Xiao, Wang, Lin & Yu, "Efficient
+  * Similarity Joins for Near Duplicate Detection", WWW 2008).
+  *
+  * The naive exact join indexes EVERY element of every set: a
+  * boilerplate shingle shared by d documents yields d² candidate pairs
+  * before the threshold filters — quadratic on the hottest key, a
+  * straggler shuffle at corpus scale. Prefix filtering keeps the result
+  * EXACT while indexing only a bounded prefix of each set:
+  *
+  * Fix a global total order O over tokens — ascending corpus document
+  * frequency, ties by token value — so the rarest tokens come first and
+  * the hot tokens land at the END of every set, outside most prefixes.
+  * For threshold t = num/den, J(A,B) ≥ t implies
+  * |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so the overlap is at least
+  * α(n) = ⌈t·n⌉ for EACH side's own size n. The prefix-filter lemma:
+  * if |A∩B| ≥ α then the first |A| − α + 1 elements of A under O and
+  * the first |B| − α + 1 of B share at least one element (otherwise,
+  * walking O, one side exhausts too many non-shared elements to still
+  * reach α overlaps). Hence indexing each set's first
+  * n − ⌈t·n⌉ + 1 tokens (⌊n/2⌋ + 1 at t = ½) misses NO qualifying
+  * pair. A matching-size filter (den·min(na,nb) ≥ num·max — J ≥ t
+  * forces the sizes within a factor den/num) prunes further, then the
+  * surviving candidates are verified with the EXACT intersection count
+  * over the full sets, in overflow-free integer form
+  * c·(num+den) ≥ num·(na+nb) ⟺ J ≥ num/den.
+  *
+  * Scale shape: two linear shuffles build the prefix index (a DF count
+  * keyed by token, a per-set window keyed by id); the self-join runs
+  * over prefixes only — a token with corpus DF d sits inside the prefix
+  * of few sets (rare tokens) or almost none (hot tokens), so no key
+  * explodes quadratically; verification materializes full token arrays
+  * ONLY for candidate ids (semi-join prune first).
+  */
+object PpJoin {
+
+  /** Prefix index over distinct (id, token) rows: (id, token, n) for
+    * only each set's first n − ⌈t·n⌉ + 1 tokens under the global
+    * ascending-DF order, where n is the set size and t = num/den.
+    * Input MUST be distinct per (id, token) — n is a row count.
+    */
+  def prefixIndex(elems: DataFrame, idCol: String, tokCol: String,
+                  num: Int, den: Int): DataFrame = {
+    val dfreq = elems.groupBy(col(tokCol))
+      .agg(count(lit(1)).as("tok_df"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("tok_df"), col(tokCol))
+    val bySet = Window.partitionBy(col(idCol))
+    // prefix length n − ⌈num·n/den⌉ + 1 in pure integer math:
+    // ⌈num·n/den⌉ = (num·n + den − 1) div den
+    elems.join(dfreq, Seq(tokCol))
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(bySet))
+      .filter(col("pos") <=
+        col("n") - floor((col("n") * num + (den - 1)) / den) + 1)
+      .select(col(idCol), col(tokCol), col("n"))
+  }
+
+  /** Candidate (id_a, id_b, na, nb) pairs: distinct id pairs sharing a
+    * prefix token, size-filtered (den·min ≥ num·max). A superset of the
+    * true result by the prefix-filter lemma; never all-pairs.
+    */
+  def candidatePairs(prefix: DataFrame, idCol: String, tokCol: String,
+                     num: Int, den: Int): DataFrame = {
+    val a = prefix.select(col(tokCol), col(idCol).as("id_a"),
+      col("n").as("na"))
+    val b = prefix.select(col(tokCol), col(idCol).as("id_b"),
+      col("n").as("nb"))
+    a.join(b, Seq(tokCol))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")) * den >=
+        greatest(col("na"), col("nb")) * num)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .distinct()
+  }
+
+  /** EXACT J ≥ num/den edge list (id_a < id_b) over distinct
+    * (id, token) rows — identical to the naive all-elements self-join,
+    * at prefix-bounded candidate cost. Default threshold ½.
+    *
+    * EAGER: the candidate-pair frame and the candidate-only token
+    * arrays feed several downstream branches (the id union, both join
+    * sides), and Spark re-executes a subtree per occurrence — so both
+    * are materialized with an eager localCheckpoint (they are the
+    * SMALL frames: threshold-surviving pairs and their members'
+    * arrays, never the corpus). Blocks are freed by the ContextCleaner
+    * once the result is unreferenced.
+    */
+  def jaccardEdges(elems: DataFrame, idCol: String, tokCol: String,
+                   num: Int = 1, den: Int = 2): DataFrame = {
+    val cand = candidatePairs(
+      prefixIndex(elems, idCol, tokCol, num, den),
+      idCol, tokCol, num, den)
+      .localCheckpoint(true)
+    // full token arrays ONLY for ids that appear in some candidate pair
+    val candIds = cand.select(col("id_a").as("cand_id"))
+      .unionByName(cand.select(col("id_b").as("cand_id")))
+      .distinct()
+    val sets = elems
+      .join(candIds, col(idCol) === col("cand_id"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col(tokCol)).as("toks"))
+      .localCheckpoint(true)
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")),
+        Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")),
+        Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .filter(col("c") * (num + den) >= (col("na") + col("nb")) * num)
+      .select(col("id_a"), col("id_b"))
+  }
+}

@@ -236,28 +236,21 @@ object TrainingOps extends QueryPack {
       // the integer form 3·|A∩B| ≥ |A|+|B| (⟺ J ≥ 0.5), so no float
       // division can diverge between engines. Raw shingle strings are
       // the join key here — an xxhash64 key (d23's trick) could merge
-      // two distinct shingles and perturb the exact counts; at corpus
-      // scale the LSH tier (d11) is the read path, this is the anchor.
+      // two distinct shingles and perturb the exact counts. The
+      // candidate prune is PPJoin prefix filtering ([[PpJoin]]): only
+      // each doc's ⌊n/2⌋+1 rarest shingles are indexed, so a hot
+      // boilerplate shingle never fans out quadratically — exactness
+      // preserved by the prefix-filter lemma, verified in PpJoinSpec.
       val docs = t(s, dir, "documents")
-      // pinned per (session, dir): the size agg and BOTH sides of the
-      // self-join read this frame, so the shingle explosion runs once
+      // pinned per (session, dir): the DF count, the prefix window,
+      // and candidate verification all read this frame, so the
+      // shingle explosion runs once
       val sh = cachedFrame(s, s"d24sh:$dir")(
         docs.select(col("doc_id"),
           explode(array_distinct(
             graft.functions.TextFunctions.wordShingles(col("text"), 3)))
             .as("g")))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("id_a"), col("g"))
-        .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
-      val edges = inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
-          Seq("id_a"))
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
-          Seq("id_b"))
-        .filter(lit(3) * col("c") >= col("na") + col("nb"))
-        .select(col("id_a"), col("id_b"))
+      val edges = graft.operators.PpJoin.jaccardEdges(sh, "doc_id", "g")
       Dedup.nearDupSurvivors(docs, "doc_id", edges)
         .select(col("id"), col("component"), col("is_survivor"))
     },

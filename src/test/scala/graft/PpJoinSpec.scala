@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.PpJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PPJoin prefix-filtered exact Jaccard join: exactness against the
+  * naive all-elements self-join, the ⌊n/2⌋+1 prefix bound, and the
+  * hot-token candidate prune that motivates the operator.
+  */
+class PpJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (id, tok) distinct-element rows for explicit token sets. */
+  private def elems(sets: (Long, Seq[String])*): DataFrame =
+    sets.flatMap { case (id, toks) => toks.distinct.map((id, _)) }
+      .toDF("id", "tok")
+
+  /** Reference result: the unbounded naive join (every element
+    * indexed), exact integer threshold 3·|∩| ≥ |A|+|B|.
+    */
+  private def naiveEdges(e: DataFrame): Set[(Long, Long)] = {
+    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = e.select(col("id").as("id_a"), col("tok"))
+    val b = e.select(col("id").as("id_b"), col("tok"))
+    a.join(b, Seq("tok")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("c") * 3 >= col("na") + col("nb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+  }
+
+  private def ppEdges(e: DataFrame): Set[(Long, Long)] =
+    PpJoin.jaccardEdges(e, "id", "tok")
+      .as[(Long, Long)].collect().toSet
+
+  // a corpus with one boilerplate token in EVERY doc (the hot key that
+  // makes the naive join quadratic), a near-dup pair, an exact dup
+  // pair, and unrelated docs
+  private def corpus = elems(
+    1L -> Seq("hot", "aa", "bb", "cc", "dd"),
+    2L -> Seq("hot", "aa", "bb", "cc", "ee"), // J(1,2)=4/6 ≥ ½
+    3L -> Seq("hot", "zz", "yy", "xx", "ww"),
+    4L -> Seq("hot", "zz", "yy", "xx", "ww"), // J(3,4)=1
+    5L -> Seq("hot", "pp", "qq"),
+    6L -> Seq("hot", "rr", "ss", "tt", "uu", "vv", "oo", "nn"),
+    7L -> Seq("hot"))
+
+  test("edges equal the naive unbounded join exactly") {
+    assert(ppEdges(corpus) == naiveEdges(corpus))
+    assert(ppEdges(corpus) == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("exactness holds on randomized set families") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val sets = (0L until 40L).map { id =>
+      id -> rnd.shuffle(vocab).take(2 + rnd.nextInt(10)).toSeq
+    }
+    val e = elems(sets: _*)
+    assert(ppEdges(e) == naiveEdges(e))
+  }
+
+  test("prefix index holds at most ⌊n/2⌋+1 tokens per set") {
+    val prefix = PpJoin.prefixIndex(corpus, "id", "tok", 1, 2)
+    val perSet = prefix.groupBy(col("id"))
+      .agg(count(lit(1)).as("p"), first(col("n")).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(perSet.nonEmpty)
+    perSet.foreach { case (id, p, n) =>
+      assert(p == n / 2 + 1, s"set $id: prefix $p of $n")
+    }
+  }
+
+  test("hot token never enters a prefix (candidates stay linear)") {
+    // "hot" has the max DF, so the ascending-DF order puts it LAST in
+    // every set — outside each ⌊n/2⌋+1 prefix (all sets here have ≥ 2
+    // tokens except doc 7, whose 1-token set is all-prefix).
+    val prefix = PpJoin.prefixIndex(corpus, "id", "tok", 1, 2)
+    val hotIds = prefix.filter(col("tok") === "hot")
+      .select("id").as[Long].collect().toSet
+    assert(hotIds == Set(7L), s"hot indexed for $hotIds")
+    // the naive join fans the 7 hot-sharers into C(7,2)=21 candidate
+    // pairs; the prefix index generates only the pairs that can pass
+    val cand = PpJoin.candidatePairs(prefix, "id", "tok", 1, 2)
+    assert(cand.count() < 21)
+  }
+
+  test("edge case: empty input and singleton sets") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "tok")
+    assert(PpJoin.jaccardEdges(empty, "id", "tok").count() == 0)
+    val singles = elems(1L -> Seq("x"), 2L -> Seq("x"), 3L -> Seq("y"))
+    assert(ppEdges(singles) == Set((1L, 2L)))
+  }
+}
