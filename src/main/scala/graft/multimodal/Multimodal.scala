@@ -139,6 +139,78 @@ object Multimodal {
         }
       }
   }
+
+  /** Deterministic REAL media blobs derived from an id column — the
+    * fixture generator for synthetic corpora that carry no media files:
+    * id mod 3 picks PNG / BMP (ImageIO-encoded gradient images whose
+    * dims derive from the id) or WAV (`javax.sound` PCM whose duration
+    * derives from the id), so the real decode branch of
+    * [[extractMeta]]/[[extractFeatures]] is exercised on the query
+    * surface, not only in codec unit tests. Encoding runs per-partition
+    * on executors (the stand-in for fetching a blob from object
+    * storage) — no driver bottleneck at any scale. Returns
+    * (path, content) rows; every field a real decoder reads back
+    * (width = 8 + id mod 9, height = 8 + id mod 7, WAV duration
+    * = 125·(1 + id mod 8) ms) is reproducible from the path's id.
+    */
+  def syntheticMedia(ids: DataFrame, idCol: String): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          (math.floorMod(id, 3L): @unchecked) match {
+            case 0L => (s"$id.png", SyntheticMedia.imageBytes(id, "png"))
+            case 1L => (s"$id.bmp", SyntheticMedia.imageBytes(id, "bmp"))
+            case 2L => (s"$id.wav", SyntheticMedia.wavBytes(id))
+          }
+        }
+      }
+      .toDF("path", "content")
+  }
+}
+
+/** Executor-side encoders for [[Multimodal.syntheticMedia]]: tiny real
+  * PNG/BMP/WAV payloads, pure functions of the id.
+  */
+object SyntheticMedia {
+  import java.awt.image.BufferedImage
+  import java.io.ByteArrayOutputStream
+  import javax.imageio.ImageIO
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+    AudioInputStream, AudioSystem}
+
+  /** (8 + id mod 9) × (8 + id mod 7) RGB gradient image, really
+    * encoded by ImageIO in the given format.
+    */
+  def imageBytes(id: Long, format: String): Array[Byte] = {
+    val w = 8 + (math.floorMod(id, 9L)).toInt
+    val h = 8 + (math.floorMod(id, 7L)).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (id + x * 31 + y * 17) & 0xff
+      val g = (id * 7 + x * 13 + y * 29) & 0xff
+      val b = (id * 13 + x * 5 + y * 43) & 0xff
+      img.setRGB(x, y, (r << 16 | g << 8 | b).toInt)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Mono 16-bit 8 kHz PCM WAV, 1000·(1 + id mod 8) frames
+    * = 125·(1 + id mod 8) ms, sawtooth samples seeded by the id.
+    */
+  def wavBytes(id: Long): Array[Byte] = {
+    val frames = 1000 * (1 + math.floorMod(id, 8L)).toInt
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.tabulate[Byte](frames * 2)(i =>
+      ((id + i * 3) % 97).toByte)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 }
 
 /** Codec dispatch: try the real JDK decoder for the media kind, fall

@@ -32,18 +32,28 @@ object TrainingOps2 extends QueryPack {
   override def queries: Map[String, QueryFn] = Map(
 
     "m01_media_features" -> { (s, dir) =>
-      // multimodal plumbing on the query surface: document bytes stand
-      // in for media blobs (codecs are honest stubs — Multimodal
-      // scaladoc), exercising the REAL pipeline shape per partition:
-      // batch decode → typed metadata, batch featurize → fingerprint,
-      // wide content dropped before the join/output so only small rows
-      // shuffle. Rows-only: fingerprints are wrapping 64-bit PolyHash.
-      val binary = t(s, dir, "documents").select(
+      // multimodal plumbing on the query surface, BOTH decode branches:
+      // every 10th doc carries a REAL PNG/BMP/WAV blob (ImageIO /
+      // javax.sound encoded on the executor, dims/durations derived
+      // from the doc id — Multimodal.syntheticMedia), the rest are
+      // text bytes under an image extension that exercise the
+      // documented undecodable→stub fallback. Pipeline shape per
+      // partition: batch decode → typed metadata, batch featurize →
+      // fingerprint, wide content dropped before the join/output so
+      // only small rows shuffle. Rows-only: fingerprints are wrapping
+      // 64-bit PolyHash; MultimodalCodecSpec asserts the real branch's
+      // decoded dimensions on this query's output.
+      val docs = t(s, dir, "documents")
+      val real = graft.multimodal.Multimodal.syntheticMedia(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id")
+      val fallback = docs.filter(col("doc_id") % 10 =!= 0).select(
         concat(col("doc_id").cast("string"), lit(".jpg")).as("path"),
         col("text").cast("binary").as("content"))
+      val binary = real.unionByName(fallback)
       val meta = graft.multimodal.Multimodal.extractMeta(binary).toDF()
         .select(col("path"), col("kind"), col("numBytes").as("num_bytes"),
-          col("width"), col("height"), col("channels"))
+          col("width"), col("height"), col("channels"),
+          col("durationMs").as("duration_ms"))
       val feats = graft.multimodal.Multimodal.extractFeatures(binary, 16)
         .toDF()
         .select(col("path"), col("fingerprint"),

@@ -103,6 +103,38 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(right > 223, s"right half should stay light, got $right")
   }
 
+  test("m01 exercises the REAL decode branch on the query surface") {
+    // every 10th doc carries a syntheticMedia blob; its decoded dims /
+    // duration must match the generator's id-derived formulas — if any
+    // real-media row fell through to the stub, widths would be ≥ 64
+    // (stub formula) instead of 8..16
+    val rows = SparkEntry.queries("m01_media_features")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("path") -> r).toMap
+    val media = rows.keys.filter(!_.endsWith(".jpg"))
+    assert(media.nonEmpty, "no real-media rows in m01 output")
+    media.foreach { path =>
+      val id = path.takeWhile(_ != '.').toLong
+      val r = rows(path)
+      if (path.endsWith(".wav")) {
+        assert(r.getAs[String]("kind") == "audio")
+        assert(r.getAs[Int]("channels") == 1)
+        assert(r.getAs[Long]("duration_ms") == 125L * (1 + id % 8),
+          s"$path: stub duration leaked through")
+      } else {
+        assert(r.getAs[String]("kind") == "image")
+        assert(r.getAs[Int]("width") == 8 + (id % 9).toInt,
+          s"$path: width must be the real decoded dimension")
+        assert(r.getAs[Int]("height") == 8 + (id % 7).toInt)
+        assert(r.getAs[Int]("channels") == 3)
+      }
+    }
+    // the fallback branch is still present and still takes the stub
+    val jpg = rows.keys.filter(_.endsWith(".jpg"))
+    assert(jpg.nonEmpty)
+    assert(jpg.forall(p => rows(p).getAs[Int]("width") >= 64))
+  }
+
   test("undecodable bytes degrade to the stub, never throw") {
     val junk = "just some text, not pixels".getBytes("UTF-8")
     val (w, h, ch, _) = graft.multimodal.Codecs.decodeHeader("image", junk)
