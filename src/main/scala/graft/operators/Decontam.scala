@@ -62,6 +62,15 @@ object Decontam {
   /** Verified (eval_id, train_id) leak pairs for a (bounded) frame of
     * eval docs against a static index. Works identically on a
     * micro-batch inside [[probeStream]].
+    *
+    * CONTRACT: eval docs with fewer than 8 tokens are NOT probed (they
+    * have no 8-gram to seed from) and are never reported, even if
+    * verbatim inside a train doc. The bound is what makes the fan-out
+    * finite — a shorter seed would hit boilerplate posting lists, and
+    * no seed at all would mean `contains()` against every train doc, a
+    * full corpus scan per short eval. Callers who must screen shorter
+    * texts should route them through a bounded direct check (they are
+    * by definition tiny strings) rather than widening this probe.
     */
   def probe(index: Index, evalDocs: DataFrame, idCol: String,
             textCol: String): DataFrame = {
@@ -95,10 +104,18 @@ object Decontam {
     * against the static train index, one `foreachBatch` at a time. Late
     * or out-of-order eval docs need no special handling — the probe is
     * stateless per batch (the index is the only cross-batch artifact),
-    * so every doc is matched exactly once whenever it arrives, and a
-    * checkpoint restart replays only unprocessed batches. `sink`
-    * receives the verified leak pairs of each non-empty batch — e.g.
-    * [[graft.sinks.JdbcSink.appendBulk]] to land quarantine rows.
+    * so every doc is probed whenever it arrives. Short eval docs follow
+    * [[probe]]'s ≥ 8-token contract.
+    *
+    * DELIVERY SEMANTICS: foreachBatch is AT-LEAST-ONCE, not exactly
+    * once. A batch whose sink ran but whose commit-log entry was not
+    * yet written (a crash in that window) is RE-DELIVERED on restart
+    * with the SAME `batchId` — so `sink` must be idempotent keyed on
+    * `batchId`: delete-then-insert (or upsert) on
+    * (batchId, eval_id, train_id), never a blind append. With such a
+    * sink the restart replays only uncommitted batches and the landed
+    * output is exactly-once-equivalent — the contract
+    * DecontamStreamSpec's crash-redelivery test verifies.
     */
   def probeStream(evalStream: DataFrame, index: Index, idCol: String,
                   textCol: String, checkpoint: String)(

@@ -166,8 +166,14 @@ object Dedup {
     * computes only ITS OWN signatures (one pass over the batch), joins
     * the precomputed corpus buckets, and verifies on estimated Jaccard;
     * no streaming state — the static index is the only cross-batch
-    * artifact, so late documents are probed whenever they arrive and a
-    * checkpoint restart replays only unprocessed batches.
+    * artifact, so late documents are probed whenever they arrive.
+    *
+    * DELIVERY SEMANTICS: foreachBatch is AT-LEAST-ONCE — a batch whose
+    * sink ran but didn't reach the commit log is re-delivered on
+    * restart with the SAME `batchId`, so `sink` must be idempotent
+    * keyed on `batchId` (delete-then-insert / upsert on
+    * (batchId, new_id, corpus_id)); see Decontam.probeStream and the
+    * crash-redelivery test in DedupStreamSpec.
     *
     * `staticSigs` is [[minhashSignatures]] output for the corpus; pin
     * it (FrameCache) — every micro-batch reads its banded form.

@@ -88,6 +88,66 @@ class DecontamStreamSpec extends SparkSpec {
     assert(all.toSet == Set((100L, 1L), (102L, 2L)))
   }
 
+  test("crash between sink and commit re-delivers the batch with the " +
+      "same batchId; a batchId-keyed sink stays exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Decontam.buildIndex(
+      trainDocs.toDF("doc_id", "text"), "doc_id", "text")
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_decontam_crash").toString
+
+    // the at-least-once window: sink side effect lands, then the query
+    // dies BEFORE the commit log records the batch (a real crash there
+    // behaves identically — foreachBatch completion is what gates the
+    // commit). The sink is the documented idempotent shape: an upsert
+    // keyed on batchId, not a blind append.
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[
+      Long, Set[(Long, Long)]]()
+    val deliveries =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var crashOnce = true
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (leaks, batchId) => {
+        val rows = leaks.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        deliveries.add(batchId)
+        byBatch.put(batchId, rows) // upsert on batchId = idempotent
+        if (crashOnce) {
+          crashOnce = false
+          throw new RuntimeException("crash before checkpoint commit")
+        }
+      }
+
+    val input = MemoryStream[(Long, String)]
+    input.addData((100L, leak1), (102L, leak2))
+    val q1 = Decontam.probeStream(input.toDF().toDF("doc_id", "text"),
+      index, "doc_id", "text", checkpoint)(sink).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(!q1.isActive, "query must die with the sink")
+
+    // restart from the same checkpoint: the uncommitted batch is
+    // re-delivered — at-least-once — carrying the SAME batchId
+    val q2 = Decontam.probeStream(input.toDF().toDF("doc_id", "text"),
+      index, "doc_id", "text", checkpoint)(sink).start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = deliveries.toArray(Array.empty[java.lang.Long]).toSeq
+    assert(ids.size >= 2, s"expected a re-delivery, saw $ids")
+    assert(ids.distinct.size < ids.size,
+      s"re-delivery must reuse the original batchId, saw $ids")
+    // idempotent sink ⇒ landed output equals the batch-mode run exactly
+    val landed = byBatch.values().toArray
+      .flatMap(_.asInstanceOf[Set[(Long, Long)]]).toSet
+    val batchRun = Decontam.probe(index,
+      Seq((100L, leak1), (102L, leak2)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(landed == batchRun && landed == Set((100L, 1L), (102L, 2L)))
+  }
+
   test("batch probe and stream probe agree on the same eval set") {
     implicit val sqlCtx = spark.sqlContext
     val index = Decontam.buildIndex(
