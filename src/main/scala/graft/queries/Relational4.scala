@@ -130,6 +130,88 @@ object Relational4 extends QueryPack {
         .agg(count(lit(1)).cast("int").as("custdist"))
     },
 
+    "t07_min_price_supplier" -> { (s, dir) =>
+      // Q2 shape (adapted: lineitem bridges part↔supplier, the test
+      // schema has no partsupp): for each small EUROPE-sourced part,
+      // the supplier(s) selling it at the region-wide MINIMUM price —
+      // a correlated scalar min-subquery against the same dimension
+      // chain. Written as SQL so Catalyst's decorrelation does the
+      // work: the subquery becomes a min-per-partkey aggregate joined
+      // back on (partkey, price); dimensions broadcast (PlanGuardSpec),
+      // the only shuffles are the fact-side aggregates.
+      Seq("part", "lineitem", "supplier", "nation", "region")
+        .foreach(view(s, dir, _))
+      s.sql(
+        """SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+          |       l_extendedprice AS min_price
+          |FROM part, lineitem, supplier, nation, region
+          |WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'EUROPE' AND p_size <= 10
+          |  AND l_extendedprice = (
+          |    SELECT min(l2.l_extendedprice)
+          |    FROM lineitem l2, supplier s2, nation n2, region r2
+          |    WHERE l2.l_partkey = p_partkey
+          |      AND s2.s_suppkey = l2.l_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'EUROPE')
+          |""".stripMargin)
+    },
+    "t08_qualified_suppliers" -> { (s, dir) =>
+      // Q20 shape: semi-join on an AGGREGATED subquery — suppliers who
+      // moved more than 30 units of some 'red' part in 1996. The
+      // aggregate runs on the fact spine first (partial+final on
+      // (suppkey, partkey)); supplier then semi-joins its small result,
+      // so no supplier row ever multiplies against lineitem. Part and
+      // nation broadcast.
+      val li = t(s, dir, "lineitem")
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey")))
+      val n = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val qualifying = li
+        .filter(year(col("l_shipdate")) === 1996)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 30)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    },
+    "t09_sole_blame_supplier" -> { (s, dir) =>
+      // Q21 shape (adapted to the schema's l_returnflag in place of
+      // receipt-past-commit lateness): suppliers whose lineitem was
+      // RETURNED in a finished multi-supplier order where EXISTS
+      // another supplier's lineitem but NOT EXISTS another supplier's
+      // returned one — the sole guilty party. The two correlated
+      // predicates decorrelate to a LeftSemi and a LeftAnti self-join
+      // on the l_orderkey spine (PlanGuardSpec asserts both): three
+      // passes over lineitem co-partitioned on orderkey, never a
+      // cartesian.
+      Seq("supplier", "lineitem", "orders").foreach(view(s, dir, _))
+      s.sql(
+        """SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
+          |FROM supplier, lineitem l1, orders
+          |WHERE s_suppkey = l1.l_suppkey
+          |  AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |""".stripMargin)
+    },
     "t05_product_profit" -> { (s, dir) =>
       // Q9 shape (adapted: the test schema has no partsupp, so retail
       // price stands in for supply cost): per supplier-nation,
@@ -517,6 +599,45 @@ object Relational4 extends QueryPack {
                 AND o_orderpriority <> '1-URGENT'
                GROUP BY c_custkey)
          GROUP BY c_count""",
+    "t07_min_price_supplier" ->
+      """SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+           l_extendedprice AS min_price
+         FROM part, lineitem, supplier, nation, region
+         WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE' AND p_size <= 10
+           AND l_extendedprice = (
+             SELECT min(l2.l_extendedprice)
+             FROM lineitem l2, supplier s2, nation n2, region r2
+             WHERE l2.l_partkey = p_partkey
+               AND s2.s_suppkey = l2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND r2.r_name = 'EUROPE')""",
+    "t08_qualified_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem JOIN part
+             ON l_partkey = p_partkey
+           WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1996
+           GROUP BY l_suppkey, l_partkey
+           HAVING sum(l_quantity) > 30)""",
+    "t09_sole_blame_supplier" ->
+      """SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name""",
     "t05_product_profit" ->
       """SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INT) AS o_year,

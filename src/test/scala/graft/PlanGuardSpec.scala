@@ -143,4 +143,25 @@ class PlanGuardSpec extends SparkSpec {
       assert(smj <= 2, s"$q has $smj sort-merge joins (dims must broadcast)")
     }
   }
+
+  test("Q2 shape: correlated min-subquery decorrelates, dims broadcast") {
+    val p = plan("t07_min_price_supplier")
+    assert(p.contains("BroadcastHashJoin"), "dimensions must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the correlated subquery must decorrelate to an aggregate+join")
+  }
+
+  test("Q20 shape: aggregated subquery feeds a semi-join, dims broadcast") {
+    val p = plan("t08_qualified_suppliers")
+    assert(p.contains("LeftSemi"), "IN (aggregated subquery) must plan a semi-join")
+    assert(p.contains("BroadcastHashJoin"), "part/nation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q21 shape: EXISTS and NOT EXISTS decorrelate to semi + anti self-joins") {
+    val p = plan("t09_sole_blame_supplier")
+    assert(p.contains("LeftSemi"), "EXISTS must plan a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan a left-anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
