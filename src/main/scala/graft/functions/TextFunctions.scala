@@ -44,6 +44,24 @@ object TextFunctions {
     aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % p)
   }
 
+  /** Token-sequence fingerprint: [[rollingHashMod]]'s per-character
+    * fold applied to each TOKEN, then folded across the token sequence
+    * with a distinct multiplier — the whitespace-NORMALIZING
+    * counterpart of the whitespace-sensitive char-level d12 (two docs
+    * differing only in runs of spaces fingerprint equal here).
+    * Cross-engine exact for the same reasons as [[rollingHashMod]]
+    * (codepoint-exact split, all intermediates < 131·(1e9+7) + 1e9+7,
+    * far inside BIGINT under ANSI mode).
+    */
+  def tokenHashMod(c: Column, p: Long = 1000000007L): Column = {
+    val tokHashes = transform(tokens(c), t =>
+      aggregate(
+        transform(filter(split(t, ""), ch => ch =!= ""),
+          ch => ascii(ch).cast("long")),
+        lit(0L), (acc, x) => (acc * 31L + x) % p))
+    aggregate(tokHashes, lit(0L), (acc, x) => (acc * 131L + x) % p)
+  }
+
   /** Character n-grams (the shingle unit for near-dup detection).
     * Guarded: `sequence(1, 0)` would DESCEND in Spark, so short inputs
     * short-circuit to an empty array.

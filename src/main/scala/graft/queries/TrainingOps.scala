@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.functions.{PolyHashFunctions, TextFunctions}
+import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -171,9 +171,15 @@ object TrainingOps extends QueryPack {
           approx_count_distinct(col("source")).as("approx_sources"))
     },
     "d05_fingerprint" -> { (s, dir) =>
+      // token-sequence fingerprint (whitespace-normalizing, vs d12's
+      // whitespace-sensitive char fold) — oracle-checked via the same
+      // mod-prime discipline. The 64-bit wrapping PolyHash remains the
+      // internal fingerprint (m01, exact-dup digests) and is
+      // exactness-tested in PolyHashSpec; this query surface carries
+      // the cross-engine-replicable variant.
       t(s, dir, "documents").select(
         col("doc_id"),
-        PolyHashFunctions.poly_hash(col("text")).as("fingerprint"))
+        TextFunctions.tokenHashMod(col("text")).as("fingerprint"))
     },
     "d06_minhash_lsh_pairs" -> { (s, dir) =>
       Dedup.minhashLshPairsFromSigs(minhashSigs(s, dir),
@@ -368,6 +374,21 @@ object TrainingOps extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // nested list_reduce replica of TextFunctions.tokenHashMod: char
+    // fold per token (×31), token fold across the sequence (×131),
+    // both mod 1e9+7 — same unicode()-codepoint equivalence as d12
+    "d05_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce([0::BIGINT] ||
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t <> ''),
+               t -> list_reduce([0::BIGINT] ||
+                      list_transform(range(length(t)),
+                        i -> unicode(substring(t, CAST(i+1 AS INT), 1))),
+                    (a, b) -> (a * 31 + b) % 1000000007)),
+             (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+         FROM documents""",
     // Exact-match oracle works even for cosine: both engines fold the
     // dot product left-to-right in double → bit-identical similarity.
     "s01_cosine_topk" ->
