@@ -34,21 +34,30 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // (median-or-single seconds, timed-run count, raw warm samples):
+      // the estimator for each query is recorded in bench_full.json so
+      // a query drifting across the 20 s boundary between rounds is
+      // visible as a methodology change, not a silent apples-to-oranges
       val timing =
         try {
           val warm = once()
-          if (warm > 20.0) once()
-          else Seq(once(), once(), once()).sorted.apply(1)
-        } catch { case _: Throwable => -1.0 }
+          if (warm > 20.0) (once(), 1, Seq.empty[Double])
+          else {
+            val samples = Seq(once(), once(), once())
+            (samples.sorted.apply(1), 3, samples)
+          }
+        } catch { case _: Throwable => (-1.0, 0, Seq.empty[Double]) }
       name -> timing
+    }.map { case (name, (sec, runs, samples)) =>
+      (name, sec, runs, samples)
     }
     // keep the JSON line SHORT: the driver captures a bounded 2000-char
     // tail of stdout, and a longer line gets front-truncated → unparseable.
     // Emit 3-decimal seconds, and cap the per-query map to the SLOWEST
     // entries that fit a fixed budget (total always covers every query).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val entries = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val entries = bySlowest.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
     val budget = 1500
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -56,7 +65,18 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    // the COMPLETE per-query map (stdout is tail-budgeted, so fast-query
+    // regressions would be invisible there): median seconds, the run
+    // count behind each estimate, and the raw warm samples
+    val full = bySlowest.map { case (k, v, runs, samples) =>
+      s""""$k":{"sec":${f3(v)},"runs":$runs,"samples":[${
+        samples.map(f3).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.writeString(fullPath,
+      s"""{"total":${f3(total)},"n_queries":${results.size},"sf":"$sfDir","queries":$full}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
