@@ -33,20 +33,24 @@ object TrainingOps2 extends QueryPack {
 
     "m01_media_features" -> { (s, dir) =>
       // multimodal plumbing on the query surface, BOTH decode branches:
-      // every 10th doc carries a REAL PNG/BMP/WAV blob (ImageIO /
+      // every 50th doc carries a REAL PNG/BMP/WAV blob (ImageIO /
       // javax.sound encoded on the executor, dims/durations derived
       // from the doc id — Multimodal.syntheticMedia), the rest are
       // text bytes under an image extension that exercise the
-      // documented undecodable→stub fallback. Pipeline shape per
-      // partition: batch decode → typed metadata, batch featurize →
-      // fingerprint, wide content dropped before the join/output so
-      // only small rows shuffle. Rows-only: fingerprints are wrapping
-      // 64-bit PolyHash; MultimodalCodecSpec asserts the real branch's
-      // decoded dimensions on this query's output.
+      // documented undecodable→stub fallback. The real branch is
+      // eagerly localCheckpoint-ed: meta AND features both read the
+      // union, and the fixture ENCODE (absent in production, where
+      // blobs are read, not made) would otherwise run once per branch.
+      // Pipeline shape per partition: batch decode → typed metadata,
+      // batch featurize → fingerprint, wide content dropped before the
+      // join/output so only small rows shuffle. Rows-only:
+      // fingerprints are wrapping 64-bit PolyHash; MultimodalCodecSpec
+      // asserts the real branch's decoded dimensions on this output.
       val docs = t(s, dir, "documents")
       val real = graft.multimodal.Multimodal.syntheticMedia(
-        docs.filter(col("doc_id") % 10 === 0), "doc_id")
-      val fallback = docs.filter(col("doc_id") % 10 =!= 0).select(
+        docs.filter(col("doc_id") % 50 === 0), "doc_id")
+        .localCheckpoint(true)
+      val fallback = docs.filter(col("doc_id") % 50 =!= 0).select(
         concat(col("doc_id").cast("string"), lit(".jpg")).as("path"),
         col("text").cast("binary").as("content"))
       val binary = real.unionByName(fallback)
