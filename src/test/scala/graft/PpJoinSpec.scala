@@ -87,6 +87,35 @@ class PpJoinSpec extends SparkSpec {
     assert(cand.count() < 21)
   }
 
+  test("general thresholds: J ≥ 2/3 and J ≥ 1/4 match the naive join") {
+    // the parameterized integer math: prefix n − ⌈p·n/q⌉ + 1, size
+    // filter q·min ≥ p·max, verify c·(p+q) ≥ p·(na+nb)
+    def naiveAt(e: DataFrame, p: Int, q: Int): Set[(Long, Long)] = {
+      val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      e.select(col("id").as("id_a"), col("tok"))
+        .join(e.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("id").as("id_a"), col("n").as("na")),
+          Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")),
+          Seq("id_b"))
+        .filter(col("c") * (p + q) >= (col("na") + col("nb")) * p)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 25).map(i => s"t$i")
+    val sets = (0L until 30L).map { id =>
+      id -> rnd.shuffle(vocab).take(2 + rnd.nextInt(8)).toSeq
+    }
+    val e = elems(sets: _*)
+    for ((p, q) <- Seq((2, 3), (1, 4))) {
+      val pp = PpJoin.jaccardEdges(e, "id", "tok", p, q)
+        .as[(Long, Long)].collect().toSet
+      assert(pp == naiveAt(e, p, q), s"threshold $p/$q diverged")
+    }
+  }
+
   test("edge case: empty input and singleton sets") {
     val empty = Seq.empty[(Long, String)].toDF("id", "tok")
     assert(PpJoin.jaccardEdges(empty, "id", "tok").count() == 0)
