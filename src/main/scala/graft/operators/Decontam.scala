@@ -68,9 +68,9 @@ object Decontam {
     * verbatim inside a train doc. The bound is what makes the fan-out
     * finite — a shorter seed would hit boilerplate posting lists, and
     * no seed at all would mean `contains()` against every train doc, a
-    * full corpus scan per short eval. Callers who must screen shorter
-    * texts should route them through a bounded direct check (they are
-    * by definition tiny strings) rather than widening this probe.
+    * full corpus scan per short eval. Route shorter texts through
+    * [[probeShort]] (a broadcast direct check), or use [[probeAll]]
+    * for the union.
     */
   def probe(index: Index, evalDocs: DataFrame, idCol: String,
             textCol: String): DataFrame = {
@@ -99,6 +99,40 @@ object Decontam {
         concat(lit(" "), col("eval_text"), lit(" "))))
       .select(col("eval_id"), col("train_id"))
   }
+
+  /** Direct verification for eval docs BELOW [[probe]]'s 8-token bound:
+    * the short eval texts BROADCAST against one pass over the train
+    * texts, with the same space-padded word-aligned `contains()`
+    * predicate probe's verification uses. No seed gram exists for
+    * these docs, so the honest plan is a broadcast nested-loop — one
+    * corpus scan total, with per-row cost proportional to the
+    * (broadcast-sized, by definition tiny-string) short-eval set; what
+    * must NOT happen at 100 TB is a scan per short eval, and this
+    * shape never does that. Empty/whitespace-only eval docs match
+    * nothing and are excluded. Returns (eval_id, train_id).
+    */
+  def probeShort(index: Index, evalDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val nTok = size(TextFunctions.tokens(col(textCol)))
+    val shorts = evalDocs
+      .filter(nTok >= 1 && nTok < 8)
+      .select(col(idCol).as("eval_id"), col(textCol).as("eval_text"))
+    index.trainTexts
+      .join(broadcast(shorts),
+        contains(
+          concat(lit(" "), col("train_text"), lit(" ")),
+          concat(lit(" "), col("eval_text"), lit(" "))))
+      .select(col("eval_id"), col("train_id"))
+  }
+
+  /** Complete containment screen regardless of eval length: [[probe]]
+    * for ≥ 8-token docs (min-DF-seeded, index-bounded) unioned with
+    * [[probeShort]] for the rest (broadcast direct check).
+    */
+  def probeAll(index: Index, evalDocs: DataFrame, idCol: String,
+               textCol: String): DataFrame =
+    probe(index, evalDocs, idCol, textCol)
+      .unionByName(probeShort(index, evalDocs, idCol, textCol))
 
   /** Streaming decontamination: probe an UNBOUNDED eval-document stream
     * against the static train index, one `foreachBatch` at a time. Late

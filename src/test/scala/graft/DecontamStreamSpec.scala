@@ -88,6 +88,34 @@ class DecontamStreamSpec extends SparkSpec {
     assert(all.toSet == Set((100L, 1L), (102L, 2L)))
   }
 
+  test("probeShort screens sub-8-token eval docs; probeAll is complete") {
+    val index = Decontam.buildIndex(
+      trainDocs.toDF("doc_id", "text"), "doc_id", "text")
+    val shortLeak = "makes jack a dull boy" // 5 tokens, inside train 2
+    val shortClean = "zero overlap snippet" // 3 tokens, nowhere
+    val evals = Seq((200L, shortLeak), (201L, shortClean),
+      (202L, leak1), (203L, ""), (204L, "   "))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the documented contract: probe never reports short docs...
+    assert(pairs(Decontam.probe(index, evals, "doc_id", "text")) ==
+      Set((202L, 1L)))
+    // ...probeShort reports exactly the short containments (word-
+    // aligned; empty/whitespace docs match nothing)...
+    assert(pairs(Decontam.probeShort(index, evals, "doc_id", "text")) ==
+      Set((200L, 2L)))
+    // ...and probeAll is the complete screen
+    assert(pairs(Decontam.probeAll(index, evals, "doc_id", "text")) ==
+      Set((200L, 2L), (202L, 1L)))
+    // word alignment still holds on the short path: a substring that
+    // splits a word is not a leak
+    val midWord = Seq((300L, "ack a dull bo")).toDF("doc_id", "text")
+    assert(pairs(Decontam.probeShort(index, midWord, "doc_id", "text"))
+      .isEmpty)
+  }
+
   test("crash between sink and commit re-delivers the batch with the " +
       "same batchId; a batchId-keyed sink stays exactly-once") {
     implicit val sqlCtx = spark.sqlContext
