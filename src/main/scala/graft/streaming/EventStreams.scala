@@ -228,8 +228,8 @@ object EventStreams {
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo)
         : Iterator[SessionOut] =
-      emitClosed(math.max(expiredTimerInfo.getExpiryTimeInMs,
-        timerValues.getCurrentWatermarkInMs))
+      emitClosed(math.max(expiredTimerInfo.getExpiryTimeInMs(),
+        timerValues.getCurrentWatermarkInMs()))
   }
 
   /** Sessionize a stream of (user_id, ts, value) with a gap timeout.
