@@ -184,6 +184,48 @@ object Relational4 extends QueryPack {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
     },
+    "t10_important_parts" -> { (s, dir) =>
+      // Q11 shape: groups kept by comparing their aggregate against a
+      // GLOBAL scalar-subquery threshold (0.1% of total value) — the
+      // one-row aggregate broadcasts against the group output, never
+      // the other way around. Threshold compare in double over EXACT
+      // decimal sums: both operands are identical on any engine and
+      // any partitioning, so the boundary cannot flip.
+      view(s, dir, "lineitem")
+      s.sql(
+        """SELECT l_partkey,
+          |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(38,4))), 2) AS DOUBLE) AS value
+          |FROM lineitem
+          |GROUP BY l_partkey
+          |HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(38,4))) AS DOUBLE) >
+          |  (SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |      AS DECIMAL(38,4))) AS DOUBLE) * 0.001 FROM lineitem)
+          |""".stripMargin)
+    },
+    "t11_dormant_rich_customers" -> { (s, dir) =>
+      // Q22 shape: scalar-average subquery threshold + NOT EXISTS
+      // anti-join — above-average-balance customers with no urgent
+      // order, counted per nation. The average is an exact decimal sum
+      // divided once in double (cross-engine identical); NOT EXISTS
+      // decorrelates to a LeftAnti on o_custkey; nation broadcasts.
+      Seq("customer", "orders", "nation").foreach(view(s, dir, _))
+      s.sql(
+        """SELECT n_name, CAST(count(1) AS BIGINT) AS numcust,
+          |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,4))), 2)
+          |    AS DOUBLE) AS totacctbal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |WHERE c_acctbal >
+          |    (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,4)))
+          |        AS DOUBLE) / count(1)
+          |     FROM customer WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderpriority = '1-URGENT')
+          |GROUP BY n_name
+          |""".stripMargin)
+    },
     "t09_sole_blame_supplier" -> { (s, dir) =>
       // Q21 shape (adapted to the schema's l_returnflag in place of
       // receipt-past-commit lateness): suppliers whose lineitem was
@@ -623,6 +665,29 @@ object Relational4 extends QueryPack {
            WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1996
            GROUP BY l_suppkey, l_partkey
            HAVING sum(l_quantity) > 30)""",
+    "t10_important_parts" ->
+      """SELECT l_partkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))), 2) AS DOUBLE) AS value
+         FROM lineitem
+         GROUP BY l_partkey
+         HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))) AS DOUBLE) >
+           (SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(38,4))) AS DOUBLE) * 0.001 FROM lineitem)""",
+    "t11_dormant_rich_customers" ->
+      """SELECT n_name, CAST(count(1) AS BIGINT) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,4))), 2)
+             AS DOUBLE) AS totacctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal >
+             (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,4)))
+                 AS DOUBLE) / count(1)
+              FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY n_name""",
     "t09_sole_blame_supplier" ->
       """SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
          FROM supplier, lineitem l1, orders

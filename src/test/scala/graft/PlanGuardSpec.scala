@@ -164,4 +164,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "NOT EXISTS must plan a left-anti join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("Q11 shape: the global threshold filters group output, no join") {
+    val p = plan("t10_important_parts")
+    // Catalyst injects the uncorrelated scalar subquery as a runtime
+    // literal in a Filter ABOVE the group-by — no join node exists, and
+    // the groups stream through one partial+final aggregate pair
+    assert(p.contains("Subquery") || p.contains("subquery"), p.take(400))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the HAVING threshold must not plan any join")
+  }
+
+  test("Q22 shape: scalar-avg threshold + NOT EXISTS anti-join") {
+    val p = plan("t11_dormant_rich_customers")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan a left-anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
