@@ -226,6 +226,94 @@ object Relational4 extends QueryPack {
           |GROUP BY n_name
           |""".stripMargin)
     },
+    "t12_promo_revenue" -> { (s, dir) =>
+      // Q14 shape: promotion revenue share for one month — a
+      // conditional-aggregate ratio over the lineitem⋈part probe.
+      // Both operands are exact decimal sums cast to double; ONE
+      // double division then a round, so the ratio is bit-identical
+      // on any engine and any partitioning. part broadcasts
+      // (PlanGuardSpec) — the fact side never shuffles for the join,
+      // and the month filter prunes lineitem at the scan.
+      val li = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996 &&
+          month(col("l_shipdate")) === 9)
+      val p = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_type")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(dec(when(col("p_type") === "PROMO", vol).otherwise(0)))
+            .cast(DoubleType) * 100.0 /
+            sum(dec(vol)).cast(DoubleType), 4).as("promo_revenue"))
+    },
+    "t13_top_supplier" -> { (s, dir) =>
+      // Q15 shape: revenue-per-supplier view for one quarter, then
+      // the supplier(s) hitting the GLOBAL maximum. The view is
+      // eagerly localCheckpoint-ed: both the max aggregate and the
+      // equality probe read it, and Spark re-executes a shared
+      // subtree once per occurrence — without the pin the quarter's
+      // lineitem scan would run twice (in production the view is
+      // materialized once, exactly this). The one-row max broadcasts
+      // against the small view; totals are rounded doubles over exact
+      // decimal sums, so the max equality cannot flip across engines.
+      val rev = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996 &&
+          quarter(col("l_shipdate")) === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(money(vol).as("total_revenue"))
+        .localCheckpoint(true)
+      val top = broadcast(
+        rev.agg(max(col("total_revenue")).as("max_rev")))
+      rev.join(top, col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+    "t14_small_qty_revenue" -> { (s, dir) =>
+      // Q17 shape: revenue lost to small-quantity orders — a
+      // correlated per-part average threshold. SQL surface so
+      // Catalyst decorrelates the scalar subquery into an
+      // avg-per-partkey aggregate joined back on p_partkey (never a
+      // per-row re-scan). The threshold is an exact decimal sum
+      // divided once in double — quantities are integral, so the
+      // strict `<` cannot flip across engines; the brand filter
+      // prunes part before the join.
+      Seq("lineitem", "part").foreach(view(s, dir, _))
+      s.sql(
+        """SELECT CAST(round(CAST(sum(CAST(l_extendedprice
+          |    AS DECIMAL(38,4))) AS DOUBLE) / 7.0, 2) AS DOUBLE)
+          |  AS avg_yearly
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#23'
+          |  AND l_quantity < (
+          |    SELECT 0.2 * CAST(sum(CAST(l2.l_quantity
+          |        AS DECIMAL(38,4))) AS DOUBLE) / count(1)
+          |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          |""".stripMargin)
+    },
+    "t15_disjunctive_parts" -> { (s, dir) =>
+      // Q19 shape: a disjunction of brand/size/quantity conjunctions
+      // across the lineitem⋈part join. Catalyst keeps the common
+      // p_partkey equi-key out of the OR and pushes each side's
+      // disjunct columns to its own scan, so the broadcast probes
+      // only the joined rows and the residual OR runs codegen'd
+      // post-join — never a cartesian.
+      val li = t(s, dir, "lineitem")
+      val p = broadcast(t(s, dir, "part"))
+      val cond =
+        (col("p_brand") === "Brand#13" &&
+          col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#21" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(money(vol).as("revenue"), count(lit(1)).as("n_items"))
+    },
+
     "t09_sole_blame_supplier" -> { (s, dir) =>
       // Q21 shape (adapted to the schema's l_returnflag in place of
       // receipt-past-commit lateness): suppliers whose lineitem was
@@ -688,6 +776,48 @@ object Relational4 extends QueryPack {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY n_name""",
+    "t12_promo_revenue" ->
+      """SELECT CAST(round(
+           CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+             AS DECIMAL(38,4))) AS DOUBLE) * 100.0
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(38,4))) AS DOUBLE),
+           4) AS DOUBLE) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 9""",
+    "t13_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(38,4))), 2) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "t14_small_qty_revenue" ->
+      """SELECT CAST(round(CAST(sum(CAST(l_extendedprice
+             AS DECIMAL(38,4))) AS DOUBLE) / 7.0, 2) AS DOUBLE)
+           AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23'
+           AND l_quantity < (
+             SELECT 0.2 * CAST(sum(CAST(l2.l_quantity
+                 AS DECIMAL(38,4))) AS DOUBLE) / count(1)
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "t15_disjunctive_parts" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+           CAST(count(1) AS BIGINT) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
     "t09_sole_blame_supplier" ->
       """SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
          FROM supplier, lineitem l1, orders

@@ -175,6 +175,35 @@ class PlanGuardSpec extends SparkSpec {
       "the HAVING threshold must not plan any join")
   }
 
+  test("Q14 shape: conditional ratio broadcasts part, one final shuffle") {
+    val p = plan("t12_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(shuffleCount(p) <= 1,
+      s"global agg should be the only exchange:\n${p.take(400)}")
+  }
+
+  test("Q15 shape: max-revenue equality probes broadcasts, no SMJ") {
+    val p = plan("t13_top_supplier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the one-row max and supplier dim must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing in the aggregated view may shuffle-sort")
+  }
+
+  test("Q17 shape: correlated avg decorrelates to aggregate + join") {
+    val p = plan("t14_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), "filtered part must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the correlated avg subquery must decorrelate")
+  }
+
+  test("Q19 shape: disjunctive predicates keep the equi-join, no cartesian") {
+    val p = plan("t15_disjunctive_parts")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the OR-of-conjunctions must stay a residual on the equi-join")
+  }
+
   test("Q22 shape: scalar-avg threshold + NOT EXISTS anti-join") {
     val p = plan("t11_dormant_rich_customers")
     assert(p.contains("LeftAnti"), "NOT EXISTS must plan a left-anti join")
