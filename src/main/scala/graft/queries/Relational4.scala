@@ -492,6 +492,25 @@ object Relational4 extends QueryPack {
           last(col("day_max"), ignoreNulls = true).over(w)
             .as("locf_value"))
     },
+    "e08_scd2_intervals" -> { (s, dir) =>
+      // SCD2 dimension build from a change log: each purchase event's
+      // value is effective [ts, next change); the open interval is
+      // flagged current. ONE shuffle on user_id (the window key); the
+      // close is a lead over (ts, event_id), so same-timestamp changes
+      // still order deterministically on any partitioning. This is the
+      // warehouse's slowly-changing-dimension snapshot, built from the
+      // same events the streaming surface consumes incrementally.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"))
+        .withColumn("effective_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("ts").as("effective_from"),
+          col("effective_to"), col("value"),
+          col("effective_to").isNull.cast("int").as("is_current"))
+    },
 
     "j04_bloom_prune_join" -> { (s, dir) =>
       // bloom-pruned fact⋈dim join: lineitem rows are pre-filtered
@@ -946,6 +965,15 @@ object Relational4 extends QueryPack {
                   AS locf_value
          FROM grid g
          LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""",
+    "e08_scd2_intervals" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS effective_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER w AS effective_to,
+           value,
+           CAST(lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS INT)
+             AS is_current
+         FROM events WHERE event_type = 'purchase'
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)""",
     "j04_bloom_prune_join" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                 CAST(count(1) AS BIGINT) AS n_lines,

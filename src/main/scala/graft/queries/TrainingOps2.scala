@@ -309,6 +309,77 @@ object TrainingOps2 extends QueryPack {
           col("n_bigrams").cast("int").as("n_bigrams"),
           ((-col("top.neg_n")).cast("double") /
             col("n_bigrams").cast("double")).as("top_frac"))
+    },
+
+    "d29_source_vocab_overlap" -> { (s, dir) =>
+      // Cross-source contamination map: pairwise Jaccard overlap of
+      // the sources' word-bigram vocabularies — the "is src_a just a
+      // re-crawl of src_b" signal a mixture designer reads before
+      // weighting. The per-source vocabulary is distinct
+      // (source, shingle): bounded by #sources × vocab, never corpus
+      // size, and pinned once (three readers — sizes + both join
+      // sides — would otherwise re-run the corpus scan each). The
+      // self-join key is the shingle, so fan-out per shingle is at
+      // most #sources per side (#sources² pairs worst case, not d²);
+      // the #sources-row size frame broadcasts.
+      val docs = t(s, dir, "documents")
+      val vocab = docs.select(col("source"),
+          explode(TextFunctions.wordShingles(col("text"), 2)).as("sh"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = vocab.groupBy(col("source"))
+        .agg(count(lit(1)).as("nv"))
+      val ix = vocab.select(col("source").as("src_a"), col("sh"))
+        .join(vocab.select(col("source").as("src_b"), col("sh")),
+          Seq("sh"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      ix.join(broadcast(sizes.select(col("source").as("src_a"),
+          col("nv").as("nv_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("nv").as("nv_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"),
+          col("n_common").cast("int").as("n_common"),
+          (col("n_common").cast("double") /
+            (col("nv_a") + col("nv_b") - col("n_common"))
+              .cast("double")).as("jaccard"))
+    },
+
+    "d30_token_freq_spectrum" -> { (s, dir) =>
+      // Good-Turing input: the corpus frequency spectrum — how many
+      // distinct tokens occur exactly f times (the N_f counts LM
+      // smoothing and vocab-size planning read). Two aggregation
+      // passes, both with map-side partials; the shuffles carry
+      // (token) then (freq) — never document bodies — and the output
+      // is at most |distinct frequencies| rows.
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .groupBy(col("freq"))
+        .agg(count(lit(1)).cast("int").as("n_tokens"))
+        .select(col("freq").cast("long").as("freq"), col("n_tokens"))
+    },
+
+    "d31_mixture_entropy" -> { (s, dir) =>
+      // Mixture diversity per language: Shannon entropy (nats) of the
+      // source distribution — the "is this lang's data all one crawl"
+      // gate. One corpus aggregation down to #lang × #source rows,
+      // pinned once (totals + entropy both read it; unpinned, the
+      // corpus scan would run twice); the per-lang totals frame
+      // broadcasts back. Ratios are exact long counts cast to double,
+      // ln is libm-backed so both sides round to 6 (a07 discipline).
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val totals = broadcast(
+        counts.groupBy(col("lang")).agg(sum(col("n")).as("tot")))
+      val p = col("n").cast("double") / col("tot").cast("double")
+      counts.join(totals, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_sources"),
+          round(-sum(p * log(p)), 6).as("entropy"))
     })
 
   override def oracleSql: Map[String, String] = Map(
@@ -467,5 +538,48 @@ object TrainingOps2 extends QueryPack {
                 CAST(m.top_n AS DOUBLE) / CAST(m.n_bigrams AS DOUBLE)
                   AS top_frac
          FROM counts c JOIN mx m ON c.doc_id = m.doc_id AND c.n = m.top_n
-         GROUP BY c.doc_id, m.top_n, m.n_bigrams""")
+         GROUP BY c.doc_id, m.top_n, m.n_bigrams""",
+    "d29_source_vocab_overlap" ->
+      """WITH toks AS (
+           SELECT source,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT source,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] AS sh
+           FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+         vocab AS (SELECT DISTINCT source, sh FROM sh),
+         vs AS (SELECT source, count(1) AS nv FROM vocab GROUP BY 1),
+         ix AS (SELECT a.source AS src_a, b.source AS src_b,
+                       count(1) AS n_common
+                FROM vocab a JOIN vocab b
+                  ON a.sh = b.sh AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(n_common AS INT) AS n_common,
+                CAST(n_common AS DOUBLE) /
+                  CAST(va.nv + vb.nv - n_common AS DOUBLE) AS jaccard
+         FROM ix
+         JOIN vs va ON va.source = src_a
+         JOIN vs vb ON vb.source = src_b""",
+    "d30_token_freq_spectrum" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+               string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (SELECT tok, count(1) AS freq FROM toks GROUP BY 1)
+         SELECT CAST(freq AS BIGINT) AS freq,
+                CAST(count(1) AS INT) AS n_tokens
+         FROM tf GROUP BY 1""",
+    "d31_mixture_entropy" ->
+      """WITH c AS (
+           SELECT lang, source, count(1) AS n
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.lang, CAST(count(1) AS INT) AS n_sources,
+                round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+                  ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+                  AS entropy
+         FROM c JOIN t USING (lang) GROUP BY c.lang""")
 }

@@ -204,6 +204,33 @@ class PlanGuardSpec extends SparkSpec {
       "the OR-of-conjunctions must stay a residual on the equi-join")
   }
 
+  test("vocab overlap joins on the shingle, sizes broadcast") {
+    val p = plan("d29_source_vocab_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the #sources-row vocabulary-size frames must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("Exchange SinglePartition"), p.take(400))
+  }
+
+  test("frequency spectrum is two partial-agg shuffles, nothing else") {
+    val p = plan("d30_token_freq_spectrum")
+    assert(shuffleCount(p) == 2,
+      s"expected exactly (token) then (freq) exchanges:\n${p.take(400)}")
+  }
+
+  test("mixture entropy broadcasts the per-lang totals, no window") {
+    val p = plan("d31_mixture_entropy")
+    assert(p.contains("BroadcastHashJoin"), "totals must broadcast")
+    assert(!p.contains("Window"), "entropy must not plan a window")
+  }
+
+  test("SCD2 intervals window by user, never a single partition") {
+    val p = plan("e08_scd2_intervals")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Exchange SinglePartition"),
+      "the interval close must partition by user_id")
+  }
+
   test("Q22 shape: scalar-avg threshold + NOT EXISTS anti-join") {
     val p = plan("t11_dormant_rich_customers")
     assert(p.contains("LeftAnti"), "NOT EXISTS must plan a left-anti join")
