@@ -81,6 +81,57 @@ object Relational2 extends QueryPack {
             lit(math.max(total - 1, 1L).toDouble)).as("pct_rank"),
           (col("rn").cast(DoubleType) / lit(total.toDouble)).as("cume"))
     },
+    "w06_global_quantiles" -> { (s, dir) =>
+      // Exact GLOBAL quantiles without a global sort and without
+      // driver-side state — the declarative form of the distributed
+      // exact-quantile refinement (a02's percentile() is exact but
+      // buffers each group on one task; this is the shape that
+      // survives a corpus-sized group). Three bounded passes:
+      // (1) a one-row (min,max,n) frame broadcasts to stamp each
+      // row's range bucket; (2) bucket counts (≤256 rows) prefix-sum
+      // into offsets — the only single-partition window in the plan
+      // runs over that 256-row frame, never the data; (3) each target
+      // rank locates its bucket via a broadcast range-join, and ONLY
+      // those ≤3 buckets' rows are shuffled and windowed (every other
+      // bucket is pruned before the exchange; partition sizes stay
+      // n/256 — the w02 discipline; at larger SF raise nb or add a
+      // refinement level). Output values are raw doubles picked at
+      // exact ranks — no arithmetic to drift.
+      val nb = 256
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val stats = broadcast(orders.agg(
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        count(lit(1)).as("n")).localCheckpoint(true))
+      val base = orders.crossJoin(stats)
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("o_totalprice") - col("lo")) /
+              ((col("hi") - col("lo")) / nb)).cast("int"), lit(nb - 1))))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      val targets = stats
+        .select(explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
+          col("n"))
+        .withColumn("rt", (floor(col("p") * (col("n") - 1)) + 1)
+          .cast("long"))
+      val located = broadcast(targets.join(offsets,
+          col("rt") > col("off") && col("rt") <= col("off") + col("c"))
+        .select(col("p"), col("bkt"), (col("rt") - col("off")).as("lr")))
+      val wIn = Window.partitionBy(col("p"), col("bkt"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      base.join(located, Seq("bkt"))
+        .withColumn("rn", row_number().over(wIn).cast("long"))
+        .filter(col("rn") === col("lr"))
+        .agg(
+          max(when(col("p") === 0.25, col("o_totalprice"))).as("p25"),
+          max(when(col("p") === 0.5, col("o_totalprice"))).as("p50"),
+          max(when(col("p") === 0.75, col("o_totalprice"))).as("p75"),
+          max(col("n")).as("n"))
+    },
     "w03_first_last_nth" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -238,6 +289,22 @@ object Relational2 extends QueryPack {
            cume_dist() OVER w AS cume
          FROM orders
          WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""",
+    "w06_global_quantiles" ->
+      """WITH s AS (
+           SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS rn,
+             count(*) OVER () AS n
+           FROM orders)
+         SELECT
+           max(CASE WHEN rn = CAST(floor(0.25*(n-1)) AS BIGINT) + 1
+               THEN o_totalprice END) AS p25,
+           max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+               THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn = CAST(floor(0.75*(n-1)) AS BIGINT) + 1
+               THEN o_totalprice END) AS p75,
+           CAST(max(n) AS BIGINT) AS n
+         FROM s""",
     "w03_first_last_nth" ->
       """SELECT o_custkey, o_orderkey,
            first_value(o_totalprice) OVER w AS first_price,

@@ -224,6 +224,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window"), "entropy must not plan a window")
   }
 
+  test("global quantiles window only target buckets, keyed by (p, bkt)") {
+    val p = plan("w06_global_quantiles")
+    assert("windowspecdefinition\\(p#\\d+, bkt#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"the rank window must partition by (p, bkt):\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 3-row located frame must broadcast against the buckets")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("SCD2 intervals window by user, never a single partition") {
     val p = plan("e08_scd2_intervals")
     assert(p.contains("Window"), p.take(400))
