@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * Ties: a right row at exactly `leftTime` is eligible; among right rows
   * with the same timestamp the one greatest by `tieBreaker` (if given)
   * wins, otherwise an arbitrary-but-deterministic one.
+  *
+  * `maxGap` bounds the match's staleness: a predicate over
+  * (leftTime, matchedRightTime) — when it evaluates false the match is
+  * nulled out AFTER the window pass, so the tolerance costs nothing
+  * extra (still one shuffle, still linear; the matched right time rides
+  * the payload struct as an internal field).
   */
 object AsOfJoin {
 
@@ -25,7 +31,8 @@ object AsOfJoin {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            payload: Map[String, String],
-           tieBreaker: Option[String] = None): DataFrame = {
+           tieBreaker: Option[String] = None,
+           maxGap: Option[(Column, Column) => Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
 
     val l = left
@@ -33,14 +40,16 @@ object AsOfJoin {
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_payload",
-        lit(null).cast(structType(right, payload.keys.toSeq)))
+        lit(null).cast(structTypeWithRt(right, payload.keys.toSeq,
+          rightTime)))
     val r = right
       .select((payload.keys.toSeq ++ Seq(rightKey, rightTime))
         .distinct.map(col): _*)
       .withColumn("_k", col(rightKey))
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .withColumn("_payload", struct(payload.keys.map(col).toSeq: _*))
+      .withColumn("_payload", struct(
+        payload.keys.map(col).toSeq :+ col(rightTime).as("_rt"): _*))
 
     val lNorm = l.select(
       (leftCols.map(col) :+ col("_k") :+ col("_t") :+ col("_side") :+
@@ -57,18 +66,28 @@ object AsOfJoin {
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lNorm.unionByName(rNorm)
+    val joined = lNorm.unionByName(rNorm)
       .withColumn("_matched", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++
-        payload.map { case (src, out) =>
-          col("_matched").getField(src).as(out)
-        }.toSeq: _*)
+    val gated = maxGap match {
+      case Some(ok) => joined.withColumn("_matched",
+        when(ok(col("_t"), col("_matched").getField("_rt")),
+          col("_matched")))
+      case None => joined
+    }
+    gated.select(leftCols.map(col) ++
+      payload.map { case (src, out) =>
+        col("_matched").getField(src).as(out)
+      }.toSeq: _*)
   }
 
   private def leftSchema(df: DataFrame, c: String) =
     df.schema(c).dataType
 
-  private def structType(right: DataFrame, names: Seq[String]) =
-    org.apache.spark.sql.types.StructType(names.map(right.schema(_)))
+  private def structTypeWithRt(right: DataFrame, names: Seq[String],
+      rightTime: String) =
+    org.apache.spark.sql.types.StructType(
+      names.map(right.schema(_)) :+
+        org.apache.spark.sql.types.StructField("_rt",
+          right.schema(rightTime).dataType))
 }

@@ -101,6 +101,26 @@ object EventTime extends QueryPack {
         .select(col("event_id"), col("user_id"), col("n_last_hour"),
           col("val_last_hour"))
     },
+    "e09_last_click_attribution" -> { (s, dir) =>
+      // last-touch attribution: each purchase joins the user's most
+      // recent click at most 7 days old — the tolerance-bounded as-of
+      // join (one shuffle on user_id, linear per partition; a range
+      // join would explode M×N per heavy user). Clicks pre-dedupe to
+      // one per (user, ts) by max event_id, so tie semantics are
+      // engine-exact; the staleness gate compares exact epoch micros.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+        "user_id", "c_user", "ts", "c_ts",
+        Map("click_id" -> "click_id", "c_ts" -> "click_ts"),
+        maxGap = Some((lt, rt) =>
+          unix_micros(lt) - unix_micros(rt) <= 7L * 86400 * 1000000))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,5 +193,21 @@ object EventTime extends QueryPack {
          WINDOW w AS (PARTITION BY user_id
            ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "e09_last_click_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts,
+                  max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT purchase_id, user_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(c_ts) <= 604800000000
+                THEN click_id END AS click_id,
+           CASE WHEN epoch_us(ts) - epoch_us(c_ts) <= 604800000000
+                THEN c_ts END AS click_ts
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.c_user AND p.ts >= c.c_ts""",
   )
 }

@@ -234,6 +234,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("attribution as-of is dedup + one window shuffle, nothing more") {
+    val p = plan("e09_last_click_attribution")
+    assert(shuffleCount(p) <= 2,
+      s"click dedup + as-of window only:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the tolerance must not plan a range join")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the as-of window must partition by user")
+  }
+
   test("SCD2 intervals window by user, never a single partition") {
     val p = plan("e08_scd2_intervals")
     assert(p.contains("Window"), p.take(400))
