@@ -132,6 +132,49 @@ object Relational2 extends QueryPack {
           max(when(col("p") === 0.75, col("o_totalprice"))).as("p75"),
           max(col("n")).as("n"))
     },
+    "w07_grouped_median" -> { (s, dir) =>
+      // Per-group exact median with the w06 discipline — what
+      // a02_median_percentile's percentile() cannot do once a group
+      // outgrows one task's buffer. All driver-free: the per-group
+      // (min,max,n) frame broadcasts (|groups| rows), bucket counts
+      // prefix-sum under a window PARTITIONED BY GROUP (never a
+      // single partition), the per-group target rank locates its
+      // bucket via a broadcast join, and only located buckets' rows
+      // are windowed. Values are raw doubles at exact ranks.
+      val nb = 64
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("grp"), col("o_totalprice"))
+      val stats = broadcast(orders.groupBy(col("grp")).agg(
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        count(lit(1)).as("n")).localCheckpoint(true))
+      val base = orders.join(stats, Seq("grp"))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("o_totalprice") - col("lo")) /
+              ((col("hi") - col("lo")) / nb)).cast("int"), lit(nb - 1))))
+      val wOff = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("grp"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      val targets = stats.select(col("grp"),
+        (floor(lit(0.5) * (col("n") - 1)) + 1).cast("long").as("rt"),
+        col("n"))
+      val located = broadcast(targets.join(offsets, Seq("grp"))
+        .filter(col("rt") > col("off") &&
+          col("rt") <= col("off") + col("c"))
+        .select(col("grp"), col("bkt"), (col("rt") - col("off"))
+          .as("lr"), col("n")))
+      val wIn = Window.partitionBy(col("grp"), col("bkt"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      base.drop("n").join(located, Seq("grp", "bkt"))
+        .withColumn("rn", row_number().over(wIn).cast("long"))
+        .filter(col("rn") === col("lr"))
+        .groupBy(col("grp"))
+        .agg(max(col("o_totalprice")).as("median"),
+          max(col("n")).as("n"))
+    },
     "w03_first_last_nth" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -305,6 +348,18 @@ object Relational2 extends QueryPack {
                THEN o_totalprice END) AS p75,
            CAST(max(n) AS BIGINT) AS n
          FROM s""",
+    "w07_grouped_median" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS grp, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT grp,
+           max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+               THEN o_totalprice END) AS median,
+           CAST(max(n) AS BIGINT) AS n
+         FROM s GROUP BY grp""",
     "w03_first_last_nth" ->
       """SELECT o_custkey, o_orderkey,
            first_value(o_totalprice) OVER w AS first_price,

@@ -361,6 +361,29 @@ object TrainingOps2 extends QueryPack {
         .select(col("freq").cast("long").as("freq"), col("n_tokens"))
     },
 
+    "d32_token_entropy" -> { (s, dir) =>
+      // Within-doc token entropy (nats): the repetitive-spam signal —
+      // low entropy means a few tokens dominate the doc. Computed as
+      // ln(N) − (Σ n·ln n)/N so the counts pass needs no per-row
+      // division and ONE aggregation pair suffices: (doc, token)
+      // counts, then a per-doc fold. Shuffles carry token pairs,
+      // never bodies; ln is libm-backed so both sides round to 6
+      // (a07 discipline).
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("nt"),
+          count(lit(1)).as("nd"),
+          sum(col("n").cast("double") * log(col("n").cast("double")))
+            .as("nlogn"))
+        .select(col("doc_id"), col("nd").cast("int").as("n_distinct"),
+          round(log(col("nt").cast("double")) -
+            col("nlogn") / col("nt").cast("double"), 6).as("entropy"))
+    },
+
     "d31_mixture_entropy" -> { (s, dir) =>
       // Mixture diversity per language: Shannon entropy (nats) of the
       // source distribution — the "is this lang's data all one crawl"
@@ -572,6 +595,19 @@ object TrainingOps2 extends QueryPack {
          SELECT CAST(freq AS BIGINT) AS freq,
                 CAST(count(1) AS INT) AS n_tokens
          FROM tf GROUP BY 1""",
+    "d32_token_entropy" ->
+      """WITH tc AS (
+           SELECT doc_id,
+                  unnest(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, count(1) AS n FROM tc GROUP BY 1, 2)
+         SELECT doc_id, CAST(count(1) AS INT) AS n_distinct,
+                round(ln(CAST(sum(n) AS DOUBLE)) -
+                  sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) /
+                    CAST(sum(n) AS DOUBLE), 6) AS entropy
+         FROM c GROUP BY doc_id""",
     "d31_mixture_entropy" ->
       """WITH c AS (
            SELECT lang, source, count(1) AS n

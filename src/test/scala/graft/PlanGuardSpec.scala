@@ -244,6 +244,21 @@ class PlanGuardSpec extends SparkSpec {
       "the as-of window must partition by user")
   }
 
+  test("grouped median windows per (grp, bkt), offsets per grp") {
+    val p = plan("w07_grouped_median")
+    assert(p.contains("BroadcastHashJoin"),
+      "stats/located frames must broadcast")
+    assert(!p.contains("Exchange SinglePartition"),
+      "nothing in the grouped-median plan may collapse to one partition")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("token entropy is two partial-agg shuffles carrying token pairs") {
+    val p = plan("d32_token_entropy")
+    assert(shuffleCount(p) == 2,
+      s"expected (doc,token) then (doc) exchanges:\n${p.take(400)}")
+  }
+
   test("SCD2 intervals window by user, never a single partition") {
     val p = plan("e08_scd2_intervals")
     assert(p.contains("Window"), p.take(400))
