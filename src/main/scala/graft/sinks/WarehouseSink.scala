@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Warehouse-table sinks for co-located access patterns (SURVEY.md §2.b
   * "partitioning & shuffle"):
@@ -34,6 +35,48 @@ object WarehouseSink {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Z-order (Morton) clustering layout over two numeric columns, for
+    * multi-column scan pruning: each column range-buckets to `bits`
+    * bits (bounds from one (min,max) pass, broadcast back — no driver
+    * state), the buckets' bits interleave into a Morton code, and the
+    * frame range-repartitions + locally sorts on it. Every output
+    * file then covers a tight ~square of the (a, b) value space, so
+    * min/max stats prune scans filtered on EITHER column — a sort by
+    * `a` alone leaves every file spanning the full `b` range and a
+    * b-filter reads everything. This is the OPTIMIZE ZORDER layout
+    * pass, expressed as pure Spark (interleave is codegen'd integer
+    * bit ops; the only wide op is the range exchange a write needs
+    * anyway).
+    */
+  def zorderLayout(df: DataFrame, colA: String, colB: String,
+                   numFiles: Int, bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1,16]")
+    val stats = broadcast(df.agg(
+      min(col(colA)).cast("double").as("_loa"),
+      max(col(colA)).cast("double").as("_hia"),
+      min(col(colB)).cast("double").as("_lob"),
+      max(col(colB)).cast("double").as("_hib")).localCheckpoint(true))
+    val nb = 1 << bits
+    def bucket(c: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0)).otherwise(
+        least(floor((c.cast("double") - lo) / ((hi - lo) / nb))
+          .cast("int"), lit(nb - 1)))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(col("_ba"), i)
+          .bitwiseAND(lit(1)).cast("long"), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(col("_bb"), i)
+          .bitwiseAND(lit(1)).cast("long"), 2 * i))
+    }
+    df.crossJoin(stats)
+      .withColumn("_ba", bucket(col(colA), col("_loa"), col("_hia")))
+      .withColumn("_bb", bucket(col(colB), col("_lob"), col("_hib")))
+      .withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_loa", "_hia", "_lob", "_hib", "_ba", "_bb", "_z")
+  }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed joins buy.

@@ -54,4 +54,58 @@ class WarehouseSinkSpec extends SparkSpec {
       scan.contains("event_type"), scan.take(500))
     assert(filtered.count() == 2L)
   }
+
+  test("dynamic partition pruning: the dim's filter prunes fact partitions") {
+    reset("wh_fact_dpp", "wh_dim_dpp")
+    // fact partitioned by day; the filter arrives only through a join
+    // with a filtered dim — static pruning can't see it, DPP injects
+    // the dim's build side as a runtime partition filter. At 100 TB
+    // this is the difference between scanning one day and scanning
+    // the table. The dim must be a real scan (a LocalRelation folds
+    // the filter away and the pruning rule sees nothing selective).
+    val fact = (1L to 2000L)
+      .map(i => (i, (i % 20).toInt, s"v$i")).toDF("id", "day", "payload")
+    WarehouseSink.writePartitioned(fact, "wh_fact_dpp", Seq("day"))
+    (0 until 20).map(d => (d, if (d == 7) "hot" else "cold"))
+      .toDF("day", "temp")
+      .write.mode("overwrite").format("parquet").saveAsTable("wh_dim_dpp")
+    val joined = WarehouseSink.table(spark, "wh_fact_dpp")
+      .join(WarehouseSink.table(spark, "wh_dim_dpp")
+        .filter(col("temp") === "hot"), Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter:\n${plan.take(800)}")
+    assert(joined.count() == 100L)
+  }
+
+  test("z-order layout keeps every file narrow on BOTH columns") {
+    // two independent uniform dims; 16 output files. A sort by a
+    // alone gives files spanning the FULL b range (a b-filter prunes
+    // nothing); the Morton layout gives ~square tiles so both
+    // per-file spans stay small.
+    val n = 4096
+    val df = (0 until n)
+      .map { i => val h = (i * 2654435761L) & 0xffffffffL
+        (i % 64, (h % 64).toInt, i) }
+      .toDF("a", "b", "id")
+
+    def spans(laid: org.apache.spark.sql.DataFrame): Seq[(Int, Int)] =
+      laid.select(spark_partition_id().as("p"), col("a"), col("b"))
+        .groupBy("p")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+
+    val z = spans(WarehouseSink.zorderLayout(df, "a", "b", 16, bits = 6))
+    val bySingle = spans(df.repartitionByRange(16, col("a"))
+      .sortWithinPartitions(col("a")))
+
+    val zMaxB = z.map(_._2).max
+    val singleMinB = bySingle.map(_._2).min
+    assert(zMaxB < 32,
+      s"z-order files must cover < half the b range, got spans $z")
+    assert(singleMinB > 32,
+      s"single-column layout should span most of b, got $bySingle")
+    // and a stays reasonably tight too (square-ish tiles, not stripes)
+    assert(z.map(_._1).max < 48, s"a spans too wide under z-order: $z")
+  }
 }
