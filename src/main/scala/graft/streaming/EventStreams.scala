@@ -290,10 +290,18 @@ object EventStreams {
     * carry watermarks and the join condition bounds event time on both
     * ends, so the state store can evict rows once the watermark passes —
     * the canonical bounded-state stream-stream join.
+    *
+    * `joinType = "left_outer"` additionally emits UNMATCHED purchases
+    * (click columns null) — but only once the click-side watermark
+    * passes the purchase's match window, because until then a late
+    * click could still attribute it. Inner matches stream out
+    * immediately; outer nulls are watermark-delayed by construction —
+    * that asymmetry is the semantics, not a bug.
     */
   def attributePurchases(clicks: DataFrame, purchases: DataFrame,
                          window: String = "10 minutes",
-                         watermark: String = "20 minutes"): DataFrame = {
+                         watermark: String = "20 minutes",
+                         joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", watermark)
@@ -302,7 +310,7 @@ object EventStreams {
     p.join(c, expr(
       s"""c_user = p_user AND
           click_ts <= purchase_ts AND
-          purchase_ts <= click_ts + INTERVAL $window"""))
+          purchase_ts <= click_ts + INTERVAL $window"""), joinType)
       .select(col("p_user").as("user_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
   }

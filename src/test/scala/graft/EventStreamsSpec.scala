@@ -136,6 +136,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits orphans only after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStreams.attributePurchases(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"),
+      joinType = "left_outer")
+    val query = joined.writeStream.format("memory")
+      .queryName("attribution_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(0), 1L))
+      purchases.addData((ts(5), 1L, 99.0), (ts(5), 3L, 55.0))
+      query.processAllAvailable()
+      val early = spark.table("attribution_outer_test").collect()
+      assert(early.count(_.getAs[Long]("user_id") == 1L) == 1,
+        "inner matches must stream out immediately")
+      assert(!early.exists(_.getAs[Long]("user_id") == 3L),
+        "the orphan must WAIT for the watermark — a late click could " +
+          "still attribute it")
+      // push event time far past the match window; the watermark takes
+      // effect on state in the batch AFTER the one that advances it
+      clicks.addData((ts(59), 9L))
+      purchases.addData((ts(59), 9L, 1.0))
+      query.processAllAvailable()
+      clicks.addData((ts(59), 8L))
+      query.processAllAvailable()
+      val orphan = spark.table("attribution_outer_test").collect()
+        .filter(_.getAs[Long]("user_id") == 3L)
+      assert(orphan.length == 1, "orphan purchase must emit exactly once")
+      assert(orphan(0).isNullAt(orphan(0).fieldIndex("click_ts")),
+        "orphan emits with null click columns")
+      assert(orphan(0).getAs[Double]("purchase_value") == 55.0)
+    } finally query.stop()
+  }
+
   test("transformWithState running totals match mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     // state-v2 needs a multi-column-family store → RocksDB provider
