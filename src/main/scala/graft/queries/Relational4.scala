@@ -314,6 +314,25 @@ object Relational4 extends QueryPack {
         .agg(money(vol).as("revenue"), count(lit(1)).as("n_items"))
     },
 
+    "q37_grouping_flags" -> { (s, dir) =>
+      // GROUPING() provenance flags over grouping sets — how a report
+      // layer tells a real NULL from a superaggregate row. One
+      // expand+aggregate pass (Spark's Expand: one exchange on the
+      // padded keys, partial+final); flags are exact integers.
+      view(s, dir, "orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+          |  CAST(count(1) AS BIGINT) AS n,
+          |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)
+          |    AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+          |                        ())
+          |""".stripMargin)
+    },
+
     "t09_sole_blame_supplier" -> { (s, dir) =>
       // Q21 shape (adapted to the schema's l_returnflag in place of
       // receipt-past-commit lateness): suppliers whose lineitem was
@@ -837,6 +856,16 @@ object Relational4 extends QueryPack {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)""",
+    "q37_grouping_flags" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           CAST(count(1) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)
+             AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                 ())""",
     "t09_sole_blame_supplier" ->
       """SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
          FROM supplier, lineitem l1, orders

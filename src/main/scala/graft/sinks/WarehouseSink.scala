@@ -78,6 +78,30 @@ object WarehouseSink {
       .drop("_loa", "_hia", "_lob", "_hib", "_ba", "_bb", "_z")
   }
 
+  /** Small-files compaction for an unpartitioned managed table: rewrite
+    * to `numFiles` files via a staging table, then swap with a catalog
+    * rename (a table cannot be overwritten while it is being read).
+    * `sortCol`, when given, locally sorts each output file so min/max
+    * stats stay selective after the rewrite — pass a Morton column via
+    * [[zorderLayout]] upstream for the 2-D variant. At 100 TB the
+    * streaming-ingest → thousands-of-tiny-files → compact cycle is
+    * routine maintenance; the rewrite cost is one range exchange.
+    */
+  def compact(spark: SparkSession, table: String, numFiles: Int,
+              sortCol: Option[String] = None): Unit = {
+    val staging = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val df = spark.table(table)
+    val laid = sortCol match {
+      case Some(c) => df.repartitionByRange(numFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => df.repartition(numFiles)
+    }
+    laid.write.format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed joins buy.
     */

@@ -78,6 +78,30 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(joined.count() == 100L)
   }
 
+  test("compaction rewrites a many-file table to few, same rows") {
+    reset("wh_tiny_files", "wh_tiny_files_compacting")
+    val df = (1L to 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+    df.repartition(50).write.format("parquet").saveAsTable("wh_tiny_files")
+    def files(): Int =
+      new java.io.File("spark-warehouse/wh_tiny_files")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 50)
+
+    WarehouseSink.compact(spark, "wh_tiny_files", 4, sortCol = Some("id"))
+    assert(files() == 4, "compaction must land the target file count")
+    val back = spark.table("wh_tiny_files")
+    assert(back.count() == 500L)
+    assert(back.agg(sum("id")).head().getLong(0) == 500L * 501 / 2)
+    // sortCol keeps min/max stats selective: a narrow id filter must
+    // not read every file's rows (each file covers ~1/4 of the range)
+    val spansOverlap = back
+      .select(spark_partition_id().as("p"), col("id"))
+      .groupBy("p").agg(min("id").as("lo"), max("id").as("hi"))
+      .filter(col("lo") <= 10 && col("hi") >= 1).count()
+    assert(spansOverlap == 1L,
+      "only one compacted file should cover ids 1-10")
+  }
+
   test("z-order layout keeps every file narrow on BOTH columns") {
     // two independent uniform dims; 16 output files. A sort by a
     // alone gives files spanning the FULL b range (a b-filter prunes
