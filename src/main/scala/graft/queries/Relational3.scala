@@ -175,6 +175,22 @@ object Relational3 extends QueryPack {
         get_json_object(doc, "$.brand").as("brand_back"),
         get_json_object(doc, "$.size").cast("int").as("size_back"))
     },
+    "f17_try_fns" -> { (s, dir) =>
+      // ANSI-safe arithmetic: under ANSI mode (Spark 4 default) the
+      // try_* family returns NULL where the plain operator would
+      // raise — division by an occasionally-zero denominator, lenient
+      // string→number parses, out-of-bounds array access. The shape a
+      // pipeline needs to survive dirty data WITHOUT turning ANSI off.
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_quantity").cast("int"),
+            month(col("l_shipdate")) - 1).as("qty_per"),
+          expr("""try_cast(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(l_linenumber AS STRING)
+                   ELSE l_returnflag END AS INT)""").as("rf_num"),
+          try_element_at(split(col("l_orderkey").cast("string"), ""),
+            lit(3)).as("third_digit"))
+    },
     "f09_null_fns" -> { (s, dir) =>
       // NULL semantics over real outer-join nulls: coalesce, nullif,
       // null-safe equality (<=>), and the CASE-on-null family
@@ -315,6 +331,17 @@ object Relational3 extends QueryPack {
                   k := p_partkey, brand := p_brand, size := p_size)),
                   '$.size') AS INT) AS size_back
          FROM part""",
+    "f17_try_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN month(l_shipdate) = 1 THEN NULL
+                ELSE CAST(l_quantity AS INT) /
+                     (month(l_shipdate) - 1) END AS qty_per,
+           TRY_CAST(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_linenumber AS VARCHAR)
+             ELSE l_returnflag END AS INTEGER) AS rf_num,
+           string_split(CAST(l_orderkey AS VARCHAR), '')[3]
+             AS third_digit
+         FROM lineitem""",
     "f09_null_fns" ->
       """WITH by_cust AS (
            SELECT o_custkey, count(1) AS n_orders FROM orders
