@@ -361,6 +361,26 @@ object TrainingOps2 extends QueryPack {
         .select(col("freq").cast("long").as("freq"), col("n_tokens"))
     },
 
+    "d33_weighted_sample" -> { (s, dir) =>
+      // Deterministic weighted sampling WITHOUT replacement
+      // (Efraimidis–Spirakis A-ES): key = u^(1/w), u derived from the
+      // cross-engine content-hash fold — no RNG, so a re-run on any
+      // cluster layout draws the SAME length-weighted sample (the d14
+      // discipline, weighted). Global top-k by key is a distributed
+      // TakeOrdered (map-side heaps), never a full sort; the float
+      // key never leaves the plan, so libm ulp differences cannot
+      // reach the output.
+      val u = (TextFunctions.rollingHashMod(col("text")) % 1000003L
+        + 1L).cast("double") / 1000004.0
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          pow(u, lit(1.0) / col("n_chars").cast("double")).as("k"))
+        .orderBy(desc("k"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+    },
+
     "d32_token_entropy" -> { (s, dir) =>
       // Within-doc token entropy (nats): the repetitive-spam signal —
       // low entropy means a few tokens dominate the doc. Computed as
@@ -595,6 +615,14 @@ object TrainingOps2 extends QueryPack {
          SELECT CAST(freq AS BIGINT) AS freq,
                 CAST(count(1) AS INT) AS n_tokens
          FROM tf GROUP BY 1""",
+    "d33_weighted_sample" ->
+      s"""WITH keyed AS (
+           SELECT doc_id, source, n_chars,
+             pow((($foldSql % 1000003) + 1) / 1000004.0,
+                 1.0 / n_chars) AS k
+           FROM documents)
+         SELECT doc_id, source, CAST(n_chars AS INT) AS n_chars
+         FROM keyed ORDER BY k DESC, doc_id LIMIT 100""",
     "d32_token_entropy" ->
       """WITH tc AS (
            SELECT doc_id,

@@ -259,6 +259,14 @@ class PlanGuardSpec extends SparkSpec {
       s"expected (doc,token) then (doc) exchanges:\n${p.take(400)}")
   }
 
+  test("weighted sample is a distributed TakeOrdered, never a full sort") {
+    val p = plan("d33_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must plan map-side heaps:\n${p.take(400)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the sample must not collapse to one partition")
+  }
+
   test("SCD2 intervals window by user, never a single partition") {
     val p = plan("e08_scd2_intervals")
     assert(p.contains("Window"), p.take(400))
