@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * nulled out AFTER the window pass, so the tolerance costs nothing
   * extra (still one shuffle, still linear; the matched right time rides
   * the payload struct as an internal field).
+  *
+  * `direction = "forward"` flips the semantics to the NEXT right row
+  * with `rightTime >= leftTime` (inclusive): same union, the window
+  * frame runs [current, +∞) and takes the FIRST non-null payload; at
+  * equal timestamps left rows sort before right rows so the equal-time
+  * right stays eligible, and among equal-time right rows the one
+  * SMALLEST by `tieBreaker` wins (mirror of backward's greatest).
   */
 object AsOfJoin {
 
@@ -32,7 +39,11 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            payload: Map[String, String],
            tieBreaker: Option[String] = None,
-           maxGap: Option[(Column, Column) => Column] = None): DataFrame = {
+           maxGap: Option[(Column, Column) => Column] = None,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val leftCols = left.columns.toSeq
 
     val l = left
@@ -58,16 +69,25 @@ object AsOfJoin {
       (leftCols.map(c => lit(null).cast(leftSchema(left, c)).as(c)) :+
         col("_k") :+ col("_t") :+ col("_side") :+ col("_payload")): _*)
 
-    // right rows sort before left rows at equal time → inclusive bound;
-    // tieBreaker orders equal-time right rows so "latest" is well-defined
-    val ordering: Seq[Column] = Seq(col("_t").asc, col("_side").asc) ++
+    // backward: right rows sort BEFORE left rows at equal time and the
+    // frame looks back — last non-null payload = latest right ≤ t.
+    // forward: left rows sort first, the frame looks ahead — first
+    // non-null payload = earliest right ≥ t. tieBreaker orders
+    // equal-time right rows so "latest"/"next" is well-defined.
+    val sideOrder = if (backward) col("_side").asc else col("_side").desc
+    val ordering: Seq[Column] = Seq(col("_t").asc, sideOrder) ++
       tieBreaker.map(tb => col("_payload").getField(tb).asc_nulls_first).toSeq
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col("_k")).orderBy(ordering: _*)
+    val w =
+      if (backward)
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched =
+      if (backward) last(col("_payload"), ignoreNulls = true).over(w)
+      else first(col("_payload"), ignoreNulls = true).over(w)
 
     val joined = lNorm.unionByName(rNorm)
-      .withColumn("_matched", last(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("_matched", matched)
       .filter(col("_side") === 1)
     val gated = maxGap match {
       case Some(ok) => joined.withColumn("_matched",

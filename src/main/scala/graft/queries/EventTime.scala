@@ -121,6 +121,31 @@ object EventTime extends QueryPack {
         maxGap = Some((lt, rt) =>
           unix_micros(lt) - unix_micros(rt) <= 7L * 86400 * 1000000))
     },
+    "e10_next_purchase_latency" -> { (s, dir) =>
+      // forward as-of: each click joins the user's NEXT purchase
+      // within 30 days, and the time-to-convert in seconds — same
+      // one-shuffle union+window shape, frame flipped to [t, +∞).
+      // Purchases pre-dedupe to one per (user, ts) by MIN event_id
+      // (the forward tie convention); latency is one double division
+      // of exact micros, identical on any engine.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(min(col("event_id")).as("purchase_id"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases,
+        "user_id", "p_user", "ts", "p_ts",
+        Map("purchase_id" -> "purchase_id", "p_ts" -> "purchase_ts"),
+        direction = "forward",
+        maxGap = Some((lt, rt) =>
+          unix_micros(rt) - unix_micros(lt) <= 30L * 86400 * 1000000))
+        .select(col("click_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("purchase_ts"),
+          ((unix_micros(col("purchase_ts")) - unix_micros(col("ts")))
+            .cast("double") / 1000000.0).as("latency_s"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -209,5 +234,24 @@ object EventTime extends QueryPack {
                 THEN c_ts END AS click_ts
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.c_user AND p.ts >= c.c_ts""",
+    "e10_next_purchase_latency" ->
+      """WITH c AS (
+           SELECT event_id AS click_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
+                  min(event_id) AS purchase_id
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT click_id, user_id, ts,
+           CASE WHEN epoch_us(p_ts) - epoch_us(ts) <= 2592000000000
+                THEN purchase_id END AS purchase_id,
+           CASE WHEN epoch_us(p_ts) - epoch_us(ts) <= 2592000000000
+                THEN p_ts END AS purchase_ts,
+           CASE WHEN epoch_us(p_ts) - epoch_us(ts) <= 2592000000000
+                THEN CAST(epoch_us(p_ts) - epoch_us(ts) AS DOUBLE)
+                     / 1000000.0 END AS latency_s
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.p_user AND c.ts <= p.p_ts""",
   )
 }

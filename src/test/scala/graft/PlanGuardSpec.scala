@@ -234,14 +234,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
-  test("attribution as-of is dedup + one window shuffle, nothing more") {
-    val p = plan("e09_last_click_attribution")
-    assert(shuffleCount(p) <= 2,
-      s"click dedup + as-of window only:\n${p.take(400)}")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
-      "the tolerance must not plan a range join")
-    assert(!p.contains("Exchange SinglePartition"),
-      "the as-of window must partition by user")
+  test("attribution as-ofs are dedup + one window shuffle, nothing more") {
+    for (q <- Seq("e09_last_click_attribution",
+      "e10_next_purchase_latency")) {
+      val p = plan(q)
+      assert(shuffleCount(p) <= 2,
+        s"$q: dedup + as-of window only:\n${p.take(400)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q: the tolerance must not plan a range join")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: the as-of window must partition by user")
+    }
   }
 
   test("grouped median windows per (grp, bkt), offsets per grp") {
