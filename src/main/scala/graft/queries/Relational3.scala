@@ -191,6 +191,24 @@ object Relational3 extends QueryPack {
           try_element_at(split(col("l_orderkey").cast("string"), ""),
             lit(3)).as("third_digit"))
     },
+    "q38_null_order_topk" -> { (s, dir) =>
+      // NULLS FIRST ordering made OBSERVABLE through a limit (plain
+      // ORDER BY is normalized away by the row-sorted hash compare):
+      // never-ordered customers must win the top-50 cut. Plus
+      // width_bucket as the scalar bucketing completeness check.
+      // Plans as TakeOrderedAndProject — map-side heaps, no global
+      // sort.
+      val byCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .join(byCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          col("n_orders"),
+          width_bucket(col("c_acctbal"), lit(0.0), lit(10000.0), lit(10))
+            .cast("int").as("bal_bucket"))
+        .orderBy(col("n_orders").asc_nulls_first, col("c_custkey").asc)
+        .limit(50)
+    },
     "f09_null_fns" -> { (s, dir) =>
       // NULL semantics over real outer-join nulls: coalesce, nullif,
       // null-safe equality (<=>), and the CASE-on-null family
@@ -342,6 +360,18 @@ object Relational3 extends QueryPack {
            string_split(CAST(l_orderkey AS VARCHAR), '')[3]
              AS third_digit
          FROM lineitem""",
+    "q38_null_order_topk" ->
+      """WITH by_cust AS (
+           SELECT o_custkey, count(1) AS n_orders FROM orders
+           GROUP BY o_custkey)
+         SELECT c_custkey, n_orders,
+           CAST(CASE WHEN c_acctbal < 0 THEN 0
+                     WHEN c_acctbal >= 10000 THEN 11
+                     ELSE floor(c_acctbal / 1000.0) + 1 END AS INT)
+             AS bal_bucket
+         FROM customer LEFT JOIN by_cust ON c_custkey = o_custkey
+         ORDER BY n_orders ASC NULLS FIRST, c_custkey ASC
+         LIMIT 50""",
     "f09_null_fns" ->
       """WITH by_cust AS (
            SELECT o_custkey, count(1) AS n_orders FROM orders
