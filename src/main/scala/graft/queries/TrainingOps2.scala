@@ -361,6 +361,35 @@ object TrainingOps2 extends QueryPack {
         .select(col("freq").cast("long").as("freq"), col("n_tokens"))
     },
 
+    "d34_lm_score" -> { (s, dir) =>
+      // CCNet-style LM quality scoring: a unigram LM fit on the TRAIN
+      // side of the d15 content-hash split (no leakage by
+      // construction) scores VALIDATION docs by mean negative
+      // log-likelihood with add-one smoothing — the standard
+      // perplexity-filter signal. The LM table is vocabulary-sized:
+      // it joins on the token (never broadcasts at corpus scale) and
+      // is pinned once (totals + join both read it). One shuffle join
+      // + two aggregation ladders; ln is libm-backed so both sides
+      // round to 6 (a07 discipline).
+      val docs = t(s, dir, "documents")
+      val bucket = TextFunctions.rollingHashMod(col("text")) % 100
+      val toks = docs.select(col("doc_id"), bucket.as("bkt"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val counts = toks.filter(col("bkt") < 80)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val totals = broadcast(counts.agg(
+        sum(col("c")).as("n"), count(lit(1)).as("v")))
+      toks.filter(col("bkt") >= 80 && col("bkt") < 90)
+        .join(counts, Seq("tok"), "left")
+        .crossJoin(totals)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          round(-avg(log(
+            (coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+              (col("n") + col("v")).cast("double"))), 6).as("nll"))
+    },
+
     "d33_weighted_sample" -> { (s, dir) =>
       // Deterministic weighted sampling WITHOUT replacement
       // (Efraimidis–Spirakis A-ES): key = u^(1/w), u derived from the
@@ -615,6 +644,25 @@ object TrainingOps2 extends QueryPack {
          SELECT CAST(freq AS BIGINT) AS freq,
                 CAST(count(1) AS INT) AS n_tokens
          FROM tf GROUP BY 1""",
+    "d34_lm_score" ->
+      s"""WITH fp AS (
+           SELECT doc_id, text, $foldSql % 100 AS bkt FROM documents),
+         toks AS (
+           SELECT doc_id, bkt,
+                  unnest(list_filter(
+                    string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS tok
+           FROM fp),
+         counts AS (
+           SELECT tok, count(1) AS c FROM toks WHERE bkt < 80
+           GROUP BY 1),
+         tot AS (SELECT sum(c) AS n, count(1) AS v FROM counts)
+         SELECT doc_id, CAST(count(1) AS INT) AS n_tokens,
+           round(-avg(ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0)
+             / CAST(n + v AS DOUBLE))), 6) AS nll
+         FROM toks LEFT JOIN counts USING (tok) CROSS JOIN tot
+         WHERE bkt >= 80 AND bkt < 90
+         GROUP BY doc_id""",
     "d33_weighted_sample" ->
       s"""WITH keyed AS (
            SELECT doc_id, source, n_chars,

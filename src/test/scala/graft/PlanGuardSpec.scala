@@ -262,6 +262,15 @@ class PlanGuardSpec extends SparkSpec {
       s"expected (doc,token) then (doc) exchanges:\n${p.take(400)}")
   }
 
+  test("LM scoring joins the vocab table on the token, no cartesian") {
+    val p = plan("d34_lm_score")
+    // the one-row totals frame rides a BroadcastNestedLoopJoin (q25
+    // precedent); the vocabulary join must be a real equi-join
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the one-row totals must broadcast")
+  }
+
   test("weighted sample is a distributed TakeOrdered, never a full sort") {
     val p = plan("d33_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
