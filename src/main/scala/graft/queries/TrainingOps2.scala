@@ -361,6 +361,34 @@ object TrainingOps2 extends QueryPack {
         .select(col("freq").cast("long").as("freq"), col("n_tokens"))
     },
 
+    "s13_label_centroid_stats" -> { (s, dir) =>
+      // Per-class embedding diagnostics — the drift/collapse readout
+      // an embedding pipeline monitors per ingest batch: class size,
+      // centroid L2 norm (≈0 for a well-spread class, ≈mean_norm for
+      // a collapsed one), and mean vector norm. Per-vector norms use
+      // the deterministic left-to-right HOF fold (the s01 technique);
+      // the only cross-row float sums are the per-(label,dim) means
+      // and the 64-term norm folds, rounded to 6 on both sides. Shape:
+      // one posexplode → (label, dim) partial+final aggregate — dims
+      // shuffle as scalars, never whole vectors.
+      val emb = t(s, dir, "embeddings")
+      val sq = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val norms = emb.groupBy(col("label"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          round(avg(sqrt(sq)), 6).as("mean_norm"))
+      val cent = emb.select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("label"))
+        .agg(round(sqrt(sum(col("m") * col("m"))), 6)
+          .as("centroid_norm"))
+      norms.join(cent, Seq("label"))
+        .select(col("label"), col("n"), col("centroid_norm"),
+          col("mean_norm"))
+    },
+
     "d34_lm_score" -> { (s, dir) =>
       // CCNet-style LM quality scoring: a unigram LM fit on the TRAIN
       // side of the d15 content-hash split (no leakage by
@@ -644,6 +672,25 @@ object TrainingOps2 extends QueryPack {
          SELECT CAST(freq AS BIGINT) AS freq,
                 CAST(count(1) AS INT) AS n_tokens
          FROM tf GROUP BY 1""",
+    "s13_label_centroid_stats" ->
+      """WITH norms AS (
+           SELECT label, count(1) AS n,
+             round(avg(sqrt(list_reduce(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x),
+               (a, b) -> a + b))), 6) AS mean_norm
+           FROM embeddings GROUP BY label),
+         dims AS (
+           SELECT label, i AS dim,
+             avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+           FROM embeddings,
+                UNNEST(range(1, len(embedding) + 1)) AS u(i)
+           GROUP BY 1, 2),
+         cent AS (
+           SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+           FROM dims GROUP BY label)
+         SELECT label, CAST(n AS INT) AS n, centroid_norm, mean_norm
+         FROM norms JOIN cent USING (label)""",
     "d34_lm_score" ->
       s"""WITH fp AS (
            SELECT doc_id, text, $foldSql % 100 AS bkt FROM documents),
