@@ -389,6 +389,53 @@ object TrainingOps2 extends QueryPack {
           col("mean_norm"))
     },
 
+    "d35_bigram_lm_score" -> { (s, dir) =>
+      // Interpolated bigram LM scoring (Jelinek–Mercer, λ=0.5): the
+      // production shape of the d34 perplexity filter — conditional
+      // bigram ML estimate interpolated with the add-one unigram.
+      // Both count tables fit on the d15 TRAIN split; validation
+      // bigrams take three left equi-joins (bigram, w1, w2 — all
+      // vocabulary-sized, shuffled not broadcast) plus the one-row
+      // totals broadcast. λ=0.5 is a power of two, so the interpolated
+      // probability is bit-identical cross-engine before the rounded
+      // avg(ln).
+      val docs = t(s, dir, "documents")
+      val bucket = TextFunctions.rollingHashMod(col("text")) % 100
+      val base = docs.select(col("doc_id"), bucket.as("bkt"),
+        col("text"))
+      val uni = base.filter(col("bkt") < 80)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true)
+      val bi = base.filter(col("bkt") < 80)
+        .select(explode(TextFunctions.wordShingles(col("text"), 2))
+          .as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val totals = broadcast(uni.agg(
+        sum(col("c1")).as("n"), count(lit(1)).as("v")))
+      val valBg = base
+        .filter(col("bkt") >= 80 && col("bkt") < 90)
+        .select(col("doc_id"),
+          explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val pml = coalesce(
+        col("c2").cast("double") / col("w1c").cast("double"), lit(0.0))
+      val puni = (coalesce(col("w2c"), lit(0L)).cast("double") + 1.0) /
+        (col("n") + col("v")).cast("double")
+      valBg
+        .join(bi, Seq("bg"), "left")
+        .join(uni.select(col("tok").as("w1"), col("c1").as("w1c")),
+          Seq("w1"), "left")
+        .join(uni.select(col("tok").as("w2"), col("c1").as("w2c")),
+          Seq("w2"), "left")
+        .crossJoin(totals)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          round(-avg(log(lit(0.5) * pml + lit(0.5) * puni)), 6)
+            .as("nll"))
+    },
+
     "d34_lm_score" -> { (s, dir) =>
       // CCNet-style LM quality scoring: a unigram LM fit on the TRAIN
       // side of the d15 content-hash split (no leakage by
@@ -691,6 +738,39 @@ object TrainingOps2 extends QueryPack {
            FROM dims GROUP BY label)
          SELECT label, CAST(n AS INT) AS n, centroid_norm, mean_norm
          FROM norms JOIN cent USING (label)""",
+    "d35_bigram_lm_score" ->
+      s"""WITH fp AS (
+           SELECT doc_id, text, $foldSql % 100 AS bkt FROM documents),
+         toks AS (
+           SELECT doc_id, bkt,
+                  list_filter(string_split_regex(trim(text), '\\s+'),
+                      x -> x <> '') AS ts
+           FROM fp),
+         uni AS (
+           SELECT unnest(ts) AS tok FROM toks WHERE bkt < 80),
+         c1 AS (SELECT tok, count(1) AS c1 FROM uni GROUP BY 1),
+         tot AS (SELECT sum(c1) AS n, count(1) AS v FROM c1),
+         bg AS (
+           SELECT doc_id, bkt,
+                  ts[CAST(i AS INT)] AS w1, ts[CAST(i+1 AS INT)] AS w2,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)]
+                    AS bg
+           FROM toks, UNNEST(range(1, len(ts))) AS u(i)),
+         c2 AS (SELECT bg, count(1) AS c2 FROM bg WHERE bkt < 80
+                GROUP BY 1),
+         val AS (SELECT * FROM bg WHERE bkt >= 80 AND bkt < 90)
+         SELECT doc_id, CAST(count(1) AS INT) AS n_bigrams,
+           round(-avg(ln(
+             0.5 * coalesce(CAST(c2.c2 AS DOUBLE)
+                            / CAST(u1.c1 AS DOUBLE), 0.0)
+             + 0.5 * (CAST(coalesce(u2.c1, 0) AS DOUBLE) + 1.0)
+                     / CAST(n + v AS DOUBLE))), 6) AS nll
+         FROM val
+         LEFT JOIN c2 USING (bg)
+         LEFT JOIN c1 u1 ON val.w1 = u1.tok
+         LEFT JOIN c1 u2 ON val.w2 = u2.tok
+         CROSS JOIN tot
+         GROUP BY doc_id""",
     "d34_lm_score" ->
       s"""WITH fp AS (
            SELECT doc_id, text, $foldSql % 100 AS bkt FROM documents),
