@@ -121,11 +121,42 @@ object Relational2 extends QueryPack {
       val located = broadcast(targets.join(offsets,
           col("rt") > col("off") && col("rt") <= col("off") + col("c"))
         .select(col("p"), col("bkt"), (col("rt") - col("off")).as("lr")))
-      val wIn = Window.partitionBy(col("p"), col("bkt"))
+      // SECOND refinement level (the 100×-scale path): located buckets
+      // re-bucket within their own value range, so the final rank
+      // window sees n/(nb·nb2) rows per partition instead of n/nb.
+      // Same declarative machinery — per-target sub-bucket counts
+      // (≤ 3·nb2 rows) prefix-sum under a window partitioned by p,
+      // the rank re-locates, and only located sub-buckets are
+      // windowed. One extra counting pass is the algorithm's honest
+      // cost (stats, L1 counts, L2 counts, pick).
+      val nb2 = 64
+      val lvl1 = base.join(located, Seq("bkt"))
+        .withColumn("lo2",
+          col("lo") + col("bkt") * ((col("hi") - col("lo")) / nb))
+        .withColumn("hi2",
+          when(col("hi") === col("lo"), col("hi"))
+            .otherwise(col("lo2") + (col("hi") - col("lo")) / nb))
+        .withColumn("bkt2",
+          when(col("hi2") === col("lo2"), lit(0)).otherwise(
+            least(floor((col("o_totalprice") - col("lo2")) /
+              ((col("hi2") - col("lo2")) / nb2)).cast("int"),
+              lit(nb2 - 1))))
+      val wOff2 = Window.partitionBy(col("p")).orderBy(col("bkt2"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets2 = lvl1.groupBy(col("p"), col("bkt2"))
+        .agg(count(lit(1)).as("c2"))
+        .withColumn("off2", coalesce(sum(col("c2")).over(wOff2), lit(0L)))
+      val located2 = broadcast(located.select(col("p"), col("lr"))
+        .join(offsets2, Seq("p"))
+        .filter(col("lr") > col("off2") &&
+          col("lr") <= col("off2") + col("c2"))
+        .select(col("p"), col("bkt2"), (col("lr") - col("off2"))
+          .as("lr2")))
+      val wIn = Window.partitionBy(col("p"), col("bkt2"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
-      base.join(located, Seq("bkt"))
+      lvl1.join(located2, Seq("p", "bkt2"))
         .withColumn("rn", row_number().over(wIn).cast("long"))
-        .filter(col("rn") === col("lr"))
+        .filter(col("rn") === col("lr2"))
         .agg(
           max(when(col("p") === 0.25, col("o_totalprice"))).as("p25"),
           max(when(col("p") === 0.5, col("o_totalprice"))).as("p50"),

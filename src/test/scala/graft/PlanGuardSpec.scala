@@ -224,13 +224,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window"), "entropy must not plan a window")
   }
 
-  test("global quantiles window only target buckets, keyed by (p, bkt)") {
+  test("global quantiles window only located sub-buckets, keyed by (p, bkt2)") {
     val p = plan("w06_global_quantiles")
-    assert("windowspecdefinition\\(p#\\d+, bkt#\\d+".r
+    assert("windowspecdefinition\\(p#\\d+, bkt2#\\d+".r
       .findFirstIn(p).isDefined,
-      s"the rank window must partition by (p, bkt):\n${p.take(600)}")
+      s"the rank window must partition by (p, bkt2):\n${p.take(600)}")
     assert(p.contains("BroadcastHashJoin"),
-      "the 3-row located frame must broadcast against the buckets")
+      "the located frames must broadcast against the buckets")
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
