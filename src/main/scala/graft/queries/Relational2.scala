@@ -83,128 +83,51 @@ object Relational2 extends QueryPack {
     },
     "w06_global_quantiles" -> { (s, dir) =>
       // Exact GLOBAL quantiles without a global sort and without
-      // driver-side state — the declarative form of the distributed
-      // exact-quantile refinement (a02's percentile() is exact but
-      // buffers each group on one task; this is the shape that
-      // survives a corpus-sized group). Three bounded passes:
-      // (1) a one-row (min,max,n) frame broadcasts to stamp each
-      // row's range bucket; (2) bucket counts (≤256 rows) prefix-sum
-      // into offsets — the only single-partition window in the plan
-      // runs over that 256-row frame, never the data; (3) each target
-      // rank locates its bucket via a broadcast range-join, and ONLY
-      // those ≤3 buckets' rows are shuffled and windowed (every other
-      // bucket is pruned before the exchange; partition sizes stay
-      // n/256 — the w02 discipline; at larger SF raise nb or add a
-      // refinement level). Output values are raw doubles picked at
-      // exact ranks — no arithmetic to drift.
-      val nb = 256
+      // driver-side state — a02's percentile() is exact but buffers
+      // each group on one task; this survives a corpus-sized group.
+      // The two-level refinement kernel lives in
+      // operators/BucketedRank (shared with w07, one implementation):
+      // final rank windows see n/(256·64) rows per partition, every
+      // non-located bucket pruned before each exchange. Output values
+      // are raw doubles picked at exact ranks — nothing drifts.
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
-      val stats = broadcast(orders.agg(
-        min(col("o_totalprice")).as("lo"),
-        max(col("o_totalprice")).as("hi"),
-        count(lit(1)).as("n")).localCheckpoint(true))
-      val base = orders.crossJoin(stats)
-        .withColumn("bkt",
-          when(col("hi") === col("lo"), lit(0)).otherwise(
-            least(floor((col("o_totalprice") - col("lo")) /
-              ((col("hi") - col("lo")) / nb)).cast("int"), lit(nb - 1))))
-      val wOff = Window.orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      val stats = graft.operators.BucketedRank.groupStats(
+        orders, Nil, "o_totalprice")
       val targets = stats
-        .select(explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
+        .select(col("_g"),
+          explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
           col("n"))
         .withColumn("rt", (floor(col("p") * (col("n") - 1)) + 1)
           .cast("long"))
-      val located = broadcast(targets.join(offsets,
-          col("rt") > col("off") && col("rt") <= col("off") + col("c"))
-        .select(col("p"), col("bkt"), (col("rt") - col("off")).as("lr")))
-      // SECOND refinement level (the 100×-scale path): located buckets
-      // re-bucket within their own value range, so the final rank
-      // window sees n/(nb·nb2) rows per partition instead of n/nb.
-      // Same declarative machinery — per-target sub-bucket counts
-      // (≤ 3·nb2 rows) prefix-sum under a window partitioned by p,
-      // the rank re-locates, and only located sub-buckets are
-      // windowed. One extra counting pass is the algorithm's honest
-      // cost (stats, L1 counts, L2 counts, pick).
-      val nb2 = 64
-      val lvl1 = base.join(located, Seq("bkt"))
-        .withColumn("lo2",
-          col("lo") + col("bkt") * ((col("hi") - col("lo")) / nb))
-        .withColumn("hi2",
-          when(col("hi") === col("lo"), col("hi"))
-            .otherwise(col("lo2") + (col("hi") - col("lo")) / nb))
-        .withColumn("bkt2",
-          when(col("hi2") === col("lo2"), lit(0)).otherwise(
-            least(floor((col("o_totalprice") - col("lo2")) /
-              ((col("hi2") - col("lo2")) / nb2)).cast("int"),
-              lit(nb2 - 1))))
-      val wOff2 = Window.partitionBy(col("p")).orderBy(col("bkt2"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets2 = lvl1.groupBy(col("p"), col("bkt2"))
-        .agg(count(lit(1)).as("c2"))
-        .withColumn("off2", coalesce(sum(col("c2")).over(wOff2), lit(0L)))
-      val located2 = broadcast(located.select(col("p"), col("lr"))
-        .join(offsets2, Seq("p"))
-        .filter(col("lr") > col("off2") &&
-          col("lr") <= col("off2") + col("c2"))
-        .select(col("p"), col("bkt2"), (col("lr") - col("off2"))
-          .as("lr2")))
-      val wIn = Window.partitionBy(col("p"), col("bkt2"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      lvl1.join(located2, Seq("p", "bkt2"))
-        .withColumn("rn", row_number().over(wIn).cast("long"))
-        .filter(col("rn") === col("lr2"))
+      val picked = graft.operators.BucketedRank.valueAtRank(
+        orders, stats, targets, Nil, "o_totalprice", "o_orderkey")
+      picked.crossJoin(broadcast(stats.select(col("n"))))
         .agg(
-          max(when(col("p") === 0.25, col("o_totalprice"))).as("p25"),
-          max(when(col("p") === 0.5, col("o_totalprice"))).as("p50"),
-          max(when(col("p") === 0.75, col("o_totalprice"))).as("p75"),
+          max(when(col("p") === 0.25, col("value"))).as("p25"),
+          max(when(col("p") === 0.5, col("value"))).as("p50"),
+          max(when(col("p") === 0.75, col("value"))).as("p75"),
           max(col("n")).as("n"))
     },
     "w07_grouped_median" -> { (s, dir) =>
-      // Per-group exact median with the w06 discipline — what
-      // a02_median_percentile's percentile() cannot do once a group
-      // outgrows one task's buffer. All driver-free: the per-group
-      // (min,max,n) frame broadcasts (|groups| rows), bucket counts
-      // prefix-sum under a window PARTITIONED BY GROUP (never a
-      // single partition), the per-group target rank locates its
-      // bucket via a broadcast join, and only located buckets' rows
-      // are windowed. Values are raw doubles at exact ranks.
-      val nb = 64
+      // Per-group exact median on the shared BucketedRank kernel —
+      // what a02_median_percentile's percentile() cannot do once a
+      // group outgrows one task's buffer. All driver-free, two
+      // refinement levels: even a corpus-sized hot group's final rank
+      // window sees n_g/(256·64) rows per partition; offsets windows
+      // are PARTITIONED BY GROUP, never a single partition.
       val orders = t(s, dir, "orders").select(col("o_orderkey"),
         col("o_orderpriority").as("grp"), col("o_totalprice"))
-      val stats = broadcast(orders.groupBy(col("grp")).agg(
-        min(col("o_totalprice")).as("lo"),
-        max(col("o_totalprice")).as("hi"),
-        count(lit(1)).as("n")).localCheckpoint(true))
-      val base = orders.join(stats, Seq("grp"))
-        .withColumn("bkt",
-          when(col("hi") === col("lo"), lit(0)).otherwise(
-            least(floor((col("o_totalprice") - col("lo")) /
-              ((col("hi") - col("lo")) / nb)).cast("int"), lit(nb - 1))))
-      val wOff = Window.partitionBy(col("grp")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy(col("grp"), col("bkt"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      val targets = stats.select(col("grp"),
-        (floor(lit(0.5) * (col("n") - 1)) + 1).cast("long").as("rt"),
-        col("n"))
-      val located = broadcast(targets.join(offsets, Seq("grp"))
-        .filter(col("rt") > col("off") &&
-          col("rt") <= col("off") + col("c"))
-        .select(col("grp"), col("bkt"), (col("rt") - col("off"))
-          .as("lr"), col("n")))
-      val wIn = Window.partitionBy(col("grp"), col("bkt"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      base.drop("n").join(located, Seq("grp", "bkt"))
-        .withColumn("rn", row_number().over(wIn).cast("long"))
-        .filter(col("rn") === col("lr"))
-        .groupBy(col("grp"))
-        .agg(max(col("o_totalprice")).as("median"),
-          max(col("n")).as("n"))
+      val stats = graft.operators.BucketedRank.groupStats(
+        orders, Seq("grp"), "o_totalprice")
+      val targets = stats.select(col("grp"), lit(0.5).as("p"),
+        (floor(lit(0.5) * (col("n") - 1)) + 1).cast("long").as("rt"))
+      graft.operators.BucketedRank.valueAtRank(
+          orders, stats, targets, Seq("grp"), "o_totalprice",
+          "o_orderkey")
+        .join(broadcast(stats.select(col("grp"), col("n"))),
+          Seq("grp"))
+        .select(col("grp"), col("value").as("median"), col("n"))
     },
     "w03_first_last_nth" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))

@@ -226,9 +226,9 @@ class PlanGuardSpec extends SparkSpec {
 
   test("global quantiles window only located sub-buckets, keyed by (p, bkt2)") {
     val p = plan("w06_global_quantiles")
-    assert("windowspecdefinition\\(p#\\d+, bkt2#\\d+".r
+    assert("windowspecdefinition\\([^)]*p#\\d+, _b2#\\d+".r
       .findFirstIn(p).isDefined,
-      s"the rank window must partition by (p, bkt2):\n${p.take(600)}")
+      s"the rank window must partition by (…, p, _b2):\n${p.take(600)}")
     assert(p.contains("BroadcastHashJoin"),
       "the located frames must broadcast against the buckets")
     assert(!p.contains("CartesianProduct"), p.take(400))
