@@ -437,32 +437,21 @@ object TrainingOps2 extends QueryPack {
     },
 
     "d34_lm_score" -> { (s, dir) =>
-      // CCNet-style LM quality scoring: a unigram LM fit on the TRAIN
-      // side of the d15 content-hash split (no leakage by
-      // construction) scores VALIDATION docs by mean negative
-      // log-likelihood with add-one smoothing — the standard
-      // perplexity-filter signal. The LM table is vocabulary-sized:
-      // it joins on the token (never broadcasts at corpus scale) and
-      // is pinned once (totals + join both read it). One shuffle join
-      // + two aggregation ladders; ln is libm-backed so both sides
-      // round to 6 (a07 discipline).
+      // CCNet-style LM quality scoring through operators/LmScore (one
+      // implementation, shared with the streaming quality gate): a
+      // unigram LM fit on the TRAIN side of the d15 content-hash
+      // split (no leakage by construction) scores VALIDATION docs by
+      // add-one-smoothed mean negative log-likelihood — the standard
+      // perplexity-filter signal. See LmScore for the scale shape.
       val docs = t(s, dir, "documents")
       val bucket = TextFunctions.rollingHashMod(col("text")) % 100
-      val toks = docs.select(col("doc_id"), bucket.as("bkt"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      val counts = toks.filter(col("bkt") < 80)
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
-      val totals = broadcast(counts.agg(
-        sum(col("c")).as("n"), count(lit(1)).as("v")))
-      toks.filter(col("bkt") >= 80 && col("bkt") < 90)
-        .join(counts, Seq("tok"), "left")
-        .crossJoin(totals)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_tokens"),
-          round(-avg(log(
-            (coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
-              (col("n") + col("v")).cast("double"))), 6).as("nll"))
+      val keyed = docs.select(col("doc_id"), bucket.as("bkt"),
+        col("text"))
+      val model = graft.operators.LmScore.fitUnigram(
+        keyed.filter(col("bkt") < 80), "text")
+      graft.operators.LmScore.score(model,
+        keyed.filter(col("bkt") >= 80 && col("bkt") < 90),
+        "doc_id", "text")
     },
 
     "d33_weighted_sample" -> { (s, dir) =>
