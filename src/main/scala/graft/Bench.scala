@@ -28,7 +28,12 @@ object Bench {
     // Queries whose warmup already costs >20 s get a single timed run:
     // at that weight the corpus pass dominates and run-to-run variance
     // is proportionally small, so the extra 2 runs buy little signal.
-    val results = selected.map { case (name, fn) =>
+    // execute in sorted-name order: Map iteration order shifts whenever a
+    // key is added, and a different neighbor ordering changes each query's
+    // JVM/GC/page-cache context enough to fake ±2-4x per-query regressions
+    // (r6 a06/q27, r7 t02/w02 — all adjudicated as noise). Stable order
+    // makes per-query numbers comparable across rounds.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   * frame runs [current, +∞) and takes the FIRST non-null payload; at
   * equal timestamps left rows sort before right rows so the equal-time
   * right stays eligible, and among equal-time right rows the one
-  * SMALLEST by `tieBreaker` wins (mirror of backward's greatest).
+  * SMALLEST by `tieBreaker` wins (mirror of backward's greatest). A
+  * NULL `tieBreaker` value loses to every non-null one in both
+  * directions.
   */
 object AsOfJoin {
 
@@ -72,11 +74,17 @@ object AsOfJoin {
     // backward: right rows sort BEFORE left rows at equal time and the
     // frame looks back — last non-null payload = latest right ≤ t.
     // forward: left rows sort first, the frame looks ahead — first
-    // non-null payload = earliest right ≥ t. tieBreaker orders
-    // equal-time right rows so "latest"/"next" is well-defined.
+    // non-null payload = earliest right ≥ t. tieBreaker makes the
+    // equal-time winner deterministic, and a NULL tieBreaker loses to
+    // every non-null one in BOTH directions (backward's last() picks
+    // the final frame row, so nulls must sort first; forward's first()
+    // picks the initial frame row, so nulls must sort last).
     val sideOrder = if (backward) col("_side").asc else col("_side").desc
     val ordering: Seq[Column] = Seq(col("_t").asc, sideOrder) ++
-      tieBreaker.map(tb => col("_payload").getField(tb).asc_nulls_first).toSeq
+      tieBreaker.map { tb =>
+        val f = col("_payload").getField(tb)
+        if (backward) f.asc_nulls_first else f.asc_nulls_last
+      }.toSeq
     val base = Window.partitionBy(col("_k")).orderBy(ordering: _*)
     val w =
       if (backward)

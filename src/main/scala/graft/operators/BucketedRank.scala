@@ -47,23 +47,48 @@ object BucketedRank {
                   tieCol: String, nb1: Int = 256,
                   nb2: Int = 64): DataFrame = {
     val ks = keys(groupCols)
-    val base = withKey(df, groupCols)
-      .join(broadcast(stats), ks)
+    val grouped = groupCols.nonEmpty
+    // In the global (ungrouped) case every frame carries the same
+    // constant `_g`; joining on it makes Spark log a "trivially true
+    // equals predicate '0L == 0'" WARN per join. Drop `_g` from the
+    // right side instead: keys-beyond-`_g` stay a real equi-join, and a
+    // `_g`-only join becomes an explicit broadcast cross join (the right
+    // frames are one-row / ≤nb1-row by construction).
+    def joinOn(l: DataFrame, r: DataFrame, all: Seq[String],
+               bcast: Boolean): DataFrame =
+      if (grouped) {
+        l.join(if (bcast) broadcast(r) else r, all)
+      } else {
+        val rest = all.filterNot(_ == "_g")
+        val r2 = r.drop("_g")
+        val rh = if (bcast) broadcast(r2) else r2
+        if (rest.isEmpty) l.crossJoin(rh) else l.join(rh, rest)
+      }
+    val base = joinOn(withKey(df, groupCols), stats, ks, bcast = true)
       .withColumn("_b1", bucket(col(valueCol), col("lo"), col("hi"), nb1))
 
-    val wOff1 = Window.partitionBy(ks.map(col): _*).orderBy(col("_b1"))
+    // the global case's offset window spans all (≤nb1) bucket counts in
+    // one partition BY DESIGN (the frame is bounded by construction) —
+    // but partitioning it by the foldable `_g` constant makes Catalyst
+    // fold the spec away and WindowExec then WARNs "No Partition
+    // Defined … single partition" once per task. pmod(_b1, 1) is the
+    // same always-zero key, expressed non-foldably: identical
+    // execution, defined spec, clean logs.
+    val off1Part: Seq[Column] =
+      if (grouped) ks.map(col) else Seq(pmod(col("_b1"), lit(1)))
+    val wOff1 = Window.partitionBy(off1Part: _*).orderBy(col("_b1"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off1 = base.groupBy((ks :+ "_b1").map(col): _*)
       .agg(count(lit(1)).as("_c1"))
       .withColumn("_o1", coalesce(sum(col("_c1")).over(wOff1), lit(0L)))
-    val loc1 = broadcast(withKey(targets, groupCols).join(off1, ks)
+    val loc1 = joinOn(withKey(targets, groupCols), off1, ks, bcast = !grouped)
       .filter(col("rt") > col("_o1") &&
         col("rt") <= col("_o1") + col("_c1"))
       .select((ks.map(col) :+ col("p") :+ col("_b1") :+
-        (col("rt") - col("_o1")).as("_r1")): _*))
+        (col("rt") - col("_o1")).as("_r1")): _*)
 
     // level 2: located buckets re-bucket within their own value range
-    val lvl = base.join(loc1, ks :+ "_b1")
+    val lvl = joinOn(base, loc1, ks :+ "_b1", bcast = true)
       .withColumn("_lo2",
         col("lo") + col("_b1") * ((col("hi") - col("lo")) / nb1))
       .withColumn("_hi2",
@@ -77,16 +102,16 @@ object BucketedRank {
     val off2 = lvl.groupBy((grpP :+ "_b2").map(col): _*)
       .agg(count(lit(1)).as("_c2"))
       .withColumn("_o2", coalesce(sum(col("_c2")).over(wOff2), lit(0L)))
-    val loc2 = broadcast(loc1.select((grpP.map(col) :+ col("_r1")): _*)
-      .join(off2, grpP)
+    val loc2 = joinOn(loc1.select((grpP.map(col) :+ col("_r1")): _*),
+      off2, grpP, bcast = false)
       .filter(col("_r1") > col("_o2") &&
         col("_r1") <= col("_o2") + col("_c2"))
       .select((grpP.map(col) :+ col("_b2") :+
-        (col("_r1") - col("_o2")).as("_r2")): _*))
+        (col("_r1") - col("_o2")).as("_r2")): _*)
 
     val wIn = Window.partitionBy((grpP :+ "_b2").map(col): _*)
       .orderBy(col(valueCol), col(tieCol))
-    lvl.join(loc2, grpP :+ "_b2")
+    joinOn(lvl, loc2, grpP :+ "_b2", bcast = true)
       .withColumn("_rn", row_number().over(wIn).cast("long"))
       .filter(col("_rn") === col("_r2"))
       .select((groupCols.map(col) :+ col("p") :+

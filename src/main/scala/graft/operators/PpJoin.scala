@@ -40,18 +40,18 @@ import org.apache.spark.sql.functions._
   */
 object PpJoin {
 
-  /** Prefix index over distinct (id, token) rows: (id, token, n) for
-    * only each set's first n − ⌈t·n⌉ + 1 tokens under the global
-    * ascending-DF order, where n is the set size and t = num/den.
-    * Input MUST be distinct per (id, token) — n is a row count.
+  /** The keyed prefix-filter core shared by the self-join and bipartite
+    * paths: sets are keyed by `setKeys` (id, or side+id), the total
+    * token order comes from the provided `dfreq` frame — the lemma only
+    * requires every prefix to be drawn from ONE fixed order, so the
+    * bipartite variant passes a union-corpus DF count here.
     */
-  def prefixIndex(elems: DataFrame, idCol: String, tokCol: String,
-                  num: Int, den: Int): DataFrame = {
-    val dfreq = elems.groupBy(col(tokCol))
-      .agg(count(lit(1)).as("tok_df"))
-    val byRarity = Window.partitionBy(col(idCol))
+  private def prefixKeyed(elems: DataFrame, dfreq: DataFrame,
+                          setKeys: Seq[String], tokCol: String,
+                          num: Int, den: Int): DataFrame = {
+    val byRarity = Window.partitionBy(setKeys.map(col): _*)
       .orderBy(col("tok_df"), col(tokCol))
-    val bySet = Window.partitionBy(col(idCol))
+    val bySet = Window.partitionBy(setKeys.map(col): _*)
     // prefix length n − ⌈num·n/den⌉ + 1 in pure integer math:
     // ⌈num·n/den⌉ = (num·n + den − 1) div den
     elems.join(dfreq, Seq(tokCol))
@@ -59,8 +59,19 @@ object PpJoin {
       .withColumn("n", count(lit(1)).over(bySet))
       .filter(col("pos") <=
         col("n") - floor((col("n") * num + (den - 1)) / den) + 1)
-      .select(col(idCol), col(tokCol), col("n"))
+      .select((setKeys.map(col) :+ col(tokCol) :+ col("n")): _*)
   }
+
+  /** Prefix index over distinct (id, token) rows: (id, token, n) for
+    * only each set's first n − ⌈t·n⌉ + 1 tokens under the global
+    * ascending-DF order, where n is the set size and t = num/den.
+    * Input MUST be distinct per (id, token) — n is a row count.
+    */
+  def prefixIndex(elems: DataFrame, idCol: String, tokCol: String,
+                  num: Int, den: Int): DataFrame =
+    prefixKeyed(elems,
+      elems.groupBy(col(tokCol)).agg(count(lit(1)).as("tok_df")),
+      Seq(idCol), tokCol, num, den)
 
   /** Candidate (id_a, id_b, na, nb) pairs: distinct id pairs sharing a
     * prefix token, size-filtered (den·min ≥ num·max). A superset of the
@@ -112,6 +123,55 @@ object PpJoin {
         Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")),
         Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .filter(col("c") * (num + den) >= (col("na") + col("nb")) * num)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Bipartite variant: EXACT J ≥ num/den pairs ACROSS two frames of
+    * distinct (id, token) rows — every (id_a ∈ left, id_b ∈ right) with
+    * Jaccard(left set, right set) ≥ threshold, identical to the naive
+    * cross-frame join at prefix-bounded cost. The lemma is unchanged:
+    * it only needs both sides' prefixes drawn from the SAME total token
+    * order, so the DF order is computed once over the UNION corpus and
+    * applied to each side. This is the train/eval decontamination
+    * shape: `left` = eval shingles, `right` = train shingles; a hot
+    * boilerplate shingle still never enters a prefix, so no eval↔train
+    * key pair fans out quadratically.
+    *
+    * Ids need not be unique across frames (sets are keyed by
+    * side + id internally); the same id on both sides is two sets.
+    */
+  def jaccardEdgesBipartite(left: DataFrame, right: DataFrame,
+                            idCol: String, tokCol: String,
+                            num: Int = 1, den: Int = 2): DataFrame = {
+    val l = left.select(col(idCol), col(tokCol))
+    val r = right.select(col(idCol), col(tokCol))
+    val both = l.withColumn("_side", lit(0))
+      .unionByName(r.withColumn("_side", lit(1)))
+    val dfreq = both.groupBy(col(tokCol)).agg(count(lit(1)).as("tok_df"))
+    val prefix = prefixKeyed(both, dfreq, Seq("_side", idCol), tokCol,
+      num, den)
+    val cand = prefix.filter(col("_side") === 0)
+      .select(col(tokCol), col(idCol).as("id_a"), col("n").as("na"))
+      .join(prefix.filter(col("_side") === 1)
+        .select(col(tokCol), col(idCol).as("id_b"), col("n").as("nb")),
+        Seq(tokCol))
+      .filter(least(col("na"), col("nb")) * den >=
+        greatest(col("na"), col("nb")) * num)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .distinct()
+      .localCheckpoint(true)
+    def sideSets(side: DataFrame, asId: String, asToks: String) =
+      side.join(cand.select(col(asId).as("_cid")).distinct(),
+          col(idCol) === col("_cid"), "left_semi")
+        .groupBy(col(idCol))
+        .agg(collect_list(col(tokCol)).as(asToks))
+        .select(col(idCol).as(asId), col(asToks))
+        .localCheckpoint(true)
+    cand
+      .join(sideSets(l, "id_a", "toks_a"), Seq("id_a"))
+      .join(sideSets(r, "id_b", "toks_b"), Seq("id_b"))
       .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
       .filter(col("c") * (num + den) >= (col("na") + col("nb")) * num)
       .select(col("id_a"), col("id_b"))

@@ -20,8 +20,18 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object Sampling {
 
+  /** Hard ceiling on any trainer sample: the ONE driver-side collect in
+    * the engine whose size is a parameter rather than a constant is
+    * bounded here. Sample-based codebook/centroid training is the
+    * at-scale design — the full corpus never reaches the driver, at any
+    * corpus size, because `cap` can never exceed this.
+    */
+  val MaxCap = 65536
+
   def collectSample(corpus: DataFrame, idCol: String, vecCol: String,
                     cap: Int, byHash: Boolean): Array[Array[Double]] = {
+    require(cap > 0 && cap <= MaxCap,
+      s"trainer sample cap must be in (0, $MaxCap], got $cap")
     val base = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),

@@ -67,13 +67,17 @@ object Relational2 extends QueryPack {
       // ntile(4): first (total mod 4) tiles carry one extra row
       val q = total / 4
       val r = total % 4
+      // r is known at plan time — branch here, not in the plan (a
+      // `when(lit(r) === 0, …)` with r == 0L makes Spark WARN about a
+      // trivially-true equals predicate on every build; this was the
+      // '0L == 0' log spam VERDICT r7 traced to the quantile family)
       val quartile =
-        when(lit(r) === 0, floor((col("rn") - 1) / lit(q.toDouble)) + 1)
-          .otherwise(when(col("rn") <= lit(r * (q + 1)),
-            floor((col("rn") - 1) / lit((q + 1).toDouble)) + 1)
-            .otherwise(lit(r) +
-              floor((col("rn") - 1 - lit(r * (q + 1))) / lit(q.toDouble))
-              + 1))
+        if (r == 0) floor((col("rn") - 1) / lit(q.toDouble)) + 1
+        else when(col("rn") <= lit(r * (q + 1)),
+          floor((col("rn") - 1) / lit((q + 1).toDouble)) + 1)
+          .otherwise(lit(r) +
+            floor((col("rn") - 1 - lit(r * (q + 1))) / lit(q.toDouble))
+            + 1)
       base.withColumn("rn", rn)
         .select(col("o_orderkey"),
           quartile.cast("int").as("quartile"),

@@ -460,9 +460,15 @@ object TrainingOps2 extends QueryPack {
       // cross-engine content-hash fold — no RNG, so a re-run on any
       // cluster layout draws the SAME length-weighted sample (the d14
       // discipline, weighted). Global top-k by key is a distributed
-      // TakeOrdered (map-side heaps), never a full sort; the float
-      // key never leaves the plan, so libm ulp differences cannot
-      // reach the output.
+      // TakeOrdered (map-side heaps), never a full sort. The float key
+      // never appears in the output, but the top-100 CUT is ordered by
+      // pow(u, 1/w): JVM Math.pow and another engine's libm may differ
+      // by an ulp, so cross-engine membership at the boundary is only
+      // safe when near-equal keys come from identical (u, w) pairs —
+      // then both engines compute the same double and the doc_id
+      // tiebreak decides identically. Distinct (u, w) pairs land keys
+      // far apart relative to an ulp in practice, which is what the
+      // oracle hash-match actually rests on.
       val u = (TextFunctions.rollingHashMod(col("text")) % 1000003L
         + 1L).cast("double") / 1000004.0
       t(s, dir, "documents")
@@ -516,9 +522,64 @@ object TrainingOps2 extends QueryPack {
         .groupBy(col("lang"))
         .agg(count(lit(1)).cast("int").as("n_sources"),
           round(-sum(p * log(p)), 6).as("entropy"))
+    },
+
+    "d36_decontam_exact_pairs" -> { (s, dir) =>
+      // EXACT ANCHOR for the decontamination path (the d24 treatment
+      // applied to train/eval): every (eval, train) doc pair with exact
+      // word-3-gram Jaccard ≥ ½ across the d15 content-hash split.
+      // d20's shared-minhash miner stays the at-scale LSH read path;
+      // this row proves the bipartite PPJoin machinery
+      // ([[graft.operators.PpJoin.jaccardEdgesBipartite]]) against a
+      // DuckDB oracle — candidates are prefix-bounded under a shared
+      // union-corpus token order, so a hot boilerplate shingle never
+      // fans out across the eval×train product, and the threshold is
+      // the integer form 3·|A∩B| ≥ |A|+|B| (⟺ J ≥ ½, no float division
+      // to diverge between engines). Shingles reuse d24's pinned
+      // (session, dir) frame — the explosion runs once for both
+      // anchors.
+      val docs = t(s, dir, "documents")
+      val sh = graft.FrameCache.cached(s, s"d24sh:$dir")(
+        docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextFunctions.wordShingles(col("text"), 3))).as("g")))
+      val split = docs.select(col("doc_id"),
+        (SamplingFunctions.hashBucket(col("text")) < 80).as("is_train"))
+      val tagged = sh.join(split, Seq("doc_id"))
+      graft.operators.PpJoin.jaccardEdgesBipartite(
+          tagged.filter(!col("is_train")).select(col("doc_id"), col("g")),
+          tagged.filter(col("is_train")).select(col("doc_id"), col("g")),
+          "doc_id", "g")
+        .select(col("id_a").as("id_eval"), col("id_b").as("id_train"))
     })
 
   override def oracleSql: Map[String, String] = Map(
+    "d36_decontam_exact_pairs" ->
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text),
+               '\\s+'), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] ||
+                  ' ' || ts[CAST(i+2 AS INT)] AS g
+           FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+         fp AS (SELECT doc_id, $foldSql % 100 AS bucket FROM documents),
+         sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         ev AS (SELECT s.doc_id, s.g FROM sh s
+                JOIN fp ON fp.doc_id = s.doc_id WHERE fp.bucket >= 80),
+         tr AS (SELECT s.doc_id, s.g FROM sh s
+                JOIN fp ON fp.doc_id = s.doc_id WHERE fp.bucket < 80),
+         inter AS (
+           SELECT a.doc_id AS id_eval, b.doc_id AS id_train,
+                  count(1) AS c
+           FROM ev a JOIN tr b ON a.g = b.g
+           GROUP BY 1, 2)
+         SELECT id_eval, id_train
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_eval
+         JOIN sizes sb ON sb.doc_id = id_train
+         WHERE 3 * c >= sa.n + sb.n""",
     "d14_hash_sample" ->
       s"""WITH fp AS (
            SELECT doc_id, $foldSql % 100 AS bucket FROM documents)

@@ -79,17 +79,32 @@ object WarehouseSink {
   }
 
   /** Small-files compaction for an unpartitioned managed table: rewrite
-    * to `numFiles` files via a staging table, then swap with a catalog
-    * rename (a table cannot be overwritten while it is being read).
+    * to `numFiles` files via a staging table, then swap via catalog
+    * renames (a table cannot be overwritten while it is being read).
     * `sortCol`, when given, locally sorts each output file so min/max
     * stats stay selective after the rewrite — pass a Morton column via
     * [[zorderLayout]] upstream for the 2-D variant. At 100 TB the
     * streaming-ingest → thousands-of-tiny-files → compact cycle is
     * routine maintenance; the rewrite cost is one range exchange.
+    *
+    * Crash safety: the swap renames the old table ASIDE before promoting
+    * the staging copy (never DROP-then-RENAME), so at every instant at
+    * least one complete copy of the data exists under a known name. A
+    * re-run after a crash inside the swap window finds staging present
+    * with the source gone and PROMOTES the staging copy instead of
+    * clobbering the only remaining data.
     */
   def compact(spark: SparkSession, table: String, numFiles: Int,
               sortCol: Option[String] = None): Unit = {
     val staging = table + "_compacting"
+    val retired = table + "_compacted_old"
+    if (spark.catalog.tableExists(staging) &&
+        !spark.catalog.tableExists(table)) {
+      // a previous run crashed between rename-aside and promote: the
+      // staging table holds the only live copy — recover it, then let
+      // the compaction below run against the recovered table
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val df = spark.table(table)
     val laid = sortCol match {
@@ -98,8 +113,10 @@ object WarehouseSink {
       case None => df.repartition(numFiles)
     }
     laid.write.format("parquet").saveAsTable(staging)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $retired")
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —

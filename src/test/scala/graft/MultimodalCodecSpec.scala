@@ -104,7 +104,7 @@ class MultimodalCodecSpec extends SparkSpec {
   }
 
   test("m01 exercises the REAL decode branch on the query surface") {
-    // every 10th doc carries a syntheticMedia blob; its decoded dims /
+    // every 50th doc carries a syntheticMedia blob; its decoded dims /
     // duration must match the generator's id-derived formulas — if any
     // real-media row fell through to the stub, widths would be ≥ 64
     // (stub formula) instead of 8..16

@@ -116,6 +116,64 @@ class PpJoinSpec extends SparkSpec {
     }
   }
 
+  test("bipartite edges equal the naive cross-frame join exactly") {
+    // reference: every element of both frames indexed, no prefix bound
+    def naiveBi(l: DataFrame, r: DataFrame): Set[(Long, Long)] = {
+      val sa = l.groupBy(col("id")).agg(count(lit(1)).as("na"))
+      val sb = r.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+      l.select(col("id").as("id_a"), col("tok"))
+        .join(r.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+        .join(sa.select(col("id").as("id_a"), col("na")), Seq("id_a"))
+        .join(sb.select(col("id").as("id_b"), col("nb")), Seq("id_b"))
+        .filter(col("c") * 3 >= col("na") + col("nb"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    def biEdges(l: DataFrame, r: DataFrame): Set[(Long, Long)] =
+      PpJoin.jaccardEdgesBipartite(l, r, "id", "tok")
+        .as[(Long, Long)].collect().toSet
+
+    // hostile split of the hot-token corpus: overlapping ids across the
+    // sides (ids are per-side set keys, never assumed globally unique)
+    val left = elems(
+      1L -> Seq("hot", "aa", "bb", "cc", "dd"),
+      3L -> Seq("hot", "zz", "yy", "xx", "ww"),
+      5L -> Seq("hot", "pp", "qq"),
+      7L -> Seq("hot"))
+    val right = elems(
+      2L -> Seq("hot", "aa", "bb", "cc", "ee"), // J(l1,r2)=4/6 ≥ ½
+      3L -> Seq("hot", "zz", "yy", "xx", "ww"), // J(l3,r3)=1
+      5L -> Seq("hot", "rr", "ss"),             // J(l5,r5)=1/5 < ½
+      6L -> Seq("hot"))                          // J(l7,r6)=1
+    assert(biEdges(left, right) == naiveBi(left, right))
+    assert(biEdges(left, right) == Set((1L, 2L), (3L, 3L), (7L, 6L)))
+
+    // randomized families on both sides
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 25).map(i => s"t$i")
+    def rndSets(n: Long) = (0L until n).map { id =>
+      id -> rnd.shuffle(vocab).take(2 + rnd.nextInt(9)).toSeq
+    }
+    val rl = elems(rndSets(25): _*)
+    val rr = elems(rndSets(25): _*)
+    assert(biEdges(rl, rr) == naiveBi(rl, rr))
+    // and at a non-default threshold the parameterized math still holds
+    val pp23 = PpJoin.jaccardEdgesBipartite(rl, rr, "id", "tok", 2, 3)
+      .as[(Long, Long)].collect().toSet
+    val na23 = {
+      val sa = rl.groupBy(col("id")).agg(count(lit(1)).as("na"))
+      val sb = rr.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+      rl.select(col("id").as("id_a"), col("tok"))
+        .join(rr.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+        .join(sa.select(col("id").as("id_a"), col("na")), Seq("id_a"))
+        .join(sb.select(col("id").as("id_b"), col("nb")), Seq("id_b"))
+        .filter(col("c") * 5 >= (col("na") + col("nb")) * 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(pp23 == na23, "threshold 2/3 bipartite diverged")
+  }
+
   test("edge case: empty input and singleton sets") {
     val empty = Seq.empty[(Long, String)].toDF("id", "tok")
     assert(PpJoin.jaccardEdges(empty, "id", "tok").count() == 0)
