@@ -35,6 +35,33 @@ object Relational4 extends QueryPack {
   private def view(s: SparkSession, dir: String, name: String): Unit =
     t(s, dir, name).createOrReplaceTempView(name)
 
+  /** Get-or-write a fact table as an 8-bucket catalog table hashed (and
+    * locally sorted) on `keyCol`, once per (session, dir) via
+    * [[graft.FrameCache]] (persist = false: the result is a catalog
+    * table scan, not a pinned frame). Only `cols` are written — the
+    * layout carries the pruned schema a bucketed fact table would at
+    * scale. Table names are dir-hashed so sf dirs never collide within
+    * one session. A previous JVM's managed-table directory is invisible
+    * to this session's in-memory catalog yet still blocks the CREATE
+    * (LOCATION_ALREADY_EXISTS), so any stale location is removed before
+    * the write.
+    */
+  private def bucketedFacts(s: SparkSession, dir: String, src: String,
+                            keyCol: String,
+                            cols: Seq[String]): DataFrame =
+    graft.FrameCache.cached(s, s"t19bkt:$src:$dir", persist = false) {
+      val name =
+        s"graft_bkt_${src}_${(dir.hashCode & 0x7fffffff).toHexString}"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sinks.WarehouseSink.writeBucketed(
+        t(s, dir, src).select(cols.map(col): _*), name, keyCol, 8)
+      s.table(name)
+    }
+
   def queries: Map[String, QueryFn] = Map(
     // ---- TPC-H-shaped multi-join pipelines ------------------------------
     "t01_regional_supplier_volume" -> { (s, dir) =>
@@ -312,6 +339,114 @@ object Relational4 extends QueryPack {
       li.join(p, col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(money(vol).as("revenue"), count(lit(1)).as("n_items"))
+    },
+    "t16_priority_class_counts" -> { (s, dir) =>
+      // Q12 shape: two-way conditional counts of a fact-fact join —
+      // per returnflag (the schema's shipmode analog), how many lines
+      // belong to critical-priority orders vs the rest, over one ship
+      // year. The only shuffle is the l_orderkey⋈o_orderkey spine
+      // (both sides 2-column pruned); the CASE-sum is a partial agg.
+      val li = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val critical =
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+    },
+    "t17_part_supplier_counts" -> { (s, dir) =>
+      // Q16 shape (lineitem stands in for partsupp as the part↔supplier
+      // association): distinct-supplier counts per (brand, type, size)
+      // bucket, excluding one brand, a type class, a size set, and —
+      // the Q16 signature — a NOT IN subquery of disqualified
+      // suppliers (here: negative account balance). Keys are non-null,
+      // so the NOT IN plans as a plain anti-join against the ~100-row
+      // supplier side (the null-aware variant is q36); part broadcasts;
+      // the distinct count shuffles once on the group keys.
+      val assoc = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val bad = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" &&
+          !col("p_type").startsWith("SMALL") &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")))
+      assoc
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    "t18_large_volume_customers" -> { (s, dir) =>
+      // Q18 shape: large-volume customers — orders whose summed line
+      // quantity clears a threshold (a HAVING over the fact table),
+      // semi-shaped back through orders to the customer. The quantity
+      // rollup is one partial+final agg on l_orderkey; its survivors
+      // (~3% of orders at this threshold) then drive the joins, so
+      // orders/customer probe a pre-shrunk build side. Quantities are
+      // integral doubles — the exact-decimal sum keeps the > strict
+      // comparison engine-stable.
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(dec(col("l_quantity"))), 2).cast(DoubleType)
+          .as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+    },
+    "t19_bucketed_join_volume" -> { (s, dir) =>
+      // The 100 TB fact-fact join story made EXECUTABLE on the oracle
+      // surface: lineitem and orders are written ONCE per (session,
+      // dir) as 8-bucket catalog tables hashed on the order key —
+      // exactly how a warehouse lays out its fact tables — and the t02
+      // Q7 aggregation re-runs over them. Bucket co-location replaces
+      // the spine shuffle: the lineitem⋈orders sort-merge join plans
+      // with ZERO exchanges beneath it (asserted in PlanGuardSpec),
+      // every dimension broadcasts, and the only shuffle left in the
+      // whole plan is the final group-by. Same rows as t02, same
+      // oracle; the layout write amortizes across the session like the
+      // ANN indexes ([[graft.FrameCache]]).
+      val li = bucketedFacts(s, dir, "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount"))
+      val o = bucketedFacts(s, dir, "orders", "o_orderkey",
+        Seq("o_orderkey", "o_custkey"))
+      val c = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val su = broadcast(t(s, dir, "supplier"))
+      val n1 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      // the merge hint pins the spine to the sort-merge strategy the
+      // bucket layout serves (at test SFs auto-broadcast would
+      // otherwise win and never exercise the co-located path; at fact
+      // scale SMJ is what the planner picks anyway)
+      li.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(money(vol).as("revenue"))
     },
 
     "q37_grouping_flags" -> { (s, dir) =>
@@ -856,6 +991,51 @@ object Relational4 extends QueryPack {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)""",
+    "t16_priority_class_counts" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(l_shipdate) = 1996
+         GROUP BY l_returnflag""",
+    "t17_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13'
+           AND p_type NOT LIKE 'SMALL%'
+           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size""",
+    "t18_large_volume_customers" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 2)
+               AS DOUBLE) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 2)
+               AS DOUBLE) > 150.0)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           o_totalprice, total_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "t19_bucketed_join_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name < n2.n_name
+         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
     "q37_grouping_flags" ->
       """SELECT o_orderpriority, o_orderstatus,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,

@@ -204,6 +204,45 @@ class PlanGuardSpec extends SparkSpec {
       "the OR-of-conjunctions must stay a residual on the equi-join")
   }
 
+  test("Q12 shape: conditional counts ride partial aggs on the join spine") {
+    val p = plan("t16_priority_class_counts")
+    // the CASE-sums must combine map-side (partial HashAggregate below
+    // the final exchange), and nothing may plan a cartesian
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregates:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("Q16 shape: NOT IN plans a broadcast anti-join, part broadcasts") {
+    val p = plan("t17_part_supplier_counts")
+    assert(p.contains("LeftAnti"), "NOT IN must plan an anti-join")
+    assert(p.contains("BroadcastHashJoin"), "part/supplier must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "nothing at dimension scale may shuffle-sort")
+  }
+
+  test("Q18 shape: the HAVING rollup pre-shrinks the join, no cartesian") {
+    val p = plan("t18_large_volume_customers")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"quantity rollup must be partial+final:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "nothing in the Q18 pipeline may collapse to one partition")
+  }
+
+  test("bucketed fact-fact join plans zero exchanges beneath the spine") {
+    // t19 re-runs t02's Q7 aggregation over lineitem/orders written as
+    // 8-bucket tables on the order key: the co-located sort-merge join
+    // must consume bucket layout directly — the ONLY exchange in the
+    // whole plan is the final group-by (at 100 TB this is the dominant
+    // shuffle of every fact-fact join, removed by layout)
+    val p = plan("t19_bucketed_join_volume")
+    assert(p.contains("SortMergeJoin"), "the spine join should sort-merge")
+    assert(p.contains("BroadcastHashJoin"), "dimensions must broadcast")
+    assert(shuffleCount(p) == 1,
+      s"only the final aggregation may shuffle:\n${p.take(600)}")
+  }
+
   test("vocab overlap joins on the shingle, sizes broadcast") {
     val p = plan("d29_source_vocab_overlap")
     assert(p.contains("BroadcastHashJoin"),
