@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Streaming throughput probe (VERDICT r7 Next #8): sustained docs/sec of
+  * [[Dedup.nearDupProbeStream]] — the dedup-on-ingest path — against a
+  * full-corpus MinHash index.
+  *
+  * The probe stream IS the corpus replayed as a file stream
+  * (`maxFilesPerTrigger` bounds each micro-batch), so every document is
+  * signed (64 hashes over word 3-shingles), banded, and joined against the
+  * pinned static index exactly as a production ingest would be; self-matches
+  * are excluded by id inside the operator, so surviving hits are the
+  * corpus's own near-dup structure re-discovered from the stream side.
+  *
+  * Throughput is computed from the StreamingQuery's own progress feed
+  * (numInputRows / batchDuration), with the FIRST batch excluded — it
+  * absorbs codegen, the signature pipeline's JIT, and the index's first
+  * materialization, none of which recur in steady state. Output is one
+  * JSON line in the Bench.scala format.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args.headOption.getOrElse("target/scale/sf1")
+    val filesPerTrigger =
+      if (args.length > 1) args(1).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, corpusDir, "documents")
+    // Pin the corpus signatures: the per-batch cost must be the PROBE
+    // side only (sign + band + bucket join), never a corpus re-pass —
+    // the at-scale contract documented on nearDupProbeStream.
+    val sigs = FrameCache.cached(spark, s"streambench_sigs:$corpusDir") {
+      Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64)
+    }
+    val corpusN = sigs.count()
+
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_streambench_ckpt").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val query = Dedup.nearDupProbeStream(
+      stream, "doc_id", "text", sigs,
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.7,
+      checkpoint) { (hits, _) => hitCount.addAndGet(hits.count()) }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+
+    // recentProgress holds the last ≤100 batches — ensure the run stays
+    // under that (filesPerTrigger sizes batch count) or sums would drop
+    // early batches silently.
+    val progress = query.recentProgress.filter(_.numInputRows > 0)
+    val steady = progress.drop(1)
+    val docsSec =
+      if (steady.isEmpty) 0.0
+      else steady.map(_.numInputRows).sum.toDouble /
+        (steady.map(_.durationMs.get("triggerExecution").toLong).sum / 1e3)
+    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.US, v)
+    println(s"""{"metric":"stream_docs_per_sec","value":${f1(docsSec)},""" +
+      s""""unit":"docs/sec","corpus_docs":$corpusN,""" +
+      s""""batches":${progress.length},"hits":${hitCount.get()},""" +
+      s""""sf":"$corpusDir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Contract of the scale-up synthesizer (STATUS r8 scale probe): k× volume
+  * with the SAME distribution — shifted keys never collide across copies,
+  * the text bijection preserves token structure, and copy 0 is verbatim.
+  */
+class ScaleUpSpec extends SparkSpec {
+  private val src = "/root/testdata/sf0.001"
+
+  private lazy val out: String = {
+    val dir = Files.createTempDirectory("graft_scaleup").toString
+    ScaleUp.run(spark, src, dir, k = 3)
+    dir
+  }
+
+  test("every scaled table has exactly k x the source rows; dims unscaled") {
+    val scaled = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    for (t <- scaled) {
+      val n0 = Tables.load(spark, src, t).count()
+      val n1 = Tables.load(spark, out, t).count()
+      assert(n1 === 3 * n0, s"table $t")
+    }
+    for (t <- Seq("region", "nation"))
+      assert(Tables.load(spark, out, t).count() ===
+        Tables.load(spark, src, t).count(), s"dim $t")
+  }
+
+  test("shifted keys are globally unique (no cross-copy collision)") {
+    for ((t, c) <- Seq("orders" -> "o_orderkey", "customer" -> "c_custkey",
+      "documents" -> "doc_id", "embeddings" -> "vec_id",
+      "events" -> "event_id")) {
+      val df = Tables.load(spark, out, t)
+      assert(df.select(c).distinct().count() === df.count(), s"$t.$c")
+    }
+  }
+
+  test("referential integrity survives the shift (orders->customer)") {
+    val orphans = Tables.load(spark, out, "orders").join(
+      Tables.load(spark, out, "customer"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(orphans === 0L)
+  }
+
+  test("text bijection preserves length and intra-copy equality; copy 0 verbatim") {
+    val src0 = Tables.load(spark, src, "documents")
+      .select("doc_id", "text")
+    val docs = Tables.load(spark, out, "documents")
+    // copy 0 occupies the original key range and must be byte-identical
+    val stride = src0.agg(max("doc_id")).head().getLong(0) + 1L
+    val copy0Diff = docs.filter(col("doc_id") < stride)
+      .select("doc_id", "text")
+      .exceptAll(src0).count()
+    assert(copy0Diff === 0L)
+    // every copy preserves each doc's text length exactly (bijective
+    // char substitution): same length histogram per copy as the source
+    val srcHist = src0.groupBy(length(col("text")).as("len")).count()
+    for (i <- 1 until 3) {
+      val copyHist = docs
+        .filter(col("doc_id") >= i * stride && col("doc_id") < (i + 1) * stride)
+        .groupBy(length(col("text")).as("len")).count()
+      assert(copyHist.exceptAll(srcHist).count() === 0L, s"copy $i")
+    }
+  }
+
+  test("embedding rotation preserves the norm") {
+    val vecs = Tables.load(spark, out, "embeddings")
+    val srcNorms = Tables.load(spark, src, "embeddings")
+      .select(round(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x), 4).as("n2"))
+      .groupBy("n2").count()
+    val outNorms = vecs
+      .select(round(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x), 4).as("n2"))
+      .groupBy("n2").count()
+      .withColumn("count", col("count") / 3)
+    assert(outNorms.exceptAll(srcNorms).count() === 0L)
+  }
+}
