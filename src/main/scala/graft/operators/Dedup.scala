@@ -222,7 +222,8 @@ object Dedup {
     * Input: (id_a, id_b) pairs. Output: (id, component) where component
     * is the smallest id in the cluster. Isolated ids don't appear.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10)
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10,
+                          onRound: (Int, Double) => Unit = (_, _) => ())
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -248,6 +249,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val roundT0 = System.nanoTime()
       // message passing: each node takes the min over its neighbors'
       // labels and its own — ONE join per round (the union with the
       // current labels carries "self")
@@ -265,6 +267,7 @@ object Dedup {
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
+      onRound(i, (System.nanoTime() - roundT0) / 1e9)
     }
     // Detach the result from the iteration's persisted lineage so the
     // final round's frame doesn't stay pinned in the cache manager for

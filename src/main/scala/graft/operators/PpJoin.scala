@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   * reach α overlaps). Hence indexing each set's first
   * n − ⌈t·n⌉ + 1 tokens (⌊n/2⌋ + 1 at t = ½) misses NO qualifying
   * pair. A matching-size filter (den·min(na,nb) ≥ num·max — J ≥ t
-  * forces the sizes within a factor den/num) prunes further, then the
-  * surviving candidates are verified with the EXACT intersection count
-  * over the full sets, in overflow-free integer form
+  * forces the sizes within a factor den/num) and the POSITIONAL
+  * filter (paper §3.2; see [[overlapBand]]) prune further: the count
+  * and last position of each pair's shared prefix tokens bound the
+  * achievable overlap from both sides, so most true near-dups are
+  * accepted from prefix evidence alone and most false candidates are
+  * rejected exactly — only the undecided band pays the full
+  * intersection count, in overflow-free integer form
   * c·(num+den) ≥ num·(na+nb) ⟺ J ≥ num/den.
   *
   * Scale shape: two linear shuffles build the prefix index (a DF count
@@ -59,12 +63,14 @@ object PpJoin {
       .withColumn("n", count(lit(1)).over(bySet))
       .filter(col("pos") <=
         col("n") - floor((col("n") * num + (den - 1)) / den) + 1)
-      .select((setKeys.map(col) :+ col(tokCol) :+ col("n")): _*)
+      .select((setKeys.map(col) :+ col(tokCol) :+ col("n")
+        :+ col("pos")): _*)
   }
 
-  /** Prefix index over distinct (id, token) rows: (id, token, n) for
-    * only each set's first n − ⌈t·n⌉ + 1 tokens under the global
-    * ascending-DF order, where n is the set size and t = num/den.
+  /** Prefix index over distinct (id, token) rows: (id, token, n, pos)
+    * for only each set's first n − ⌈t·n⌉ + 1 tokens under the global
+    * ascending-DF order, where n is the set size, pos the token's
+    * 1-based position in that order, and t = num/den.
     * Input MUST be distinct per (id, token) — n is a row count.
     */
   def prefixIndex(elems: DataFrame, idCol: String, tokCol: String,
@@ -73,22 +79,51 @@ object PpJoin {
       elems.groupBy(col(tokCol)).agg(count(lit(1)).as("tok_df")),
       Seq(idCol), tokCol, num, den)
 
-  /** Candidate (id_a, id_b, na, nb) pairs: distinct id pairs sharing a
-    * prefix token, size-filtered (den·min ≥ num·max). A superset of the
-    * true result by the prefix-filter lemma; never all-pairs.
+  /** Positional bound (the "P" of PPJoin, Xiao et al. §3.2, adapted to
+    * the grouped-join shape): for a candidate pair, `o` counts the
+    * common tokens inside BOTH prefixes and (pa, pb) are the positions
+    * of the LAST such match. Every other common token lies outside at
+    * least one side's prefix, hence strictly after that side's last
+    * match position — and since both sides list tokens in the one
+    * global order, strictly after it on BOTH sides. So
+    * c ≤ o + min(na − pa, nb − pb), and the threshold
+    * c·(num+den) ≥ num·(na+nb) can be decided per band:
+    * pairs with o already ≥ the required overlap are accepted without
+    * verification (c ≥ o), pairs whose upper bound falls short are
+    * rejected exactly, and only the band between needs the full
+    * intersection count.
+    */
+  private def overlapBand(joined: DataFrame, num: Int, den: Int)
+      : DataFrame =
+    joined
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("o"),
+        max(col("pa")).as("pa"), max(col("pb")).as("pb"))
+      .withColumn("ubound", col("o") +
+        least(col("na") - col("pa"), col("nb") - col("pb")))
+      .filter(col("ubound") * (num + den) >= (col("na") + col("nb")) * num)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("o"))
+
+  /** Candidate (id_a, id_b, na, nb, o) pairs: id pairs sharing a
+    * prefix token, size-filtered (den·min ≥ num·max) and positional-
+    * filtered (o + min-remaining can still reach the threshold — see
+    * [[overlapBand]]). `o` is the count of shared prefix tokens; pairs
+    * with o·(num+den) ≥ num·(na+nb) are PROVEN qualified already. A
+    * superset of the true result by the prefix-filter lemma; never
+    * all-pairs.
     */
   def candidatePairs(prefix: DataFrame, idCol: String, tokCol: String,
                      num: Int, den: Int): DataFrame = {
     val a = prefix.select(col(tokCol), col(idCol).as("id_a"),
-      col("n").as("na"))
+      col("n").as("na"), col("pos").as("pa"))
     val b = prefix.select(col(tokCol), col(idCol).as("id_b"),
-      col("n").as("nb"))
-    a.join(b, Seq(tokCol))
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("na"), col("nb")) * den >=
-        greatest(col("na"), col("nb")) * num)
-      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .distinct()
+      col("n").as("nb"), col("pos").as("pb"))
+    overlapBand(
+      a.join(b, Seq(tokCol))
+        .filter(col("id_a") < col("id_b"))
+        .filter(least(col("na"), col("nb")) * den >=
+          greatest(col("na"), col("nb")) * num),
+      num, den)
   }
 
   /** EXACT J ≥ num/den edge list (id_a < id_b) over distinct
@@ -109,16 +144,22 @@ object PpJoin {
       prefixIndex(elems, idCol, tokCol, num, den),
       idCol, tokCol, num, den)
       .localCheckpoint(true)
-    // full token arrays ONLY for ids that appear in some candidate pair
-    val candIds = cand.select(col("id_a").as("cand_id"))
-      .unionByName(cand.select(col("id_b").as("cand_id")))
+    // the prefix overlap alone already proves the threshold for most
+    // true near-dups (c ≥ o): accept those without touching arrays;
+    // only the undecided band pays the intersection count
+    val proven = col("o") * (num + den) >= (col("na") + col("nb")) * num
+    val sure = cand.filter(proven).select(col("id_a"), col("id_b"))
+    val maybe = cand.filter(!proven)
+    // full token arrays ONLY for ids in some undecided pair
+    val candIds = maybe.select(col("id_a").as("cand_id"))
+      .unionByName(maybe.select(col("id_b").as("cand_id")))
       .distinct()
     val sets = elems
       .join(candIds, col(idCol) === col("cand_id"), "left_semi")
       .groupBy(col(idCol))
       .agg(collect_list(col(tokCol)).as("toks"))
       .localCheckpoint(true)
-    cand
+    val verified = maybe
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")),
         Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")),
@@ -126,6 +167,7 @@ object PpJoin {
       .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
       .filter(col("c") * (num + den) >= (col("na") + col("nb")) * num)
       .select(col("id_a"), col("id_b"))
+    sure.unionByName(verified)
   }
 
   /** Bipartite variant: EXACT J ≥ num/den pairs ACROSS two frames of
@@ -152,28 +194,34 @@ object PpJoin {
     val dfreq = both.groupBy(col(tokCol)).agg(count(lit(1)).as("tok_df"))
     val prefix = prefixKeyed(both, dfreq, Seq("_side", idCol), tokCol,
       num, den)
-    val cand = prefix.filter(col("_side") === 0)
-      .select(col(tokCol), col(idCol).as("id_a"), col("n").as("na"))
-      .join(prefix.filter(col("_side") === 1)
-        .select(col(tokCol), col(idCol).as("id_b"), col("n").as("nb")),
-        Seq(tokCol))
-      .filter(least(col("na"), col("nb")) * den >=
-        greatest(col("na"), col("nb")) * num)
-      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .distinct()
+    val cand = overlapBand(
+      prefix.filter(col("_side") === 0)
+        .select(col(tokCol), col(idCol).as("id_a"),
+          col("n").as("na"), col("pos").as("pa"))
+        .join(prefix.filter(col("_side") === 1)
+          .select(col(tokCol), col(idCol).as("id_b"),
+            col("n").as("nb"), col("pos").as("pb")),
+          Seq(tokCol))
+        .filter(least(col("na"), col("nb")) * den >=
+          greatest(col("na"), col("nb")) * num),
+      num, den)
       .localCheckpoint(true)
+    val proven = col("o") * (num + den) >= (col("na") + col("nb")) * num
+    val sure = cand.filter(proven).select(col("id_a"), col("id_b"))
+    val maybe = cand.filter(!proven)
     def sideSets(side: DataFrame, asId: String, asToks: String) =
-      side.join(cand.select(col(asId).as("_cid")).distinct(),
+      side.join(maybe.select(col(asId).as("_cid")).distinct(),
           col(idCol) === col("_cid"), "left_semi")
         .groupBy(col(idCol))
         .agg(collect_list(col(tokCol)).as(asToks))
         .select(col(idCol).as(asId), col(asToks))
         .localCheckpoint(true)
-    cand
+    val verified = maybe
       .join(sideSets(l, "id_a", "toks_a"), Seq("id_a"))
       .join(sideSets(r, "id_b", "toks_b"), Seq("id_b"))
       .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
       .filter(col("c") * (num + den) >= (col("na") + col("nb")) * num)
       .select(col("id_a"), col("id_b"))
+    sure.unionByName(verified)
   }
 }

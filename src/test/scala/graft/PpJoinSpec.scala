@@ -174,6 +174,56 @@ class PpJoinSpec extends SparkSpec {
     assert(pp23 == na23, "threshold 2/3 bipartite diverged")
   }
 
+  test("positional band: exact on threshold-straddling perturbed families") {
+    // families built by perturbing base sets K elements at a time, so
+    // pair Jaccards cluster AROUND the threshold — the regime where the
+    // positional filter's accept/verify/reject bands all fire; large
+    // sets (20-40 tokens) give long prefixes where position matters
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 400).map(i => f"v$i%03d")
+    val sets = (0 until 8).flatMap { fam =>
+      val base = rnd.shuffle(vocab).take(20 + rnd.nextInt(21))
+      (0 until 5).map { v =>
+        val drop = rnd.nextInt(1 + base.length / 2)
+        val keep = base.drop(drop)
+        val add = rnd.shuffle(vocab.filterNot(base.contains))
+          .take(drop)
+        (fam * 5L + v) -> (keep ++ add)
+      }
+    }
+    val e = elems(sets: _*)
+    assert(ppEdges(e) == naiveEdges(e))
+
+    // the positional upper bound must PRUNE on this family: compare the
+    // surviving candidates against the pre-positional count (distinct
+    // prefix-sharing size-compatible pairs)
+    val prefix = PpJoin.prefixIndex(e, "id", "tok", 1, 2)
+    val prePositional = prefix.select(col("tok"), col("id").as("id_a"),
+        col("n").as("na"))
+      .join(prefix.select(col("tok"), col("id").as("id_b"),
+        col("n").as("nb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")) * 2 >=
+        greatest(col("na"), col("nb")))
+      .select("id_a", "id_b").distinct().count()
+    val cand = PpJoin.candidatePairs(prefix, "id", "tok", 1, 2)
+    assert(cand.count() < prePositional,
+      s"positional filter pruned nothing (${cand.count()} of $prePositional)")
+    // auto-accepted pairs (o alone proves the threshold) must be true
+    // edges; at t=1/2 that band only reaches sets of ≤6 tokens (the
+    // ⌊n/2⌋+1 prefix can't certify ⌈2n/3⌉ overlap beyond that), so
+    // assert it on explicit small near-dups
+    val small = elems(
+      100L -> Seq("s1", "s2", "s3"),
+      101L -> Seq("s1", "s2", "s3"))
+    val smallCand = PpJoin.candidatePairs(
+      PpJoin.prefixIndex(small, "id", "tok", 1, 2), "id", "tok", 1, 2)
+    val sure = smallCand.filter(col("o") * 3 >= (col("na") + col("nb")))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sure == Set((100L, 101L)),
+      "small near-dup should be provable from prefix overlap alone")
+  }
+
   test("edge case: empty input and singleton sets") {
     val empty = Seq.empty[(Long, String)].toDF("id", "tok")
     assert(PpJoin.jaccardEdges(empty, "id", "tok").count() == 0)
