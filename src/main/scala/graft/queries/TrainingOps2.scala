@@ -41,15 +41,21 @@ object TrainingOps2 extends QueryPack {
       // eagerly localCheckpoint-ed: meta AND features both read the
       // union, and the fixture ENCODE (absent in production, where
       // blobs are read, not made) would otherwise run once per branch.
+      // The checkpointed frame is FrameCache-pinned per (session, dir)
+      // like the ANN index artifacts, so repeated invocations in one
+      // JVM reuse one encoded fixture instead of re-encoding + writing
+      // checkpoint blocks every run (the r8 bench-determinism outlier).
       // Pipeline shape per partition: batch decode → typed metadata,
       // batch featurize → fingerprint, wide content dropped before the
       // join/output so only small rows shuffle. Rows-only:
       // fingerprints are wrapping 64-bit PolyHash; MultimodalCodecSpec
       // asserts the real branch's decoded dimensions on this output.
       val docs = t(s, dir, "documents")
-      val real = graft.multimodal.Multimodal.syntheticMedia(
-        docs.filter(col("doc_id") % 50 === 0), "doc_id")
-        .localCheckpoint(true)
+      val real = graft.FrameCache.cached(s, s"media:$dir",
+        persist = false)(
+        graft.multimodal.Multimodal.syntheticMedia(
+          docs.filter(col("doc_id") % 50 === 0), "doc_id")
+          .localCheckpoint(true))
       val fallback = docs.filter(col("doc_id") % 50 =!= 0).select(
         concat(col("doc_id").cast("string"), lit(".jpg")).as("path"),
         col("text").cast("binary").as("content"))
@@ -551,6 +557,42 @@ object TrainingOps2 extends QueryPack {
           tagged.filter(col("is_train")).select(col("doc_id"), col("g")),
           "doc_id", "g")
         .select(col("id_a").as("id_eval"), col("id_b").as("id_train"))
+    },
+
+    "d37_cross_doc_dup_frac" -> { (s, dir) =>
+      // Cross-DOCUMENT duplication signal (the corpus-level complement
+      // of d25's within-doc repetition, in the spirit of Lee et al.
+      // 2022's dedup-the-training-data study): per doc, the fraction
+      // of its DISTINCT word 8-grams that also occur in at least one
+      // OTHER document — high means mirrored/boilerplate text a dedup
+      // or removal pass should target. Per-doc totals are computed
+      // MAP-SIDE on the scan (size of the distinct-shingle array, no
+      // shuffle); only the (doc_id, shingle) pairs shuffle, the
+      // document-frequency counts partial-aggregate map-side, and the
+      // dup count is a shingle-keyed semi-join against the df≥2 keys —
+      // the same cost class as d22's boilerplate miner, never
+      // all-pairs. distinct-per-doc makes df≥2 ⟺ "in ≥1 other doc".
+      // The division is two exact ints in IEEE double (d25 argument).
+      val withSh = t(s, dir, "documents").select(col("doc_id"),
+        array_distinct(
+          TextFunctions.wordShingles(col("text"), 8)).as("sh"))
+      val tot = withSh.select(col("doc_id"), size(col("sh")).as("n_grams"))
+      val pairs = withSh.select(col("doc_id"),
+        explode(col("sh")).as("shingle"))
+      val dup = pairs
+        .join(pairs.groupBy(col("shingle"))
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2)
+            .select(col("shingle")),
+          Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      tot.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup"),
+          when(col("n_grams") > 0,
+            coalesce(col("n_dup"), lit(0L)).cast("double") /
+              col("n_grams").cast("double"))
+            .otherwise(lit(0.0)).as("dup_frac"))
     })
 
   override def oracleSql: Map[String, String] = Map(
@@ -580,6 +622,38 @@ object TrainingOps2 extends QueryPack {
          JOIN sizes sa ON sa.doc_id = id_eval
          JOIN sizes sb ON sb.doc_id = id_train
          WHERE 3 * c >= sa.n + sb.n""",
+    "d37_cross_doc_dup_frac" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(ts) >= 8 THEN
+                    list_transform(range(1, len(ts) - 6),
+                      i -> ts[CAST(i AS INT)] || ' ' ||
+                           ts[CAST(i+1 AS INT)] || ' ' ||
+                           ts[CAST(i+2 AS INT)] || ' ' ||
+                           ts[CAST(i+3 AS INT)] || ' ' ||
+                           ts[CAST(i+4 AS INT)] || ' ' ||
+                           ts[CAST(i+5 AS INT)] || ' ' ||
+                           ts[CAST(i+6 AS INT)] || ' ' ||
+                           ts[CAST(i+7 AS INT)])
+                  ELSE [] END) AS gs
+           FROM toks),
+         pairs AS (SELECT doc_id, u.g FROM sh, UNNEST(gs) AS u(g)),
+         df AS (SELECT g, count(1) AS df FROM pairs GROUP BY g),
+         dup AS (SELECT p.doc_id, count(1) AS n_dup
+                 FROM pairs p JOIN df ON p.g = df.g AND df.df >= 2
+                 GROUP BY p.doc_id)
+         SELECT s.doc_id, CAST(len(s.gs) AS INT) AS n_grams,
+                CAST(coalesce(d.n_dup, 0) AS INT) AS n_dup,
+                CASE WHEN len(s.gs) > 0 THEN
+                  CAST(coalesce(d.n_dup, 0) AS DOUBLE) /
+                  CAST(len(s.gs) AS DOUBLE)
+                ELSE 0.0 END AS dup_frac
+         FROM sh s LEFT JOIN dup d ON s.doc_id = d.doc_id""",
     "d14_hash_sample" ->
       s"""WITH fp AS (
            SELECT doc_id, $foldSql % 100 AS bucket FROM documents)
