@@ -272,6 +272,20 @@ object TrainingOps extends QueryPack {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 6)
     },
+    "s14_semdedup_survivors" -> { (s, dir) =>
+      // SemDeDup (Abbas et al. 2023): semantic dedup in embedding
+      // space — coarse k-means cells (the session-cached IVF
+      // centroids), within-cell cosine ≥ 0.4 pairs, connected
+      // components, min-id survivor. The embedding-space sibling of
+      // d11's MinHash path: both are bucketed so the pair join is
+      // Σ_c O(n_c²), never all-pairs; the scale knob is k (cluster
+      // count grows with the corpus, per-cell work stays bounded).
+      // Rows-only: cell assignment depends on trained float centroids
+      // (no DuckDB replica); SemDeDupSpec proves within-cell pairs ≡
+      // the exact O(n²) join and measures global recall.
+      graft.operators.SemDeDup.survivors(t(s, dir, "embeddings"),
+        "vec_id", "embedding", ivfCentroids(s, dir), tau = 0.4)
+    },
     "s09_opq_topk" -> { (s, dir) =>
       // rotated PQ (OPQ-lite): Walsh-Hadamard energy balancing before
       // subspace quantization; rotation is orthonormal so distances are
