@@ -212,12 +212,18 @@ object Dedup {
       }
   }
 
-  /** Connected components over a near-dup pair list by iterative
-    * min-label propagation: every node adopts the smallest label in its
-    * neighborhood until fixpoint. Near-dup clusters have tiny diameters,
-    * so convergence takes a handful of rounds; each round is one
-    * shuffle-join on the edge list (labels persisted, lineage cut per
-    * round — the standard large-graph CC shape, bounded by `maxIters`).
+  /** Connected components over a near-dup pair list: min-label
+    * propagation (each node adopts the smallest label in its
+    * neighborhood) PLUS a pointer-jumping step per round (each node
+    * also adopts its label's own label — labels are node ids, so the
+    * lookup is a labels⋈labels join). Neighbor-min alone needs
+    * O(diameter) rounds, which a duplicate CHAIN (a→a′→a″…, each hop
+    * within threshold but ends far apart — how templated spam actually
+    * drifts) turns into rounds ≈ chain length, silently exceeding
+    * `maxIters`; jumping doubles the distance a minimum travels per
+    * round, making rounds O(log diameter) so the default budget covers
+    * ~2^10-hop chains. Each round is two shuffle-joins on checkpointed
+    * leaves (see the truncation note below).
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) where component
     * is the smallest id in the cluster. Isolated ids don't appear.
@@ -232,9 +238,22 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Labels are LINEAGE-TRUNCATED each round (eager localCheckpoint),
+    // not merely persisted: `next` references the previous labels frame
+    // TWICE (once through the message join, once through the self
+    // union), so with bare persist the LOGICAL plan doubles per round —
+    // execution reads the cache, but optimizer/AQE replanning cost goes
+    // exponential in the round count (measured: round 6 of a 323-edge
+    // graph spent 221 s replanning a ~2^6-deep plan). Checkpointing
+    // resets the plan to a leaf per round, making planning cost linear
+    // in rounds — the difference between "CC handles deep chains at
+    // 100 TB" and "CC dies past round 4". The checkpoint is also the
+    // materialization the convergence check needs, so no work is added;
+    // old rounds' blocks are freed by the ContextCleaner once
+    // unreferenced.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Convergence detector: labels only ever DECREASE, so the sum of all
     // labels strictly drops while anything improves and is stable exactly
@@ -257,28 +276,34 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "dst_component"), Seq("dst"))
         .select(col("src").as("id"), col("dst_component").as("component"))
-      val next = msgs.unionByName(labels)
+      val nbr = msgs.unionByName(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: every label is the id of a node in the SAME
+      // component (self or neighbor at seed time, min-preserved since),
+      // so that node has its own label row — chase it one level and
+      // take the smaller. The left join + coalesce is belt-and-braces
+      // for the invariant, not a semantic branch.
+      val next = nbr
+        .join(nbr.select(col("id").as("component"),
+          col("component").as("cparent")), Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("cparent"), col("component"))).as("component"))
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
       onRound(i, (System.nanoTime() - roundT0) / 1e9)
     }
-    // Detach the result from the iteration's persisted lineage so the
-    // final round's frame doesn't stay pinned in the cache manager for
-    // the life of the session (VERDICT r3 leak family). labels is
-    // already materialized by the convergence check, so the eager local
-    // checkpoint is one cheap copy job; its blocks are freed by the
-    // ContextCleaner once the result is unreferenced, unlike a persist.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist(blocking = false)
+    // labels is already a checkpointed leaf (per-round truncation above),
+    // so it IS the detached result — its blocks are freed by the
+    // ContextCleaner once unreferenced, unlike a persist (VERDICT r3
+    // leak family).
     edges.unpersist(blocking = false)
-    out
+    labels
   }
 
   /** Survivors after near-dup clustering: the smallest id per component

@@ -210,6 +210,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count(_._2._2) == 3) // survivors: 1, 10, 20
   }
 
+  test("connected components resolve a 300-hop chain inside the default " +
+       "round budget (pointer jumping)") {
+    // a duplicate CHAIN — each hop similar, ends far apart — is the
+    // adversarial diameter case: neighbor-min alone needs ~300 rounds
+    // here and would silently stop wrong at maxIters=10; the
+    // pointer-jump step makes rounds O(log diameter), so the default
+    // budget must suffice and every node must collapse to label 0.
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    var rounds = 0
+    val comps = Dedup.connectedComponents(pairs,
+        onRound = (i, _) => rounds = i)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 301)
+    assert(comps.forall(_._2 == 0L))
+    assert(rounds <= 10, s"took $rounds rounds")
+  }
+
   test("rollingHashMod folds left with mod-prime arithmetic") {
     val rows = Seq("ab", "", "a").toDF("t")
       .select(TextFunctions.rollingHashMod(col("t"))).collect()
