@@ -377,3 +377,132 @@ case class MatVec(child: Expression, rows: Seq[Seq[Double]])
   override protected def withNewChildInternal(
       newChild: Expression): MatVec = copy(child = newChild)
 }
+
+/** The `n` nearest centroids (1-based ids, ordered by (squared L2
+  * distance, id) ascending) as ONE codegen'd expression — the fused form
+  * of `array_min`/`array_sort` over k per-centroid [[VectorL2Sq]] structs.
+  *
+  * Why fuse: the composed tree is O(k) EXPRESSIONS, each carrying a
+  * dim-wide literal — at k=8 it codegens fine, but raising k with the
+  * corpus (the IVF/SemDeDup scale knob: k ≈ corpus/target_cell_size)
+  * makes plan construction, Janino compilation, and the interpreted
+  * fallback all scale with k. Measured on the ~sf1 corpus: k=80 via the
+  * composed tree ran 65 s for a query whose k=8 form ran 7.5 s — the
+  * knob was unusable. This expression keeps generated-code size CONSTANT
+  * in k (the centroid matrix is a referenced `double[][]`, the argmin a
+  * fixed nested loop), so runtime scales as the arithmetic O(k·dim) per
+  * row and nothing else.
+  *
+  * Semantics match the composed form exactly: per-element contribution
+  * over the min(vector, centroid) length, null elements skipped, ties on
+  * distance broken by the smaller centroid id ((d, id) struct ordering).
+  * Returns min(n, k) ids; n=1 callers take `.getItem(0)`.
+  */
+case class NearestCentroids(child: Expression,
+                            centroids: Seq[Seq[Double]], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def k: Int = centroids.size
+  private def outLen: Int = math.min(n, k)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"nearest_centroids needs array<float|double>, got ${dt.sql}")
+    }
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val f = isFloat
+    val m = outLen
+    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    val bestC = new Array[Int](m)
+    var c = 0
+    while (c < k) {
+      val cw = centArr(c)
+      val len = math.min(cw.length, x.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < len) {
+        if (!x.isNullAt(i)) {
+          val xv = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+          val d = xv - cw(i)
+          acc += d * d
+        }
+        i += 1
+      }
+      // ascending c ⇒ strict < keeps the smaller id on distance ties
+      if (acc < bestD(m - 1)) {
+        var p = m - 1
+        while (p > 0 && acc < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+        }
+        bestD(p) = acc; bestC(p) = c + 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+      val m = outLen
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      val c = ctx.freshName("c")
+      val cw = ctx.freshName("cw")
+      val len = ctx.freshName("len")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val get =
+        if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |double[] $bestD = new double[$m];
+         |java.util.Arrays.fill($bestD, Double.POSITIVE_INFINITY);
+         |int[] $bestC = new int[$m];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double[] $cw = $centRef[$c];
+         |  int $len = $a.numElements();
+         |  if ($len > $cw.length) $len = $cw.length;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $d = $get - $cw[$i];
+         |      $acc += $d * $d;
+         |    }
+         |  }
+         |  if ($acc < $bestD[$m - 1]) {
+         |    int $p = $m - 1;
+         |    while ($p > 0 && $acc < $bestD[$p - 1]) {
+         |      $bestD[$p] = $bestD[$p - 1]; $bestC[$p] = $bestC[$p - 1]; $p--;
+         |    }
+         |    $bestD[$p] = $acc; $bestC[$p] = $c + 1;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bestC);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroids = copy(child = newChild)
+}

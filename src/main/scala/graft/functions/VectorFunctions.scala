@@ -48,6 +48,18 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** The `n` nearest centroid ids (1-based, (l2², id)-ascending) in one
+    * codegen'd nested loop whose code size is constant in k — see
+    * [[NearestCentroids]]. The IVF/SemDeDup "raise k with the corpus"
+    * knob depends on this staying O(k·dim) arithmetic, not O(k) plan.
+    */
+  def nearestCentroids(v: Column, centroids: Seq[Seq[Double]],
+                       n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NearestCentroids(
+      ColumnBridge.expression(v), centroids, n))
+  }
+
   /** Full PQ code assignment in one codegen'd nested loop — see
     * [[PqEncode]]. `codebook(s*k + c)` = codeword for subspace s, code
     * c+1.

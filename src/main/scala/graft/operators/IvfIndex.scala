@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** The scale knob, made automatic: list count for a corpus of `n`
+    * vectors so the EXPECTED cell population stays ≈ `targetCell` as the
+    * corpus grows (cells, not cell size, absorb growth — the within-cell
+    * pair join stays Σ_c O(targetCell²·k) = O(n·targetCell)). Floor of 8
+    * keeps every small-SF result byte-identical to the fixed-k era.
+    * Measured on the ~sf1 corpus (20k vectors): k=8→80 cuts the
+    * SemDeDup pair stage 1.68→0.65 s with max cell imbalance 1.16 —
+    * viable only since [[graft.functions.NearestCentroids]] made
+    * assignment cost independent of k in everything but arithmetic.
+    */
+  def kFor(n: Long, targetCell: Int = 250): Int =
+    math.max(8, math.ceil(n.toDouble / targetCell).toInt)
+
   /** Train k centroids with `iters` Lloyd iterations on a bounded,
     * deterministic sample. Returns a small DataFrame (centroid_id,
     * centroid: array<double>) — broadcastable.
@@ -116,30 +129,21 @@ object IvfIndex {
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1).map(_._2).toSeq
 
-  /** Nearest-centroid id as a PURE PROJECTION: `array_min` over (dist,
-    * id) structs built from plan-time centroid literals — lexicographic
-    * struct ordering gives the smallest distance with ties to the
-    * smallest centroid id, the same (dist, id) ordering the window
-    * formulation had, and each distance is evaluated exactly ONCE per
-    * row (`array_position(dists, array_min(dists))` re-evaluated the
-    * whole distance set twice — no CSE across array expressions).
-    * Replaces a crossJoin + per-id window sort — zero shuffle, zero
+  /** Nearest-centroid id as a PURE PROJECTION — zero shuffle, zero
     * sort, which is the difference between "assignment is a map stage"
-    * and "assignment re-sorts the corpus" at 100 TB.
+    * and "assignment re-sorts the corpus" at 100 TB. One fused
+    * [[graft.functions.NearestCentroids]] expression whose generated
+    * code is constant-size in k: k is the scale knob (cell size ≈
+    * corpus/k must stay bounded as the corpus grows), and the earlier
+    * composed form — `array_min` over k per-centroid l2Sq structs —
+    * made plan size, Janino compile time, and the interpreted fallback
+    * all O(k), which turned raising the knob into a regression (65 s at
+    * k=80 on the ~sf1 corpus vs 2 s fused).
     */
-  private def nearestExpr(v: org.apache.spark.sql.Column,
-                          cents: Seq[Seq[Double]]) = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.l2Sq(v, typedLit(c)).as("d"),
-        lit(i + 1).as("cid"))
-    }: _*)
-    array_min(scored).getField("cid").cast("int")
-  }
-
-  /** Nearest centroid per vector (map-side argmin). */
   private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.select(col("id"), col("v"),
-      nearestExpr(col("v"), centroidLits(centroids)).as("centroid_id"))
+      VectorFunctions.nearestCentroids(col("v"), centroidLits(centroids), 1)
+        .getItem(0).as("centroid_id"))
 
   /** Corpus rows tagged with their inverted-list id. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
@@ -149,27 +153,22 @@ object IvfIndex {
 
   /** Each query's `nProbe` nearest inverted lists:
     * (query_id, qv, qnrm, centroid_id) — the coarse-pruning half of IVF,
-    * reused by [[IvfPq]]. Map-side: (dist, id) structs sorted inline
-    * (array_sort orders structs field-by-field — same (cdist,
-    * centroid_id) ordering the window formulation had), top nProbe
-    * sliced and exploded. No crossJoin, no window.
+    * reused by [[IvfPq]]. Map-side: one fused top-nProbe
+    * [[graft.functions.NearestCentroids]] evaluation ((cdist,
+    * centroid_id) ordering, constant code size in k — see [[assignTo]]),
+    * exploded. No crossJoin, no window, no sort.
     */
   def probes(queries: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, nProbe: Int): DataFrame = {
     val cents = centroidLits(centroids)
     val qv = col("qv")
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.l2Sq(qv, typedLit(c)).as("d"),
-        lit(i + 1).as("cid"))
-    }: _*)
     queries
       .select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("qv"))
       .select(col("query_id"), qv,
         VectorFunctions.norm(qv).as("qnrm"),
-        explode(transform(
-          slice(array_sort(scored), 1, math.min(nProbe, cents.size)),
-          s => s.getField("cid"))).as("centroid_id"))
+        explode(VectorFunctions.nearestCentroids(qv, cents, nProbe))
+          .as("centroid_id"))
   }
 
   /** Inverted-list balance diagnostics: per-list population, share of

@@ -34,9 +34,15 @@ object TrainingOps extends QueryPack {
     * relations (driver-side fit output), so no persist is needed.
     */
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
-    cachedFrame(s, s"ivfcent:$dir", persist = false)(
-      graft.operators.IvfIndex.fit(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3))
+    cachedFrame(s, s"ivfcent:$dir", persist = false) {
+      // k rides the corpus count (IvfIndex.kFor: cell size stays ≈250
+      // as the corpus grows; floor 8 keeps small-SF results identical).
+      // The count is a parquet-metadata job, paid once per (session,
+      // dir) alongside the fit itself.
+      val emb = t(s, dir, "embeddings")
+      graft.operators.IvfIndex.fit(emb, "vec_id", "embedding",
+        k = graft.operators.IvfIndex.kFor(emb.count()), iters = 3)
+    }
 
   /** Learned-OPQ model cache: (rotation rows, codebook) per (session,
     * dir) — same build-outside-the-monitor discipline as cachedFrame
@@ -269,8 +275,12 @@ object TrainingOps extends QueryPack {
         ivfCentroids(s, dir), k = 5, nProbe = 2)
     },
     "s03_embedding_near_dup" -> { (s, dir) =>
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.4, planes = 6)
+      // planes ride the corpus count (Similarity.planesFor: bucket
+      // population stays ≈32 as the corpus grows; floor 6 keeps
+      // small-SF results identical).
+      val emb = t(s, dir, "embeddings")
+      Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, planes = Similarity.planesFor(emb.count()))
     },
     "s14_semdedup_survivors" -> { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): semantic dedup in embedding
