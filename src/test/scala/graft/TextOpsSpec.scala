@@ -211,11 +211,11 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("connected components resolve a 300-hop chain inside the default " +
-       "round budget (pointer jumping)") {
+       "round budget (star contraction)") {
     // a duplicate CHAIN — each hop similar, ends far apart — is the
-    // adversarial diameter case: neighbor-min alone needs ~300 rounds
-    // here and would silently stop wrong at maxIters=10; the
-    // pointer-jump step makes rounds O(log diameter), so the default
+    // adversarial diameter case: neighbor-min propagation needs ~300
+    // rounds here and would silently stop wrong at any sane budget;
+    // star contraction collapses chains geometrically, so the default
     // budget must suffice and every node must collapse to label 0.
     val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     var rounds = 0
@@ -225,6 +225,35 @@ class TextOpsSpec extends SparkSpec {
     assert(comps.length == 301)
     assert(comps.forall(_._2 == 0L))
     assert(rounds <= 10, s"took $rounds rounds")
+  }
+
+  test("connected components resolve chains whose ids are uncorrelated " +
+       "with graph position (the case pointer jumping could not)") {
+    // ids shuffled along the chain: under min-label propagation every
+    // intermediate label is a LOCAL min (its own label is itself), so
+    // the jump step was a no-op and rounds ≈ diameter — measured 17
+    // rounds on the ~sf1 SemDeDup graph. Star contraction rewrites
+    // edges toward neighborhood minima, so id placement is irrelevant.
+    // Deterministic shuffle: position i holds id (i*211) mod 499
+    // (211 coprime to 499 ⇒ a permutation of 0..498).
+    val ids = (0 until 499).map(i => (i * 211 % 499).toLong)
+    val pairs = ids.zip(ids.tail).toDF("id_a", "id_b")
+    var rounds = 0
+    val comps = Dedup.connectedComponents(pairs,
+        onRound = (i, _) => rounds = i)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 499)
+    assert(comps.forall(_._2 == 0L))
+    assert(rounds <= 8, s"took $rounds rounds")
+    // two shuffled chains + an isolated pair stay separate components
+    val multi = (ids.take(100).zip(ids.tail.take(100)) ++
+      Seq((1000L, 1001L), (1001L, 1002L), (2000L, 2001L)))
+      .toDF("id_a", "id_b")
+    val m = Dedup.connectedComponents(multi)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chainMin = ids.take(101).min
+    assert(ids.take(101).forall(i => m(i) == chainMin))
+    assert(m(1000L) == 1000L && m(1002L) == 1000L && m(2001L) == 2000L)
   }
 
   test("rollingHashMod folds left with mod-prime arithmetic") {
