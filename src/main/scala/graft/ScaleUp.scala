@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *     dedup family's measurement quadratic BY CONSTRUCTION rather than by
   *     plan defect. Instead each copy's `documents.text` goes through a
   *     bijective character substitution (`translate` over the 10 most
-  *     frequent letters, rotated by copy index): token boundaries, lengths,
+  *     frequent letters in both cases plus the 10 digits, each class
+  *     rotated within itself by copy index): token boundaries, lengths,
   *     and intra-copy equality/similarity are preserved exactly, while any
-  *     cross-copy word 3-gram overlap requires a token with none of the 10
-  *     substituted letters — rare enough that copies are disjoint corpora.
+  *     cross-copy word 3-gram overlap requires three consecutive tokens
+  *     containing no substituted letter and no digit — rare enough that
+  *     copies are disjoint corpora.
   *  3. '''Deterministic.''' No RNG anywhere; re-running produces
   *     byte-identical rows (modulo parquet file split), so scale-bench
   *     numbers are reproducible across sessions.
@@ -33,15 +35,25 @@ import org.apache.spark.sql.functions._
   * to the driver's own files.
   */
 object ScaleUp {
-  /** The substitution alphabet: 10 highest-frequency English letters.
-    * Rotating it by the copy index gives k distinct bijections (identity
-    * for copy 0), each preserving string length and token structure.
+  /** The substitution alphabets: 10 highest-frequency English letters
+    * (both cases) and the 10 digits, each class rotating WITHIN itself
+    * by the copy index — k distinct bijections (identity for copy 0),
+    * each preserving string length, token structure, and character
+    * class (letter stays letter, digit stays digit, case preserved).
+    * Digits and uppercase are included because the first sf1 build
+    * rotated lowercase only and d36 found 55 cross-copy "near-dup"
+    * pairs — short docs whose word-3-grams were digit/punctuation-only
+    * and thus substitution-invariant (STATUS r8 honest note).
     */
-  private val Alpha = "etaoinsrhl"
+  private val Alphas = Seq("etaoinsrhl", "ETAOINSRHL", "0123456789")
 
-  private def rotated(i: Int): String = {
-    val r = i % Alpha.length
-    Alpha.substring(r) + Alpha.substring(0, r)
+  private def rotated(i: Int): (String, String) = {
+    val from = Alphas.mkString
+    val to = Alphas.map { a =>
+      val r = i % a.length
+      a.substring(r) + a.substring(0, r)
+    }.mkString
+    (from, to)
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,7 +147,10 @@ object ScaleUp {
       df.withColumn("doc_id", col("doc_id") + lit(i * docS))
         .withColumn("text",
           if (i == 0) col("text")
-          else translate(col("text"), Alpha, rotated(i)))
+          else {
+            val (from, to) = rotated(i)
+            translate(col("text"), from, to)
+          })
     }, "documents")
 
     write(copies(tbl("embeddings")) { (df, i) =>

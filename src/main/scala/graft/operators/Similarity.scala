@@ -21,14 +21,17 @@ object Similarity {
   /** The SRP bucket-count knob, made automatic: plane count for a corpus
     * of `n` vectors so the EXPECTED bucket population stays ≈
     * `targetBucket` as the corpus grows (2^planes buckets absorb growth;
-    * the within-bucket self-join stays O(n·targetBucket)). Floor of 6
-    * keeps every small-SF result byte-identical to the fixed-planes era.
-    * Measured on the ~sf1 corpus (20k vectors): planes 6→9 cut the
-    * near-dup pair query 1.11→0.59 s — each extra plane is one more
-    * codegen'd dot per row against a halved candidate set.
+    * the within-bucket self-join stays O(n·targetBucket), and bucketed
+    * top-k keeps a ≈constant per-query candidate set). `floor` pins the
+    * caller's historical fixed setting so every small-SF result stays
+    * byte-identical to the fixed-planes era (6 for the near-dup pair
+    * path, 4 for the top-k path). Measured on the ~sf1 corpus (20k
+    * vectors): planes 6→9 cut the near-dup pair query 1.11→0.59 s —
+    * each extra plane is one more codegen'd dot per row against a
+    * halved candidate set.
     */
-  def planesFor(n: Long, targetBucket: Int = 32): Int =
-    math.max(6, math.ceil(
+  def planesFor(n: Long, targetBucket: Int = 32, floor: Int = 6): Int =
+    math.max(floor, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
       .toInt)
 

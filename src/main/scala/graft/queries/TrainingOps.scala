@@ -224,9 +224,14 @@ object TrainingOps extends QueryPack {
         "vec_id", "embedding", k = 5)
     },
     "s02_lsh_topk" -> { (s, dir) =>
+      // planes ride the corpus count (floor 4 = the historical fixed
+      // setting, unchanged at the oracle SFs): fixed 2^4 buckets make
+      // the per-query candidate set grow linearly with the corpus;
+      // auto-planes keep expected bucket population ≈32.
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 5, planes = 4)
+        "vec_id", "embedding", k = 5,
+        planes = Similarity.planesFor(emb.count(), floor = 4))
     },
     "d11_dedup_survivors" -> { (s, dir) =>
       // full dedup decision: minhash pairs → connected components →

@@ -92,6 +92,9 @@ class NearestCentroidsSpec extends SparkSpec {
     }
     assert(IvfIndex.kFor(20000L) == 80) // the ~sf1 corpus
     assert(Similarity.planesFor(20000L) == 10)
+    // the top-k path's floor pins its historical planes=4 at oracle SFs
+    assert(Similarity.planesFor(500L, floor = 4) == 4)
+    assert(Similarity.planesFor(20000L, floor = 4) == 10)
     // growth law: expected population stays within 2x of the target
     for (n <- Seq(100000L, 10000000L, 1000000000L)) {
       val cell = n.toDouble / IvfIndex.kFor(n)
