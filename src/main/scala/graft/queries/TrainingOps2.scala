@@ -593,6 +593,48 @@ object TrainingOps2 extends QueryPack {
             coalesce(col("n_dup"), lit(0L)).cast("double") /
               col("n_grams").cast("double"))
             .otherwise(lit(0.0)).as("dup_frac"))
+    },
+
+    "d38_exact_span_residual" -> { (s, dir) =>
+      // The TRANSFORM behind d37's diagnostic — ExactSubstr-style span
+      // removal (Lee et al. 2022, "Deduplicating Training Data Makes
+      // Language Models Better"): a token position is removed when it
+      // is covered by any word-8-gram occurrence whose gram appears in
+      // ≥2 DISTINCT documents; per doc, emit tokens before / covered /
+      // remaining. Overlapping spans are unioned positionally, not
+      // summed: occurrences at positions p cover [p, p+7], and since
+      // all intervals share length 8 the union is gaps-and-islands on
+      // sorted starts (new island ⟺ pos > prev pos + 7) — a per-doc
+      // window, never a per-doc UDF or collect. Scale shape: per-doc
+      // totals ride the scan; (doc, gram, pos) occurrences shuffle
+      // once for the df semi-join (hot boilerplate grams are AQE skew
+      // splits, fan-out stays linear in corpus positions); the island
+      // windows partition by doc_id. All-int output (+1 exact-int
+      // division), so the oracle hash cannot drift.
+      val spanW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val docs = t(s, dir, "documents")
+      val tot = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      val occ = docs.select(col("doc_id"),
+        posexplode(TextFunctions.wordShingles(col("text"), 8)))
+        .select(col("doc_id"), col("pos"), col("col").as("g"))
+      val dupGrams = occ.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("g"))
+      val islands = occ.join(dupGrams, Seq("g"), "left_semi")
+        .withColumn("new_island",
+          when(col("pos") >
+            coalesce(lag(col("pos"), 1).over(spanW), lit(-100L)) + 7, 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("new_island")).over(spanW))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + 8).as("len"))
+        .groupBy(col("doc_id")).agg(sum(col("len")).as("covered"))
+      tot.join(islands, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).cast("int").as("covered"),
+          (col("n_tokens") -
+            coalesce(col("covered"), lit(0L)).cast("int")).as("residual"))
     })
 
   override def oracleSql: Map[String, String] = Map(
@@ -654,6 +696,45 @@ object TrainingOps2 extends QueryPack {
                   CAST(len(s.gs) AS DOUBLE)
                 ELSE 0.0 END AS dup_frac
          FROM sh s LEFT JOIN dup d ON s.doc_id = d.doc_id""",
+    "d38_exact_span_residual" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         occ AS (
+           SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] ||
+                  ' ' || ts[CAST(i+2 AS INT)] || ' ' ||
+                  ts[CAST(i+3 AS INT)] || ' ' || ts[CAST(i+4 AS INT)] ||
+                  ' ' || ts[CAST(i+5 AS INT)] || ' ' ||
+                  ts[CAST(i+6 AS INT)] || ' ' || ts[CAST(i+7 AS INT)]
+                    AS g
+           FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)),
+         dup AS (
+           SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+           GROUP BY g HAVING count(1) >= 2),
+         hit AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos), -100) + 7
+                    THEN 1 ELSE 0 END AS new_island
+           FROM hit),
+         isl2 AS (
+           SELECT doc_id, pos, sum(new_island) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl),
+         cov AS (
+           SELECT doc_id, sum(len) AS covered FROM (
+             SELECT doc_id, island, max(pos) - min(pos) + 8 AS len
+             FROM isl2 GROUP BY doc_id, island)
+           GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_tokens,
+                CAST(coalesce(c.covered, 0) AS INT) AS covered,
+                CAST(len(t.ts) - coalesce(c.covered, 0) AS INT)
+                  AS residual
+         FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""",
     "d14_hash_sample" ->
       s"""WITH fp AS (
            SELECT doc_id, $foldSql % 100 AS bucket FROM documents)
