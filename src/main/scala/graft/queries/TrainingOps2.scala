@@ -635,6 +635,48 @@ object TrainingOps2 extends QueryPack {
           coalesce(col("covered"), lit(0L)).cast("int").as("covered"),
           (col("n_tokens") -
             coalesce(col("covered"), lit(0L)).cast("int")).as("residual"))
+    },
+
+    "s15_bm25_scores" -> { (s, dir) =>
+      // BM25 lexical relevance (Okapi, k1=1.2, b=0.75) for a fixed
+      // deterministic query — the retrieval scorer curation pipelines
+      // use for decontam-by-retrieval and targeted quality mining; the
+      // lexical sibling of the embedding search family (s01-s12).
+      // Scale shape: the exploded token stream feeds a codegen'd isin
+      // filter, so only (doc, query-term) matches reach the tf
+      // shuffle; document frequencies and the corpus length stats are
+      // two tiny broadcast aggregates; scoring is then map-side
+      // arithmetic. Constants appear as the same literals on both
+      // engines (2.2, 1.2, 0.25, 0.75 — not re-derived from k1/b, so
+      // both sides fold to identical doubles); ln/division are
+      // libm-backed, so the final sum rounds to 6 (a07 discipline).
+      val terms = Seq("spark", "sort", "window")
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("dl"))
+      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot_dl")))
+      val tf = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = broadcast(tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df")))
+      val avgdl =
+        col("tot_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log(
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0)
+      val tfD = col("tf").cast("double")
+      val score = idf * tfD * lit(2.2) /
+        (tfD + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      tf.join(df, Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(stats)
+        .groupBy(col("doc_id"))
+        .agg(round(sum(score), 6).as("bm25"))
     })
 
   override def oracleSql: Map[String, String] = Map(
@@ -735,6 +777,34 @@ object TrainingOps2 extends QueryPack {
                 CAST(len(t.ts) - coalesce(c.covered, 0) AS INT)
                   AS residual
          FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""",
+    "s15_bm25_scores" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '') AS ts
+           FROM documents),
+         dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+         stats AS (
+           SELECT count(1) AS n_docs, sum(dl) AS tot_dl FROM dl),
+         tf AS (
+           SELECT doc_id, u.tok, count(1) AS tf
+           FROM toks, UNNEST(ts) AS u(tok)
+           WHERE u.tok IN ('spark', 'sort', 'window')
+           GROUP BY doc_id, u.tok),
+         df AS (SELECT tok, count(1) AS df FROM tf GROUP BY tok)
+         SELECT tf.doc_id,
+                round(sum(
+                  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                        + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                  * CAST(tf AS DOUBLE) * 2.2 /
+                  (CAST(tf AS DOUBLE) + 1.2 *
+                    (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+                      (CAST(tot_dl AS DOUBLE) /
+                       CAST(n_docs AS DOUBLE))))), 6) AS bm25
+         FROM tf
+         JOIN df USING (tok)
+         JOIN dl ON tf.doc_id = dl.doc_id, stats
+         GROUP BY tf.doc_id""",
     "d14_hash_sample" ->
       s"""WITH fp AS (
            SELECT doc_id, $foldSql % 100 AS bucket FROM documents)
