@@ -256,6 +256,53 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1000L) == 1000L && m(1002L) == 1000L && m(2001L) == 2000L)
   }
 
+  test("connected components equal a reference union-find on randomized " +
+       "graph families") {
+    // deterministic LCG so the families are reproducible; shapes chosen
+    // to stress star contraction's phases differently: sparse (forest-
+    // like, deep), dense-ish (many merging rounds collapse fast), and
+    // preferential (hub-heavy — the large-star fan-out case).
+    var seed = 0x9E3779B97F4A7C15L
+    def nextLong(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 17) & 0x7FFFFFFFL
+    }
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(i => i)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // component label = min node id = the root after min-directed unions
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for ((n, m) <- Seq((200, 120), (200, 400), (300, 250))) {
+      val edges = (1 to m).map { _ =>
+        val a = nextLong() % n
+        // preferential flavor on the third family: bias one endpoint low
+        val b = if (n == 300) nextLong() % 20 else nextLong() % n
+        (a, b)
+      }.filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched,
+        s"label rows must cover exactly the paired nodes (n=$n m=$m)")
+      touched.foreach { v =>
+        assert(got(v) == want(v),
+          s"node $v: got ${got(v)}, want ${want(v)} (n=$n m=$m)")
+      }
+    }
+  }
+
   test("rollingHashMod folds left with mod-prime arithmetic") {
     val rows = Seq("ab", "", "a").toDF("t")
       .select(TextFunctions.rollingHashMod(col("t"))).collect()
