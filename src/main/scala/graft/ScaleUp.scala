@@ -72,6 +72,13 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    // the rotation alphabets have period 10: copy 10 would reuse copy
+    // 0's identity substitution and reintroduce exact cross-copy
+    // duplicates — the construction defect this tool exists to avoid
+    require(k >= 1 && k <= Alphas.head.length,
+      s"k=$k outside [1, ${Alphas.head.length}]: only " +
+        s"${Alphas.head.length} distinct substitutions exist before the " +
+        "rotation repeats and copies stop being disjoint")
     def tbl(name: String): DataFrame = Tables.load(spark, src, name)
     // stride per key family = max + 1, so shifted ranges never collide.
     // One tiny driver-side aggregate per family — bounded metadata, the

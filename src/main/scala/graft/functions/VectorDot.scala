@@ -395,8 +395,11 @@ case class MatVec(child: Expression, rows: Seq[Seq[Double]])
   *
   * Semantics match the composed form exactly: per-element contribution
   * over the min(vector, centroid) length, null elements skipped, ties on
-  * distance broken by the smaller centroid id ((d, id) struct ordering).
-  * Returns min(n, k) ids; n=1 callers take `.getItem(0)`.
+  * distance broken by the smaller centroid id ((d, id) struct ordering),
+  * and NaN distances (NaN vector elements) ranking after every finite
+  * distance with ties by id (Spark's NaN-last ordering — an all-NaN row
+  * yields ids 1..n, never an unfilled slot). Returns min(n, k) ids
+  * (empty array when n = 0); n=1 callers take `.getItem(0)`.
   */
 case class NearestCentroids(child: Expression,
                             centroids: Seq[Seq[Double]], n: Int)
@@ -431,6 +434,9 @@ case class NearestCentroids(child: Expression,
     val x = a.asInstanceOf[ArrayData]
     val f = isFloat
     val m = outLen
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyIntArray)
     val bestD = Array.fill(m)(Double.PositiveInfinity)
     val bestC = new Array[Int](m)
     var c = 0
@@ -447,6 +453,11 @@ case class NearestCentroids(child: Expression,
         }
         i += 1
       }
+      // NaN distances (NaN vector elements) rank AFTER every finite
+      // distance but BEFORE the +∞ sentinel, matching Spark's NaN-last
+      // struct ordering in the composed form — so an all-NaN row still
+      // yields ids 1..n, never the unfilled 0 slot.
+      if (java.lang.Double.isNaN(acc)) acc = Double.MaxValue
       // ascending c ⇒ strict < keeps the smaller id on distance ties
       if (acc < bestD(m - 1)) {
         var p = m - 1
@@ -462,7 +473,10 @@ case class NearestCentroids(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
+    nullSafeCodeGen(ctx, ev, a => if (outLen == 0) {
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions." +
+        "UnsafeArrayData.fromPrimitiveArray(new int[0]);"
+    } else {
       val centRef = ctx.addReferenceObj("cents", centArr, "double[][]")
       val m = outLen
       val bestD = ctx.freshName("bestD")
@@ -491,6 +505,7 @@ case class NearestCentroids(child: Expression,
          |      $acc += $d * $d;
          |    }
          |  }
+         |  if (Double.isNaN($acc)) $acc = Double.MAX_VALUE;
          |  if ($acc < $bestD[$m - 1]) {
          |    int $p = $m - 1;
          |    while ($p > 0 && $acc < $bestD[$p - 1]) {

@@ -276,13 +276,15 @@ object Dedup {
 
     // (v, min(N(u)∪{u})) for every neighbor v > u. m ≤ u < v keeps the
     // child>parent invariant and forbids self-loops by construction.
+    // The emit side is just the reversed edge set (src>dst invariant ⇒
+    // the rows of sym with dst>src ARE the reversed rows) — only the
+    // min-aggregate needs the full symmetrized adjacency.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst")))
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val sym = e.unionByName(rev)
       val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
-      sym.filter(col("dst") > col("src"))
-        .join(mins, Seq("src"))
+      rev.join(mins, Seq("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
     }
@@ -332,11 +334,16 @@ object Dedup {
           "raise maxIters (rounds needed ~log(n), O(log² n) worst-case)")
     // Labels read directly off the star forest: children map to their
     // root, roots map to themselves. Checkpointed leaves throughout, so
-    // the result is detached from the iteration's lineage.
-    edges.select(col("src").as("id"), col("dst").as("component"))
+    // the result is detached from the iteration's lineage. On the
+    // maxIters-capped path a child can still hold edges into two roots;
+    // collapse to the smaller so the contract stays one row per id
+    // (labels then may be non-minimal — warned above — but never
+    // duplicated, which would row-multiply survivor joins downstream).
+    val raw = edges.select(col("src").as("id"), col("dst").as("component"))
       .unionByName(
         edges.select(col("dst").as("id"), col("dst").as("component")))
-      .distinct()
+    if (converged) raw.distinct()
+    else raw.groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
   /** Survivors after near-dup clustering: the smallest id per component

@@ -23,9 +23,12 @@ object Similarity {
     * `targetBucket` as the corpus grows (2^planes buckets absorb growth;
     * the within-bucket self-join stays O(n·targetBucket), and bucketed
     * top-k keeps a ≈constant per-query candidate set). `floor` pins the
-    * caller's historical fixed setting so every small-SF result stays
-    * byte-identical to the fixed-planes era (6 for the near-dup pair
-    * path, 4 for the top-k path). Measured on the ~sf1 corpus (20k
+    * caller's historical fixed setting so every ORACLE-SF result
+    * (sf0.001/sf0.01, 500 vectors) stays byte-identical to the
+    * fixed-planes era (6 for the near-dup pair path, 4 for the top-k
+    * path); above the floor the knob engages wherever the growth law
+    * says so — at sf0.1 (2000 vectors) the floor-4 path already scales
+    * to 6 planes by design. Measured on the ~sf1 corpus (20k
     * vectors): planes 6→9 cut the near-dup pair query 1.11→0.59 s —
     * each extra plane is one more codegen'd dot per row against a
     * halved candidate set.

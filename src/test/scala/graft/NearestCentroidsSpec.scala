@@ -70,6 +70,33 @@ class NearestCentroidsSpec extends SparkSpec {
     assert(row.head == 4, s"tie should pick id 4, got $row")
   }
 
+  test("NaN vector elements rank all centroids last, ties by id — ids " +
+    "1..n, never an unfilled 0 slot (both eval paths)") {
+    val df = Seq((1L, Array(Float.NaN, 0.5f, 0.25f)),
+      (2L, Array(0.5f, Float.NaN))).toDF("id", "v")
+    def run(): Seq[Seq[Int]] = df
+      .select(VectorFunctions.nearestCentroids(col("v"), cents.take(5), 3))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    // NaN in every distance ⇒ composed (d, cid) NaN-last ordering
+    // degenerates to cid order; fused must agree
+    assert(run() == Seq(Seq(1, 2, 3), Seq(1, 2, 3)))
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == Seq(Seq(1, 2, 3), Seq(1, 2, 3)))
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prev)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("n = 0 returns an empty array instead of throwing") {
+    val out = vectors.limit(2)
+      .select(VectorFunctions.nearestCentroids(col("v"), cents, 0))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(out.forall(_.isEmpty))
+  }
+
   test("interpreted eval matches codegen") {
     val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -82,7 +109,7 @@ class NearestCentroidsSpec extends SparkSpec {
     }
   }
 
-  test("auto-knobs: floors keep every driver SF at the historical " +
+  test("auto-knobs: floors keep every ORACLE SF at the historical " +
     "setting; growth keeps cell/bucket population bounded") {
     import graft.operators.{IvfIndex, Similarity}
     // driver corpora: sf0.001/sf0.01 = 500, sf0.1 = 2000 embeddings
@@ -92,8 +119,12 @@ class NearestCentroidsSpec extends SparkSpec {
     }
     assert(IvfIndex.kFor(20000L) == 80) // the ~sf1 corpus
     assert(Similarity.planesFor(20000L) == 10)
-    // the top-k path's floor pins its historical planes=4 at oracle SFs
+    // the top-k path's floor pins its historical planes=4 at the
+    // ORACLE SFs (500 vectors); by design it already scales to 6 at
+    // sf0.1's 2000 — s02 is a no-oracle row, so only sf0.001/sf0.01
+    // content is contractual
     assert(Similarity.planesFor(500L, floor = 4) == 4)
+    assert(Similarity.planesFor(2000L, floor = 4) == 6)
     assert(Similarity.planesFor(20000L, floor = 4) == 10)
     // growth law: expected population stays within 2x of the target
     for (n <- Seq(100000L, 10000000L, 1000000000L)) {
