@@ -291,6 +291,30 @@ object TrainingOps extends QueryPack {
       Dedup.nearDupSurvivors(docs, "doc_id", edges)
         .select(col("id"), col("component"), col("is_survivor"))
     },
+    "d39_dup_cluster_sizes" -> { (s, dir) =>
+      // The dedup REPORT read before choosing thresholds: the
+      // distribution of exact duplicate-cluster sizes (how many
+      // singletons, pairs, k-clusters), over the same exact word-3-gram
+      // Jaccard ≥ ½ components d24 anchors — singletons included, so
+      // the histogram sums to the corpus. Shares d24's pinned shingle
+      // frame; the edge + component machinery recomputes honestly (the
+      // bench number stays a real corpus pass, not a cache read). Two
+      // count aggregations on top — component sizes, then size
+      // frequencies — both partial-agg, output is O(max cluster size).
+      val docs = t(s, dir, "documents")
+      val sh = cachedFrame(s, s"d24sh:$dir")(
+        docs.select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.TextFunctions.wordShingles(col("text"), 3)))
+            .as("g")))
+      val edges = graft.operators.PpJoin.jaccardEdges(sh, "doc_id", "g")
+      Dedup.nearDupSurvivors(docs, "doc_id", edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).cast("int").as("n_clusters"))
+        .select(col("sz").cast("int").as("cluster_size"),
+          col("n_clusters"))
+    },
     "s05_ivf_topk" -> { (s, dir) =>
       // IVF: 8 coarse centroids (deterministic seed, session-cached),
       // probe 2
@@ -498,6 +522,42 @@ object TrainingOps extends QueryPack {
                 coalesce(c.component, d.doc_id) AS component,
                 d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
+    "d39_dup_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text),
+               '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] ||
+                  ' ' || ts[CAST(i+2 AS INT)] AS g
+           FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+         sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE 3 * c >= sa.n + sb.n),
+         sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(a, b) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+         comp AS (SELECT a AS id, min(b) AS component
+                  FROM reach GROUP BY a),
+         csize AS (
+           SELECT coalesce(c.component, d.doc_id) AS component,
+                  count(1) AS sz
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+           GROUP BY 1)
+         SELECT CAST(sz AS INT) AS cluster_size,
+                CAST(count(1) AS INT) AS n_clusters
+         FROM csize GROUP BY sz""",
     "d02_token_stats" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
