@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape pins for the round-8 queries: the scans must prune to the
+  * referenced columns (a corpus scan that drags `text` where only ids
+  * flow, or all 5 document columns for a 2-column projection, is the
+  * 100 TB defect PlanGuard's cartesian/window checks don't see).
+  */
+class NewQueryPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("d38 scans documents with only doc_id and text") {
+    val p = plan("d38_exact_span_residual")
+    assert(p.contains("ReadSchema"))
+    // every parquet scan of documents must read at most doc_id, text
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      val cols = r.split(",").map(_.takeWhile(_ != ':').trim).toSet
+      assert(cols.subsetOf(Set("doc_id", "text")), s"over-wide scan: $r")
+    }
+  }
+
+  test("s15 scans prune to doc_id/text and broadcast the stats sides") {
+    val p = plan("s15_bm25_scores")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    reads.foreach { r =>
+      val cols = r.split(",").map(_.takeWhile(_ != ':').trim).toSet
+      assert(cols.subsetOf(Set("doc_id", "text")), s"over-wide scan: $r")
+    }
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats sides should broadcast")
+  }
+
+  test("d39 keeps the two-level histogram as partial aggregates") {
+    val p = plan("d39_dup_cluster_sizes")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
