@@ -50,19 +50,30 @@ object PpJoin {
     * requires every prefix to be drawn from ONE fixed order, so the
     * bipartite variant passes a union-corpus DF count here.
     */
+  /** Thresholds must be a proper fraction in (0, 1]: num ≥ 1 rules out
+    * the degenerate t = 0 ("every token-sharing pair qualifies" is not
+    * an exact-join contract), den ≥ num keeps prefixes non-negative.
+    */
+  private def requireThreshold(num: Int, den: Int): Unit =
+    require(num >= 1 && den >= num,
+      s"threshold num/den must satisfy 1 <= num <= den, got $num/$den")
+
   private def prefixKeyed(elems: DataFrame, dfreq: DataFrame,
                           setKeys: Seq[String], tokCol: String,
                           num: Int, den: Int): DataFrame = {
+    requireThreshold(num, den)
     val byRarity = Window.partitionBy(setKeys.map(col): _*)
       .orderBy(col("tok_df"), col(tokCol))
     val bySet = Window.partitionBy(setKeys.map(col): _*)
     // prefix length n − ⌈num·n/den⌉ + 1 in pure integer math:
-    // ⌈num·n/den⌉ = (num·n + den − 1) div den
+    // ⌈num·n/den⌉ = (num·n + den − 1) div den — SQL `div` is true
+    // integer division (Column `/` would be IEEE double division,
+    // exact only while n·num stays inside 2^53)
     elems.join(dfreq, Seq(tokCol))
       .withColumn("pos", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(bySet))
       .filter(col("pos") <=
-        col("n") - floor((col("n") * num + (den - 1)) / den) + 1)
+        expr(s"n - ((n * $num + ${den - 1}) div $den) + 1"))
       .select((setKeys.map(col) :+ col(tokCol) :+ col("n")
         :+ col("pos")): _*)
   }
@@ -114,6 +125,7 @@ object PpJoin {
     */
   def candidatePairs(prefix: DataFrame, idCol: String, tokCol: String,
                      num: Int, den: Int): DataFrame = {
+    requireThreshold(num, den)
     val a = prefix.select(col(tokCol), col(idCol).as("id_a"),
       col("n").as("na"), col("pos").as("pa"))
     val b = prefix.select(col(tokCol), col(idCol).as("id_b"),
@@ -124,6 +136,34 @@ object PpJoin {
         .filter(least(col("na"), col("nb")) * den >=
           greatest(col("na"), col("nb")) * num),
       num, den)
+  }
+
+  /** J ≥ num/den in overflow-free integer form over an overlap count. */
+  private def qualifies(c: org.apache.spark.sql.Column, num: Int,
+                        den: Int) =
+    c * (num + den) >= (col("na") + col("nb")) * num
+
+  /** The shared banding tail: accept candidates the prefix overlap
+    * alone proves (c ≥ o), verify only the undecided band against the
+    * exact intersection of full token arrays, union. `setsFor` builds
+    * the (id_a, toks_a) / (id_b, toks_b) frames from the undecided
+    * pairs — the ONLY part that differs between the self-join and
+    * bipartite variants, so the threshold inequality lives in exactly
+    * one place.
+    */
+  private def resolveBands(cand: DataFrame, num: Int, den: Int)
+      (setsFor: DataFrame => (DataFrame, DataFrame)): DataFrame = {
+    val proven = qualifies(col("o"), num, den)
+    val sure = cand.filter(proven).select(col("id_a"), col("id_b"))
+    val maybe = cand.filter(!proven)
+    val (setsA, setsB) = setsFor(maybe)
+    val verified = maybe
+      .join(setsA, Seq("id_a"))
+      .join(setsB, Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .filter(qualifies(col("c"), num, den))
+      .select(col("id_a"), col("id_b"))
+    sure.unionByName(verified)
   }
 
   /** EXACT J ≥ num/den edge list (id_a < id_b) over distinct
@@ -140,34 +180,27 @@ object PpJoin {
     */
   def jaccardEdges(elems: DataFrame, idCol: String, tokCol: String,
                    num: Int = 1, den: Int = 2): DataFrame = {
+    // narrow immediately: wide callers' extra columns must not collide
+    // with the internal tok_df/cand join names (the bipartite variant
+    // always guarded this way)
+    val e = elems.select(col(idCol), col(tokCol))
     val cand = candidatePairs(
-      prefixIndex(elems, idCol, tokCol, num, den),
+      prefixIndex(e, idCol, tokCol, num, den),
       idCol, tokCol, num, den)
       .localCheckpoint(true)
-    // the prefix overlap alone already proves the threshold for most
-    // true near-dups (c ≥ o): accept those without touching arrays;
-    // only the undecided band pays the intersection count
-    val proven = col("o") * (num + den) >= (col("na") + col("nb")) * num
-    val sure = cand.filter(proven).select(col("id_a"), col("id_b"))
-    val maybe = cand.filter(!proven)
-    // full token arrays ONLY for ids in some undecided pair
-    val candIds = maybe.select(col("id_a").as("cand_id"))
-      .unionByName(maybe.select(col("id_b").as("cand_id")))
-      .distinct()
-    val sets = elems
-      .join(candIds, col(idCol) === col("cand_id"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(collect_list(col(tokCol)).as("toks"))
-      .localCheckpoint(true)
-    val verified = maybe
-      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")),
-        Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")),
-        Seq("id_b"))
-      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .filter(col("c") * (num + den) >= (col("na") + col("nb")) * num)
-      .select(col("id_a"), col("id_b"))
-    sure.unionByName(verified)
+    resolveBands(cand, num, den) { maybe =>
+      // full token arrays ONLY for ids in some undecided pair
+      val candIds = maybe.select(col("id_a").as("cand_id"))
+        .unionByName(maybe.select(col("id_b").as("cand_id")))
+        .distinct()
+      val sets = e
+        .join(candIds, col(idCol) === col("cand_id"), "left_semi")
+        .groupBy(col(idCol))
+        .agg(collect_list(col(tokCol)).as("toks"))
+        .localCheckpoint(true)
+      (sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")),
+        sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")))
+    }
   }
 
   /** Bipartite variant: EXACT J ≥ num/den pairs ACROSS two frames of
@@ -206,22 +239,15 @@ object PpJoin {
           greatest(col("na"), col("nb")) * num),
       num, den)
       .localCheckpoint(true)
-    val proven = col("o") * (num + den) >= (col("na") + col("nb")) * num
-    val sure = cand.filter(proven).select(col("id_a"), col("id_b"))
-    val maybe = cand.filter(!proven)
-    def sideSets(side: DataFrame, asId: String, asToks: String) =
-      side.join(maybe.select(col(asId).as("_cid")).distinct(),
-          col(idCol) === col("_cid"), "left_semi")
-        .groupBy(col(idCol))
-        .agg(collect_list(col(tokCol)).as(asToks))
-        .select(col(idCol).as(asId), col(asToks))
-        .localCheckpoint(true)
-    val verified = maybe
-      .join(sideSets(l, "id_a", "toks_a"), Seq("id_a"))
-      .join(sideSets(r, "id_b", "toks_b"), Seq("id_b"))
-      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .filter(col("c") * (num + den) >= (col("na") + col("nb")) * num)
-      .select(col("id_a"), col("id_b"))
-    sure.unionByName(verified)
+    resolveBands(cand, num, den) { maybe =>
+      def sideSets(side: DataFrame, asId: String, asToks: String) =
+        side.join(maybe.select(col(asId).as("_cid")).distinct(),
+            col(idCol) === col("_cid"), "left_semi")
+          .groupBy(col(idCol))
+          .agg(collect_list(col(tokCol)).as(asToks))
+          .select(col(idCol).as(asId), col(asToks))
+          .localCheckpoint(true)
+      (sideSets(l, "id_a", "toks_a"), sideSets(r, "id_b", "toks_b"))
+    }
   }
 }
