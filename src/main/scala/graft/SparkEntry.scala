@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Relational2,
     graft.queries.Relational3,
     graft.queries.Relational4,
-    graft.queries.TrainingOps2)
+    graft.queries.TrainingOps2,
+    graft.queries.Analytics)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

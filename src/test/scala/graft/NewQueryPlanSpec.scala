@@ -43,4 +43,38 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  private def readCols(p: String): Seq[Set[String]] =
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1).split(",").map(_.takeWhile(_ != ':').trim).toSet)
+      .toSeq
+
+  test("e11 funnel costs exactly one exchange and a 3-column scan") {
+    val p = plan("e11_stepwise_funnel")
+    // three chained window minima + the final aggregate all reuse the
+    // user_id partitioning: more than one Exchange means a regression
+    // re-shuffled what was already co-partitioned
+    assert("(?m)^.*Exchange".r.findAllIn(p).size == 1,
+      s"expected a single Exchange:\n$p")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("ts", "user_id", "event_type")),
+        s"over-wide scan: $cols"))
+  }
+
+  test("e13 sweep scans only ts/user_id and joins nothing") {
+    val p = plan("e13_max_concurrency")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("ts", "user_id")), s"over-wide scan: $cols"))
+    assert(!p.contains("Join"), "sweep must be window+agg only")
+  }
+
+  test("d40 banded join prunes n_chars and stays an equi-join") {
+    val p = plan("d40_edit_nn")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("doc_id", "text", "lang", "source")),
+        s"over-wide scan: $cols"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "length banding must keep the self-join keyed")
+  }
 }
