@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver test data (TESTDATA.md).
   *
@@ -34,16 +35,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to micros with
-      // integer division (a double division would lose precision at
-      // ~1.7e18 ns). DuckDB oracles use CAST(ts AS TIMESTAMP), which
-      // truncates identically.
+      // events.ts has shipped in two physical layouts across driver
+      // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+      // rejects — read nanos as long, truncate to micros with integer
+      // division; a double division would lose precision at ~1.7e18 ns)
+      // and plain TIMESTAMP/NTZ micros. Branch on the footer type so
+      // both load identically; DuckDB oracles use CAST(ts AS TIMESTAMP),
+      // which agrees with each branch (sessions run UTC).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = schemaCache.getOrElseUpdate(path,
         spark.read.parquet(path).schema)
-      spark.read.schema(schema).parquet(path)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.schema(schema).parquet(path)
+      schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          // unix_micros & friends need TimestampType; UTC session makes
+          // the reinterpretation value-identical to the NTZ wall clock.
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       val schema = schemaCache.getOrElseUpdate(path,
         spark.read.parquet(path).schema)

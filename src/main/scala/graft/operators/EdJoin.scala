@@ -79,7 +79,7 @@ object EdJoin {
       .join(s.select(col("_id").as("id_b"), col("_str").as("sb")),
         Seq("id_b"))
       // 3-arg levenshtein early-exits past k and returns -1 beyond it
-      .withColumn("dist", levenshtein(col("sa"), col("sb"), lit(k)))
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), k))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }

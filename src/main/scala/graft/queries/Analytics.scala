@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
+import graft.operators.EdJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -170,6 +171,16 @@ object Analytics extends QueryPack {
         .select(col("doc_id"), col("best.nn").as("nn_id"),
           col("best.d").as("nn_dist"))
     },
+    // Exact bounded edit-distance self-join via EdJoin's q-gram prefix
+    // filter (d40 is blocked nearest-neighbor; this is the full pair
+    // set, and c_name is the adversarial corpus for it — every string
+    // shares the "Customer#…" prefix, so positional blocking degrades
+    // to one block while the DF-rarity prefix order prunes exactly).
+    "d41_edit_pairs" -> { (s, dir) =>
+      EdJoin.editPairs(t(s, dir, "customer"), "c_custkey", "c_name", k = 1)
+        .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
+          col("dist"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -289,5 +300,11 @@ object Analytics extends QueryPack {
          )
          SELECT doc_id, nn_id, CAST(nn_dist AS INT) AS nn_dist
          FROM ranked WHERE rn = 1""",
+    "d41_edit_pairs" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
   )
 }

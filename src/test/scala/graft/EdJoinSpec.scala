@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.EdJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ed-Join q-gram-prefix-filtered exact edit-distance join: exactness
+  * against the naive quadratic join on adversarial (shared-prefix) and
+  * randomized corpora, the sub-q exclusion contract, and true-distance
+  * output values.
+  */
+class EdJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strs(rows: (Long, String)*): DataFrame =
+    rows.toDF("id", "s")
+
+  /** Reference result: the naive all-pairs join under the same length
+    * floor (the documented sub-q exclusion), full 2-arg levenshtein.
+    */
+  private def naivePairs(df: DataFrame, k: Int, q: Int)
+      : Set[(Long, Long, Int)] = {
+    val s = df.filter(length(col("s")) >= q)
+    val a = s.select(col("id").as("id_a"), col("s").as("sa"))
+    val b = s.select(col("id").as("id_b"), col("s").as("sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+  }
+
+  private def edPairs(df: DataFrame, k: Int, q: Int = 3)
+      : Set[(Long, Long, Int)] =
+    EdJoin.editPairs(df, "id", "s", k, q)
+      .as[(Long, Long, Int)].collect().toSet
+
+  // the hot-block failure mode the operator exists for: every string
+  // shares the "Customer#0000" prefix (so positional segment blocking
+  // collapses to one block), with near-dups differing in the tail
+  private def prefixCorpus = strs(
+    1L -> "Customer#000000001",
+    2L -> "Customer#000000002", // ed(1,2)=1
+    3L -> "Customer#000000013", // ed(1,3)=2, ed(2,3)=2
+    4L -> "Customer#000999999",
+    5L -> "Customer#000999998", // ed(4,5)=1
+    6L -> "Supplier#000000001", // ed(1,6)=8 — out at any small k
+    7L -> "Customer#00000001",  // deletion vs 1: ed=1
+    8L -> "Xustomer#000000001") // substitution vs 1: ed=1
+
+  test("pairs equal the naive quadratic join on the shared-prefix corpus") {
+    for (k <- 1 to 3)
+      assert(edPairs(prefixCorpus, k) == naivePairs(prefixCorpus, k, 3),
+        s"k=$k")
+  }
+
+  test("dist column carries the true edit distance") {
+    val got = edPairs(prefixCorpus, 2)
+    assert(got.contains((1L, 2L, 1)))
+    assert(got.contains((1L, 3L, 2)))
+    assert(got.contains((1L, 7L, 1)))
+    assert(got.contains((1L, 8L, 1)))
+  }
+
+  test("exactness holds on randomized corpora across k and q") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd" // tiny alphabet → dense collisions
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (0L until 25L).map(i => i -> word(6 + rnd.nextInt(6)))
+    // perturbed copies: single edits of existing strings, so many pairs
+    // straddle every threshold
+    val perturbed = (0 until 25).map { i =>
+      val (_, s) = base(rnd.nextInt(base.length))
+      val p = rnd.nextInt(s.length)
+      val mutated = rnd.nextInt(3) match {
+        case 0 => s.updated(p, alpha(rnd.nextInt(alpha.length)))
+        case 1 => s.take(p) + s.drop(p + 1)
+        case _ => s.take(p) + alpha(rnd.nextInt(alpha.length)) + s.drop(p)
+      }
+      (100L + i) -> mutated
+    }
+    val df = strs((base ++ perturbed): _*)
+    for (k <- 1 to 2; q <- 2 to 3)
+      assert(edPairs(df, k, q) == naivePairs(df, k, q), s"k=$k q=$q")
+  }
+
+  test("strings shorter than q are excluded (documented floor)") {
+    val df = strs(1L -> "ab", 2L -> "ab", 3L -> "abcd", 4L -> "abcd")
+    assert(edPairs(df, 1, 3) == Set((3L, 4L, 0)))
+  }
+
+  test("duplicate strings and empty result sets are handled") {
+    val dup = strs(1L -> "aaaa", 2L -> "aaaa", 3L -> "aaaa")
+    assert(edPairs(dup, 1) ==
+      Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+    val far = strs(1L -> "aaaa", 2L -> "zzzz")
+    assert(edPairs(far, 2) == Set.empty)
+  }
+}
