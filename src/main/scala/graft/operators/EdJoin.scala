@@ -30,7 +30,15 @@ import org.apache.spark.sql.functions._
   * is bounded by rare-gram DF, then threshold-bounded Levenshtein
   * (early-exit `levenshtein(l, r, k)`, O(k·min(len)) per pair) on
   * candidates only. The length gate |lenA − lenB| ≤ k prunes before the
-  * distance runs.
+  * distance runs. Verification is ordered so the candidate stream never
+  * touches a shuffle: strings ride along the prefix index, the bounded
+  * distance runs inside the streamed join output, and only SURVIVING
+  * pairs are deduplicated — on adversarial corpora candidates outnumber
+  * matches by orders of magnitude, so a pre-verification distinct would
+  * shuffle the candidate set (the dominant cost) instead of the result.
+  * The indexed side is explicitly re-spread across cores first: the
+  * verification cost is CPU per pair, not bytes, so byte-based AQE
+  * coalescing would otherwise serialize it onto a handful of tasks.
   *
   * CONTRACT: strings shorter than q carry no q-gram and are EXCLUDED
   * from the join (documented fuzzy-matching floor; pad upstream if
@@ -59,28 +67,31 @@ object EdJoin {
     val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
     val byRarity = Window.partitionBy(col("_id"))
       .orderBy(col("gram_df"), col("gram"))
+    // strings ride along the prefix index so candidates verify inline
     val prefix = grams.join(dfreq, Seq("gram"))
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= k * q + 1)
       .select(col("_id"), col("gram"))
-    val lens = s.select(col("_id"), length(col("_str")).as("_len"))
-    val a = prefix.join(lens, Seq("_id"))
-      .select(col("gram"), col("_id").as("id_a"), col("_len").as("la"))
-    val b = prefix.join(lens, Seq("_id"))
-      .select(col("gram"), col("_id").as("id_b"), col("_len").as("lb"))
-    val cand = a.join(b, Seq("gram"))
+      .join(s.withColumn("_len", length(col("_str"))), Seq("_id"))
+    val n = strs.sparkSession.sparkContext.defaultParallelism
+    val a = prefix
+      .select(col("gram"), col("_id").as("id_a"), col("_str").as("sa"),
+        col("_len").as("la"))
+      // explicit width: AQE must not byte-coalesce the CPU-dense side
+      .repartition(n, col("id_a"))
+    val b = prefix
+      .select(col("gram"), col("_id").as("id_b"), col("_str").as("sb"),
+        col("_len").as("lb"))
+    a.join(b, Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("la") - col("lb")) <= k)
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
-      .join(s.select(col("_id").as("id_a"), col("_str").as("sa")),
-        Seq("id_a"))
-      .join(s.select(col("_id").as("id_b"), col("_str").as("sb")),
-        Seq("id_b"))
-      // 3-arg levenshtein early-exits past k and returns -1 beyond it
+      // 3-arg levenshtein early-exits past k and returns -1 beyond it;
+      // it runs inside the streamed join output — a pair sharing several
+      // prefix grams is verified once per share, which is cheaper than
+      // shuffling the candidate set to dedup it first
       .withColumn("dist", levenshtein(col("sa"), col("sb"), k))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
   }
 }

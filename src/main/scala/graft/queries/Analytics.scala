@@ -151,9 +151,17 @@ object Analytics extends QueryPack {
         .withColumn("hl", length(col("head")))
         .withColumn("base", expr("CAST(hl div 16 AS INT)"))
         .withColumn("bkt", explode(array(col("base"), col("base") + 1)))
+      // The probe side's cost is CPU (a 120×120 edit-distance DP per
+      // candidate pair), not bytes: a small input can arrive as ONE
+      // split and serialize the whole verification onto one core, and
+      // AQE coalesces shuffles by byte size so it would undo a plain
+      // repartition. An explicit-width repartition (which AQE leaves
+      // alone) spreads the DP work across every core; the build side
+      // stays broadcast, so this adds no join shuffle.
       val a = h.select(col("doc_id").as("a_id"), col("lang"),
         col("source"), col("bkt"), col("head").as("a_head"),
         col("hl").as("a_hl"), col("base").as("a_base"))
+        .repartition(s.sparkContext.defaultParallelism, col("a_id"))
       val b = h.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
         col("source").as("b_source"), col("bkt").as("b_bkt"),
         col("head").as("b_head"), col("hl").as("b_hl"),
