@@ -189,6 +189,24 @@ object Analytics extends QueryPack {
         .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
           col("dist"))
     },
+    // ORACLE ANCHOR for character-level dedup: the d24 treatment
+    // (connected components → min-id survivor, hash-checked against a
+    // DuckDB recursive-CTE closure) over an exact edit-distance ≤ 2
+    // edge list on 120-char document heads. d24/d11 cluster on token
+    // sets; this is the modality that catches near-dups token methods
+    // miss (single-character edits inside words). EdJoin's q-gram
+    // prefix filter keeps the edge list candidate-bounded — never
+    // all-pairs — and [[graft.operators.Dedup.connectedComponents]]
+    // contracts the sparse graph in O(log² n) rounds.
+    "d42_edit_dedup_survivors" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val heads = docs.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("head"))
+      val edges = EdJoin.editPairs(heads, "doc_id", "head", k = 2)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.nearDupSurvivors(docs, "doc_id", edges)
+        .select(col("id"), col("component"), col("is_survivor"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -314,5 +332,27 @@ object Analytics extends QueryPack {
          FROM customer a JOIN customer b
            ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    "d42_edit_dedup_survivors" ->
+      """WITH RECURSIVE h AS (
+           SELECT doc_id, substr(text, 1, 120) AS head FROM documents
+         ), edges AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM h a JOIN h b
+             ON a.doc_id < b.doc_id
+            AND levenshtein(a.head, b.head) <= 2
+         ), sym AS (
+           SELECT id_a AS a, id_b AS b FROM edges
+           UNION SELECT id_b, id_a FROM edges
+         ), reach(a, b) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+         ), comp AS (
+           SELECT a AS id, min(b) AS component FROM reach GROUP BY a
+         )
+         SELECT d.doc_id AS id,
+                coalesce(c.component, d.doc_id) AS component,
+                d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
   )
 }
