@@ -135,57 +135,57 @@ object Analytics extends QueryPack {
     },
     // Edit-distance nearest neighbor over 120-char heads — the dedup
     // modality d01-d09 lack (exact/MinHash/SimHash/Jaccard all token-
-    // based; this is character-level). Blocking: (lang, source) plus a
-    // length band — bucket width 16 > the 12-char length gate, and both
-    // sides emit {base, base+1}, so every qualifying pair shares ≥1 key;
-    // keeping only the match on max(a_base, b_base) dedupes the double
-    // hit without a distinct. Candidates stay linear in block sizes —
-    // never all-pairs. At real scale a popular (lang, source) block
-    // needs a second key (a SimHash band, d07's path); the length band
-    // is the exact-result version. min(struct(dist, id)) makes the
-    // neighbor choice deterministic under ties.
+    // based; this is character-level). CONTRACT: the nearest same-
+    // (lang, source) neighbor within edit distance 6, over heads of at
+    // least 6 chars; docs with no neighbor inside the cap emit no row.
+    // The cap is what makes the query scale: the r8 shape blocked on
+    // (lang, source) × a 16-wide length band, and the round-10 sf1 run
+    // measured it at 82× wall for 10× data — (lang, source) blocks grow
+    // with the corpus, the band was vacuous at head length 120, and an
+    // UNCAPPED nearest neighbor cannot prune by distance at all (a
+    // doc's NN may be arbitrarily far). Bounded-NN is also the honest
+    // dedup semantics: a neighbor 80 edits away on a 120-char head is
+    // noise, while every true near-dup sits well inside the cap.
+    // Candidates come from EdJoin's q-gram prefix filter at q=6 —
+    // 6-gram document frequency falls with corpus diversity, so posting
+    // lists (and candidate pairs) track content growth instead of block
+    // size squared. min(struct(dist, id)) keeps the neighbor choice
+    // deterministic under ties.
     "d40_edit_nn" -> { (s, dir) =>
-      val h = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
+      val docs = t(s, dir, "documents")
+      val heads = docs.select(col("doc_id"),
           substring(col("text"), 1, 120).as("head"))
-        .withColumn("hl", length(col("head")))
-        .withColumn("base", expr("CAST(hl div 16 AS INT)"))
-        .withColumn("bkt", explode(array(col("base"), col("base") + 1)))
-      // The probe side's cost is CPU (a 120×120 edit-distance DP per
-      // candidate pair), not bytes: a small input can arrive as ONE
-      // split and serialize the whole verification onto one core, and
-      // AQE coalesces shuffles by byte size so it would undo a plain
-      // repartition. An explicit-width repartition (which AQE leaves
-      // alone) spreads the DP work across every core; the build side
-      // stays broadcast, so this adds no join shuffle.
-      val a = h.select(col("doc_id").as("a_id"), col("lang"),
-        col("source"), col("bkt"), col("head").as("a_head"),
-        col("hl").as("a_hl"), col("base").as("a_base"))
-        .repartition(s.sparkContext.defaultParallelism, col("a_id"))
-      val b = h.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-        col("source").as("b_source"), col("bkt").as("b_bkt"),
-        col("head").as("b_head"), col("hl").as("b_hl"),
-        col("base").as("b_base"))
-      a.join(b,
-        col("lang") === col("b_lang") && col("source") === col("b_source")
-          && col("bkt") === col("b_bkt")
-          && col("a_id") =!= col("b_id")
-          && abs(col("a_hl") - col("b_hl")) <= 12
-          && col("bkt") === greatest(col("a_base"), col("b_base")))
-        .select(col("a_id").as("doc_id"), col("b_id").as("nn"),
-          levenshtein(col("a_head"), col("b_head")).as("d"))
+        .filter(length(col("head")) >= 6)
+      val pairs = EdJoin.editPairs(heads, "doc_id", "head", k = 6, q = 6)
+      // NN is per-doc, so every pair counts in both directions
+      val sym = pairs.select(col("id_a").as("doc_id"),
+          col("id_b").as("nn"), col("dist"))
+        .union(pairs.select(col("id_b").as("doc_id"),
+          col("id_a").as("nn"), col("dist")))
+      val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+      sym
+        .join(meta, Seq("doc_id"))
+        .join(meta.select(col("doc_id").as("nn"),
+          col("lang").as("nl"), col("source").as("ns")), Seq("nn"))
+        .filter(col("lang") === col("nl") && col("source") === col("ns"))
         .groupBy(col("doc_id"))
-        .agg(min(struct(col("d"), col("nn"))).as("best"))
+        .agg(min(struct(col("dist"), col("nn"))).as("best"))
         .select(col("doc_id"), col("best.nn").as("nn_id"),
-          col("best.d").as("nn_dist"))
+          col("best.dist").as("nn_dist"))
     },
-    // Exact bounded edit-distance self-join via EdJoin's q-gram prefix
-    // filter (d40 is blocked nearest-neighbor; this is the full pair
-    // set, and c_name is the adversarial corpus for it — every string
-    // shares the "Customer#…" prefix, so positional blocking degrades
-    // to one block while the DF-rarity prefix order prunes exactly).
+    // Exact bounded edit-distance self-join (d40 is capped nearest-
+    // neighbor; this is the full pair set). c_name is the adversarial
+    // corpus for every blocking scheme — all strings share the
+    // "Customer#…" prefix, and the 10-char digit space DENSIFIES as
+    // the table grows, so q-gram postings grow with n and gram-path
+    // candidates with n² (measured: 28× wall at 10× data, output
+    // exactly 10×). The k-deletion-neighborhood path is the structure
+    // that survives densification: variant keys stay near-unique, so
+    // candidates track the true pair count (linear here) instead of
+    // posting-list squares.
     "d41_edit_pairs" -> { (s, dir) =>
-      EdJoin.editPairs(t(s, dir, "customer"), "c_custkey", "c_name", k = 1)
+      EdJoin.editPairsByDeletion(
+          t(s, dir, "customer"), "c_custkey", "c_name", k = 1)
         .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
           col("dist"))
     },
@@ -197,12 +197,16 @@ object Analytics extends QueryPack {
     // miss (single-character edits inside words). EdJoin's q-gram
     // prefix filter keeps the edge list candidate-bounded — never
     // all-pairs — and [[graft.operators.Dedup.connectedComponents]]
-    // contracts the sparse graph in O(log² n) rounds.
+    // contracts the sparse graph in O(log² n) rounds. q=5 over 120-char
+    // heads: the 5-gram space is large enough that posting lists track
+    // corpus DIVERSITY rather than corpus size (q=3's 26³ space
+    // densifies), and the floor it implies — heads ≥ 5 chars — is
+    // mirrored in the oracle.
     "d42_edit_dedup_survivors" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val heads = docs.select(col("doc_id"),
         substring(col("text"), 1, 120).as("head"))
-      val edges = EdJoin.editPairs(heads, "doc_id", "head", k = 2)
+      val edges = EdJoin.editPairs(heads, "doc_id", "head", k = 2, q = 5)
         .select(col("id_a"), col("id_b"))
       graft.operators.Dedup.nearDupSurvivors(docs, "doc_id", edges)
         .select(col("id"), col("component"), col("is_survivor"))
@@ -310,15 +314,16 @@ object Analytics extends QueryPack {
          FROM streaks GROUP BY o_custkey""",
     "d40_edit_nn" ->
       """WITH h AS (
-           SELECT doc_id, lang, source, substr(text, 1, 120) AS head,
-                  length(substr(text, 1, 120)) AS hl
+           SELECT doc_id, lang, source, substr(text, 1, 120) AS head
            FROM documents
+           WHERE length(substr(text, 1, 120)) >= 6
          ), pairs AS (
            SELECT a.doc_id AS doc_id, b.doc_id AS nn_id,
                   levenshtein(a.head, b.head) AS nn_dist
            FROM h a JOIN h b
              ON a.lang = b.lang AND a.source = b.source
-             AND a.doc_id <> b.doc_id AND abs(a.hl - b.hl) <= 12
+             AND a.doc_id <> b.doc_id
+           WHERE levenshtein(a.head, b.head) <= 6
          ), ranked AS (
            SELECT *, row_number() OVER (PARTITION BY doc_id
                        ORDER BY nn_dist, nn_id) AS rn
@@ -335,6 +340,7 @@ object Analytics extends QueryPack {
     "d42_edit_dedup_survivors" ->
       """WITH RECURSIVE h AS (
            SELECT doc_id, substr(text, 1, 120) AS head FROM documents
+           WHERE length(substr(text, 1, 120)) >= 5
          ), edges AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM h a JOIN h b

@@ -170,38 +170,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(3L) == ((1L, 1L, 1L)))
   }
 
-  test("d40 banded join equals the naive quadratic join") {
+  test("d40 capped NN equals the naive quadratic join under the contract") {
+    // the contract: nearest same-(lang, source) neighbor within edit
+    // distance 6, heads of at least 6 chars, min(struct) tie-break
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("source"),
         substring(col("text"), 1, 120).as("head"))
-      .withColumn("hl", length(col("head")))
+      .filter(length(col("head")) >= 6)
     val naive = docs.as("a").crossJoin(docs.as("b"))
       .filter(col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
-        col("a.doc_id") =!= col("b.doc_id") &&
-        abs(col("a.hl") - col("b.hl")) <= 12)
+        col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nn"),
         levenshtein(col("a.head"), col("b.head")).as("d"))
+      .filter(col("d") <= 6)
       .groupBy(col("doc_id"))
       .agg(min(struct(col("d"), col("nn"))).as("best"))
       .select(col("doc_id"), col("best.nn").as("nn_id"),
         col("best.d").as("nn_dist"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val banded = q("d40_edit_nn").collect()
+    val capped = q("d40_edit_nn").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(banded == naive)
+    assert(capped == naive)
     // the hostile cases actually exercised what they claim:
-    val byDoc = banded.map(t => t._1 -> ((t._2, t._3))).toMap
+    val byDoc = capped.map(t => t._1 -> ((t._2, t._3))).toMap
     assert(byDoc(1L) == ((3L, 1L)),
-      "bucket-straddling pair (15 vs 16 chars) found across buckets")
-    // doc2's two in-gate neighbors (doc1: 12 insertions; doc3: 1 sub +
-    // 11 insertions) TIE at distance 12 → smallest id wins.
-    assert(byDoc(2L) == ((1L, 12)), "cross-bucket tie broken by id")
-    assert(byDoc(3L) == ((1L, 1)), "len-diff-1 pair across buckets found")
+      "15- vs 16-char near-pair found (length straddle)")
+    assert(byDoc(3L) == ((1L, 1)), "and in the reverse direction")
+    assert(!byDoc.contains(2L),
+      "doc2's closest neighbor sits at distance 12 — outside the cap")
+    // docs 4-7 are 8-char strings with ONE distinct 6-gram each — the
+    // short class whose gram bound is vacuous; the length-banded side
+    // path must pair them and the dist-tie breaks to the smallest id
     assert(byDoc(4L) == ((5L, 1L)),
-      "distance tie broken by smallest doc_id")
-    assert(!byDoc.contains(8L) && !byDoc.contains(9L),
-      "len diff 13 must be outside the gate")
+      "short-class distance tie broken by smallest doc_id")
+    assert(byDoc(5L) == ((4L, 1L)) && byDoc(6L) == ((4L, 1L)) &&
+      byDoc(7L) == ((4L, 1L)), "short-class neighbors all found")
+    assert(!byDoc.contains(8L),
+      "sub-6-char head excluded by the documented floor")
+    assert(!byDoc.contains(9L), "no partner inside the cap")
     assert(!byDoc.contains(10L) && !byDoc.contains(11L),
       "cross-lang docs never pair")
   }

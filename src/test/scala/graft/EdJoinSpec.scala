@@ -89,6 +89,92 @@ class EdJoinSpec extends SparkSpec {
     assert(edPairs(df, 1, 3) == Set((3L, 4L, 0)))
   }
 
+  test("short strings pair even with zero shared grams") {
+    // ed("abcdef","aXcdYf") = 2 yet the two gram SETS are disjoint
+    // ({abc,bcd,cde,def} vs {aXc,Xcd,cdY,dYf}) — the k·q bound is
+    // vacuous when both sides hold ≤ k·q distinct grams, so the gram
+    // join alone can never emit this pair; the length-banded short
+    // path must.
+    val df = strs(1L -> "abcdef", 2L -> "aXcdYf", 3L -> "zzzzzz",
+      4L -> "abcdefabcdefabcdef")
+    val got = edPairs(df, 2)
+    assert(got.contains((1L, 2L, 2)))
+    assert(got == naivePairs(df, 2, 3))
+  }
+
+  test("exactness holds on randomized SHORT corpora (the vacuous-bound class)") {
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefgh"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    // lengths 3..8 with double edits: most strings hold ≤ k·q distinct
+    // grams, so every pair the gram path misses must come from the
+    // short path
+    val base = (0L until 20L).map(i => i -> word(3 + rnd.nextInt(6)))
+    val perturbed = (0 until 30).map { i =>
+      val (_, s0) = base(rnd.nextInt(base.length))
+      var m = s0
+      (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+        val p = rnd.nextInt(m.length)
+        m = rnd.nextInt(3) match {
+          case 0 => m.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => if (m.length > 3) m.take(p) + m.drop(p + 1) else m
+          case _ => m.take(p) + alpha(rnd.nextInt(alpha.length)) + m.drop(p)
+        }
+      }
+      (100L + i) -> m
+    }
+    val df = strs((base ++ perturbed): _*)
+    for (k <- 1 to 2; q <- 2 to 3)
+      assert(edPairs(df, k, q) == naivePairs(df, k, q), s"k=$k q=$q")
+  }
+
+  test("deletion-neighborhood path equals the naive join and the gram path") {
+    // the shared-prefix corpus is the deletion path's home turf: gram
+    // postings densify with the corpus while ≤k-deletion variants stay
+    // near-unique
+    for (k <- 1 to 2) {
+      val byDel = EdJoin.editPairsByDeletion(prefixCorpus, "id", "s", k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(byDel == naivePairs(prefixCorpus, k, 1), s"k=$k naive")
+      assert(byDel == edPairs(prefixCorpus, k, 3).filter(_._3 <= k),
+        s"k=$k gram path") // same floor-free corpus (all len 18 ≥ q)
+    }
+  }
+
+  test("deletion-neighborhood path: indels, duplicates, randomized corpora") {
+    // insertions/deletions change length — the variant key must still
+    // collide (delete the inserted char on one side only)
+    val mixed = strs(1L -> "abcdef", 2L -> "abcdefg", 3L -> "abdef",
+      4L -> "abcdef", 5L -> "zzzzzz")
+    val got = EdJoin.editPairsByDeletion(mixed, "id", "s", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == naivePairs(mixed, 1, 1))
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1))
+      && got.contains((1L, 4L, 0)))
+    val rnd = new scala.util.Random(29)
+    val alpha = "abcde"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (0L until 20L).map(i => i -> word(4 + rnd.nextInt(8)))
+    val perturbed = (0 until 30).map { i =>
+      val (_, s0) = base(rnd.nextInt(base.length))
+      var m = s0
+      (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+        val p = rnd.nextInt(m.length)
+        m = rnd.nextInt(3) match {
+          case 0 => m.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => if (m.length > 2) m.take(p) + m.drop(p + 1) else m
+          case _ => m.take(p) + alpha(rnd.nextInt(alpha.length)) + m.drop(p)
+        }
+      }
+      (100L + i) -> m
+    }
+    val df = strs((base ++ perturbed): _*)
+    for (k <- 1 to 2)
+      assert(EdJoin.editPairsByDeletion(df, "id", "s", k)
+        .as[(Long, Long, Int)].collect().toSet == naivePairs(df, k, 1),
+        s"k=$k")
+  }
+
   test("duplicate strings and empty result sets are handled") {
     val dup = strs(1L -> "aaaa", 2L -> "aaaa", 3L -> "aaaa")
     assert(edPairs(dup, 1) ==
