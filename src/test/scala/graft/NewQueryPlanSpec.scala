@@ -68,13 +68,31 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "sweep must be window+agg only")
   }
 
-  test("d40 banded join prunes n_chars and stays an equi-join") {
+  test("d40 capped NN prunes n_chars and stays an equi-join") {
     val p = plan("d40_edit_nn")
     readCols(p).foreach(cols =>
       assert(cols.subsetOf(Set("doc_id", "text", "lang", "source")),
         s"over-wide scan: $cols"))
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"),
-      "length banding must keep the self-join keyed")
+      "the gram-prefix candidate join must stay keyed")
+  }
+
+  test("d41 deletion-neighborhood join is keyed on the variant hash") {
+    val p = plan("d41_edit_pairs")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("c_custkey", "c_name")),
+        s"over-wide scan: $cols"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the hashed-variant equi-join")
+  }
+
+  test("d42 scans documents once per role with only doc_id/text") {
+    val p = plan("d42_edit_dedup_survivors")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("doc_id", "text")), s"over-wide scan: $cols"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
   }
 }
