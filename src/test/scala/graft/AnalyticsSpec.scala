@@ -212,4 +212,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!byDoc.contains(10L) && !byDoc.contains(11L),
       "cross-lang docs never pair")
   }
+
+  test("d42 clusters the fixture by edit-distance and picks min-id survivors") {
+    val rows = q("d42_edit_dedup_survivors").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // docs 4-7 are a 4-clique at dist ≤ 2 (short class): one component
+    // labeled by the smallest id, which is the only survivor
+    assert(rows(4L) == ((4L, true)))
+    assert(rows(5L) == ((4L, false)) && rows(6L) == ((4L, false)) &&
+      rows(7L) == ((4L, false)))
+    // docs 1,3 pair at dist 1; doc 2 is 12 edits away → singleton
+    assert(rows(1L) == ((1L, true)) && rows(3L) == ((1L, false)))
+    assert(rows(2L) == ((2L, true)))
+    // "ddddd" sits exactly AT the q=5 floor (included) but 5 edits from
+    // everything → singleton; docs 10/11 are byte-identical heads in
+    // different langs — d42 clusters corpus-wide (no lang blocking, by
+    // design: exact duplicates are duplicates across languages)
+    assert(rows(8L) == ((8L, true)))
+    assert(rows(10L) == ((10L, true)) && rows(11L) == ((10L, false)))
+    assert(rows.size == 11 && rows.values.count(_._2) == 6)
+  }
 }
