@@ -156,6 +156,30 @@ object EdJoin {
     */
   def editPairsByDeletion(strs: DataFrame, idCol: String, strCol: String,
                           k: Int): DataFrame = {
+    val keyed = deletionKeys(strs, idCol, strCol, k)
+    val n = strs.sparkSession.sparkContext.defaultParallelism
+    val a = keyed.select(col("_key"), col("_id").as("id_a"),
+        col("_str").as("sa"))
+      // explicit width: AQE must not byte-coalesce the CPU-dense side
+      .repartition(n, col("id_a"))
+    val b = keyed.select(col("_key"), col("_id").as("id_b"),
+      col("_str").as("sb"))
+    a.join(b, Seq("_key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), k))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
+  /** (_id, _str, _key) deletion-neighborhood rows: one 64-bit hashed
+    * ≤k-deletion variant per row. Shared by the batch self-join and the
+    * streaming probe so batch and stream candidate verdicts cannot
+    * silently diverge (the [[graft.operators.Dedup]] `bandedIndex`
+    * discipline).
+    */
+  def deletionKeys(strs: DataFrame, idCol: String, strCol: String,
+                   k: Int): DataFrame = {
     require(k >= 1 && k <= 2,
       s"deletion-neighborhood join is for k in [1, 2], got $k " +
         "(variants per string grow as C(len, k) — use editPairs beyond)")
@@ -170,22 +194,52 @@ object EdJoin {
       if (k == 1) expr(del1("_str", "i"))
       else expr(s"flatten(transform(${del1("_str", "i")}," +
         s" v -> ${del1("v", "j")}))")
-    val keyed = s
-      .select(col("_id"), col("_str"),
+    s.select(col("_id"), col("_str"),
         explode(array_distinct(variants)).as("_v"))
       .select(col("_id"), col("_str"), xxhash64(col("_v")).as("_key"))
-    val n = strs.sparkSession.sparkContext.defaultParallelism
-    val a = keyed.select(col("_key"), col("_id").as("id_a"),
-        col("_str").as("sa"))
-      // explicit width: AQE must not byte-coalesce the CPU-dense side
-      .repartition(n, col("id_a"))
-    val b = keyed.select(col("_key"), col("_id").as("id_b"),
-      col("_str").as("sb"))
-    a.join(b, Seq("_key"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb"), k))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
-      .distinct()
+  }
+
+  /** Character-level near-dup probe ON INGEST: each micro-batch's
+    * strings are checked against a PINNED corpus deletion-neighborhood
+    * index — the streaming face of [[editPairsByDeletion]], completing
+    * the curation-at-the-door family (MinHash near-dup, exact-substring
+    * decontam, LM quality) with the modality that catches
+    * single-character edits token methods miss.
+    *
+    * Scale shape: stateless per batch — variant keys for the BATCH side
+    * only (tiny), one equi-join against the static index (a bucketed
+    * build side at scale), bounded levenshtein on candidates, min-dist
+    * dedup per (new, corpus) pair. No watermark or state store; the
+    * at-least-once + batchId-idempotent-sink contract is the same one
+    * `DedupStreamSpec`/`DecontamStreamSpec` prove for the family.
+    *
+    * `staticKeys` is [[deletionKeys]] output for the corpus, built with
+    * the SAME k; pin it (FrameCache) so micro-batches never re-derive
+    * the corpus side. Emits (new_id, corpus_id, dist).
+    */
+  def editProbeStream(stream: DataFrame, idCol: String, strCol: String,
+                      staticKeys: DataFrame, k: Int, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val corpus = staticKeys.select(col("_key"),
+      col("_id").as("corpus_id"), col("_str").as("corpus_str"))
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probes = deletionKeys(
+            batch.select(col(idCol), col(strCol)), idCol, strCol, k)
+          .select(col("_key"), col("_id").as("new_id"),
+            col("_str").as("new_str"))
+        val hits = probes.join(corpus, Seq("_key"))
+          .filter(col("new_id") =!= col("corpus_id"))
+          .withColumn("dist",
+            levenshtein(col("new_str"), col("corpus_str"), k))
+          .filter(col("dist") >= 0)
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(min(col("dist")).as("dist"))
+        sink(hits, batchId)
+      }
   }
 }
