@@ -128,6 +128,32 @@ class EdJoinSpec extends SparkSpec {
       assert(edPairs(df, k, q) == naivePairs(df, k, q), s"k=$k q=$q")
   }
 
+  test("exactness holds at the d40 configuration (large k, wide grams)") {
+    // k=6/q=6 is the capped-NN production config — prefix k·q+1 = 37,
+    // short class = strings with ≤ 36 distinct 6-grams (length ≤ 41),
+    // so mid-length strings exercise BOTH candidate paths at once
+    val rnd = new scala.util.Random(47)
+    val alpha = "abcdef"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (0L until 15L).map(i => i -> word(20 + rnd.nextInt(25)))
+    val perturbed = (0 until 25).map { i =>
+      val (_, s0) = base(rnd.nextInt(base.length))
+      var m = s0
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        val p = rnd.nextInt(m.length)
+        m = rnd.nextInt(3) match {
+          case 0 => m.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => if (m.length > 8) m.take(p) + m.drop(p + 1) else m
+          case _ => m.take(p) + alpha(rnd.nextInt(alpha.length)) + m.drop(p)
+        }
+      }
+      (100L + i) -> m
+    }
+    val df = strs((base ++ perturbed): _*)
+    for ((k, q) <- Seq((4, 5), (6, 6)))
+      assert(edPairs(df, k, q) == naivePairs(df, k, q), s"k=$k q=$q")
+  }
+
   test("deletion-neighborhood path equals the naive join and the gram path") {
     // the shared-prefix corpus is the deletion path's home turf: gram
     // postings densify with the corpus while ≤k-deletion variants stay
