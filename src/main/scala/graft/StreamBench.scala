@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Streaming throughput probe (VERDICT r7 Next #8): sustained docs/sec of
   * [[Dedup.nearDupProbeStream]] — the dedup-on-ingest path — against a
@@ -75,6 +75,42 @@ object StreamBench {
       s""""unit":"docs/sec","corpus_docs":$corpusN,""" +
       s""""batches":${progress.length},"hits":${hitCount.get()},""" +
       s""""sf":"$corpusDir"}""")
+
+    // Second modality: the character-level probe (EdJoin deletion
+    // neighborhoods, k=1 over 120-char heads) on the same replay —
+    // the ingest face of d42's edge machinery. The pinned index is the
+    // corpus's hashed deletion variants; per batch only the arriving
+    // docs fan out (len+1 variants each).
+    val heads = docs.select(col("doc_id"),
+      expr("substring(text, 1, 120)").as("head"))
+    val edIndex = FrameCache.cached(spark, s"streambench_ed:$corpusDir") {
+      graft.operators.EdJoin.deletionKeys(heads, "doc_id", "head", k = 1)
+    }
+    edIndex.count() // materialize outside the measured window
+    val edCheckpoint = java.nio.file.Files
+      .createTempDirectory("graft_streambench_ed_ckpt").toString
+    val edStream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), expr("substring(text, 1, 120)").as("head"))
+    val edHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val edQuery = graft.operators.EdJoin.editProbeStream(
+      edStream, "doc_id", "head", edIndex, k = 1, edCheckpoint) {
+      (hits, _) => edHits.addAndGet(hits.count())
+    }.start()
+    edQuery.processAllAvailable()
+    edQuery.stop()
+    val edProgress = edQuery.recentProgress.filter(_.numInputRows > 0)
+    val edSteady = edProgress.drop(1)
+    val edDocsSec =
+      if (edSteady.isEmpty) 0.0
+      else edSteady.map(_.numInputRows).sum.toDouble /
+        (edSteady.map(_.durationMs.get("triggerExecution").toLong).sum / 1e3)
+    println(s"""{"metric":"stream_edit_docs_per_sec",""" +
+      s""""value":${f1(edDocsSec)},"unit":"docs/sec",""" +
+      s""""corpus_docs":$corpusN,"batches":${edProgress.length},""" +
+      s""""hits":${edHits.get()},"sf":"$corpusDir"}""")
     spark.stop()
   }
 }
