@@ -53,6 +53,58 @@ class EdStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("crash between sink and commit re-delivers the batch with the " +
+      "same batchId; a batchId-keyed sink stays exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = EdJoin.deletionKeys(
+      corpusRows.toDF("id", "name"), "id", "name", k = 1)
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_ed_crash").toString
+
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[
+      Long, Set[(Long, Long)]]()
+    val deliveries =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var crashOnce = true
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (batchHits, batchId) => {
+        val rows = batchHits.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        deliveries.add(batchId)
+        byBatch.put(batchId, rows) // upsert on batchId = idempotent
+        if (crashOnce) {
+          crashOnce = false
+          throw new RuntimeException("crash before checkpoint commit")
+        }
+      }
+
+    val input = MemoryStream[(Long, String)]
+    input.addData((100L, "Customer#000000043"),
+      (102L, "Customer#000000519"))
+    val q1 = EdJoin.editProbeStream(
+      input.toDF().toDF("id", "name"), "id", "name", index, k = 1,
+      checkpoint)(sink).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(!q1.isActive, "query must die with the sink")
+
+    val q2 = EdJoin.editProbeStream(
+      input.toDF().toDF("id", "name"), "id", "name", index, k = 1,
+      checkpoint)(sink).start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = deliveries.toArray(Array.empty[java.lang.Long]).toSeq
+    assert(ids.size >= 2, s"expected a re-delivery, saw $ids")
+    assert(ids.distinct.size < ids.size,
+      s"re-delivery must reuse the original batchId, saw $ids")
+    val landed = byBatch.values().toArray
+      .flatMap(_.asInstanceOf[Set[(Long, Long)]]).toSet
+    assert(landed == Set((100L, 1L)),
+      s"idempotent sink must land the exactly-once result, got $landed")
+  }
+
   test("streaming verdicts agree with the batch deletion-neighborhood miner") {
     val streamed = Seq((100L, "Customer#000000043"),
       (101L, "Customer#000000777"), (102L, "Customer#000000519"))
