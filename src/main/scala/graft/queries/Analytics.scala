@@ -189,6 +189,36 @@ object Analytics extends QueryPack {
         .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
           col("dist"))
     },
+    // Conversion-lag distribution: e11 says WHETHER a user converts,
+    // this measures HOW LONG — per first-view-day cohort, the lag from
+    // first view to the first purchase STRICTLY AFTER it. (View→
+    // purchase only: a user whose clicks come later still converts
+    // here but fails e11's stepwise chain — the two define different
+    // funnels on purpose.) One window shuffle (user partitioning,
+    // shared by both minima) + one partial aggregate; all outputs
+    // integer-exact (counts, min/max/sum of whole seconds), so no
+    // float summation order can diverge between engines.
+    "e14_conversion_lag" -> { (s, dir) =>
+      val wU = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .withColumn("fv",
+          min(when(col("event_type") === "view",
+            unix_micros(col("ts")))).over(wU))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" &&
+            unix_micros(col("ts")) > col("fv"),
+            unix_micros(col("ts")))).over(wU))
+        .groupBy(col("user_id"))
+        .agg(min(col("fv")).as("fv"), min(col("fp")).as("fp"))
+        .filter(col("fp").isNotNull)
+        .select(expr(s"fv div $DayUs").as("cohort_day"),
+          expr("(fp - fv) div 1000000").as("lag_s"))
+        .groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("lag_s")).as("min_lag_s"),
+          max(col("lag_s")).as("max_lag_s"),
+          sum(col("lag_s")).as("sum_lag_s"))
+    },
     // ORACLE ANCHOR for character-level dedup: the d24 treatment
     // (connected components → min-id survivor, hash-checked against a
     // DuckDB recursive-CTE closure) over an exact edit-distance ≤ 2
@@ -337,6 +367,30 @@ object Analytics extends QueryPack {
          FROM customer a JOIN customer b
            ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    "e14_conversion_lag" ->
+      """WITH w1 AS (
+           SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                    OVER (PARTITION BY user_id) AS fv
+           FROM events
+         ), w2 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND us > fv
+                         THEN us END)
+                       OVER (PARTITION BY user_id) AS fp
+           FROM w1
+         ), per_user AS (
+           SELECT user_id, min(fv) AS fv, min(fp) AS fp
+           FROM w2 GROUP BY user_id
+         ), lags AS (
+           SELECT fv // 86400000000 AS cohort_day,
+                  (fp - fv) // 1000000 AS lag_s
+           FROM per_user WHERE fp IS NOT NULL
+         )
+         SELECT cohort_day, count(1) AS n_converted,
+                min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s,
+                CAST(sum(lag_s) AS BIGINT) AS sum_lag_s
+         FROM lags GROUP BY cohort_day""",
     "d42_edit_dedup_survivors" ->
       """WITH RECURSIVE h AS (
            SELECT doc_id, substr(text, 1, 120) AS head FROM documents

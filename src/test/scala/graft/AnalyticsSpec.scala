@@ -213,6 +213,17 @@ class AnalyticsSpec extends SparkSpec {
       "cross-lang docs never pair")
   }
 
+  test("e14 lags anchor at first view; pre-view purchases never qualify") {
+    val rows = q("e14_conversion_lag").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // u1: view@12 → purchase@16 = 240 s (its pre-view click@10 is
+    // irrelevant here); u2: view@10 → purchase@12 = 120 s (converts
+    // for e14 even though e11's stepwise chain fails — clicks later);
+    // u3: purchase precedes the first view → excluded entirely
+    assert(rows == Map(0L -> ((2L, 120L, 240L, 360L))))
+  }
+
   test("d42 clusters the fixture by edit-distance and picks min-id survivors") {
     val rows = q("d42_edit_dedup_survivors").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
