@@ -18,7 +18,10 @@ echo "== 1/4 compile"
 sbt -batch compile || exit 1
 
 echo "== 2/4 testdata physical schemas (compare against Tables.load assumptions)"
-python3 - <<'EOF'
+# failure-gated: a missing python3/duckdb or absent parquet must fail the
+# preflight, not let it print GREEN without the schema evidence this
+# script exists to capture
+python3 - <<'EOF' || exit 1
 import duckdb
 for t in ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]:

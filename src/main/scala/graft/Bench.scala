@@ -8,6 +8,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin UTC like Verify does: Tables.load's NTZ→TZ cast and every
+      // day-bucket derivation are session-timezone-sensitive, and a
+      // non-UTC host would silently bench different groupings than the
+      // verified runs
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,9 @@ object ScaleDiag {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC for the same reason as Bench: Tables.load's NTZ→TZ cast is
+      // session-timezone-sensitive
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -16,6 +16,7 @@ object SemDiag {
     val dir = args.headOption.getOrElse("target/scale/sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timed[A](label: String)(body: => A): A = {

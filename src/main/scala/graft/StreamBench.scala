@@ -30,6 +30,9 @@ object StreamBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC for the same reason as Bench: Tables.load's NTZ→TZ cast is
+      // session-timezone-sensitive
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -43,13 +43,23 @@ import org.apache.spark.sql.functions._
   * The gram-set bound is vacuous for SHORT strings: with at most k·q
   * distinct grams on both sides, k edits can destroy every shared gram
   * ("abcdef" vs "aXcdYf" is ed=2 with zero common 3-grams), so the
-  * gram join alone would miss true pairs. Strings in that class have
-  * length ≤ k·q + q − 1 — a constant-bounded corpus slice — and go
-  * through an exhaustive length-banded side path (band width k+1, both
-  * sides emit {base, base+1}, pair kept on the max base so the double
-  * hit dedupes); short×long needs no special casing because the
-  * asymmetric bound |A∩B| ≥ max(mA,mB) − k·q ≥ 1 already holds when
-  * the longer side clears k·q grams.
+  * gram join alone would miss true pairs. The side path's membership
+  * invariant is LENGTH-based — strings of length ≤ k·q + q − 1, a
+  * constant-bounded corpus slice — not gram-count-based: periodic
+  * strings of ANY length ("ababab…", "-----" boilerplate heads) hold
+  * ≤ k·q distinct grams, and admitting them would make the band blocks
+  * O(corpus) on repetitive corpora. They don't need the side path:
+  * a string of length ≥ k·q + q has ≥ k·q + 1 POSITIONAL grams, so k
+  * edits (each destroying ≤ q positional grams… but ≤ q DISTINCT-set
+  * members in total per edit) leave ≥ 1 distinct gram of the longer
+  * side shared, and a partner with ≤ k·q distinct grams keeps its
+  * ENTIRE gram set inside the k·q + 1 prefix — the gram join finds the
+  * pair. So the exhaustive band path takes strings satisfying BOTH
+  * m ≤ k·q and len ≤ k·q + q − 1 (band width k+1, both sides emit
+  * {base, base+1}, pair kept on the max base so the double hit
+  * dedupes); short×long needs no special casing because the asymmetric
+  * bound |A∩B| ≥ max(mA,mB) − k·q ≥ 1 already holds when the longer
+  * side clears k·q grams.
   *
   * CONTRACT: strings shorter than q carry no q-gram and are EXCLUDED
   * from the join (documented fuzzy-matching floor; pad upstream if
@@ -63,12 +73,33 @@ object EdJoin {
   /** EXACT {(id_a, id_b, dist) | id_a < id_b, ed ≤ k} over
     * (id, string) rows, strings of length ≥ q. dist is the true edit
     * distance (IntegerType).
+    *
+    * `blockCols` restricts the join to pairs AGREEING on every listed
+    * column (fuzzy matching within (lang, source) etc.). Blocking is
+    * applied at candidate GENERATION, not post-hoc: the gram join key
+    * becomes (blockCols…, gram) and the short-class band key
+    * (blockCols…, bkt), so cross-block pairs are never formed, never
+    * length-gated, and never pay bounded-Levenshtein verification — at
+    * scale a popular boilerplate head shared across blocks would
+    * otherwise generate (and verify, then discard) every cross-block
+    * candidate within the gram filter's reach. DF rarity stays GLOBAL:
+    * the prefix lemma needs one total order shared by both sides of a
+    * pair, any consistent order is exact, and the global order is
+    * strictly more selective than a per-block one would make hot grams
+    * look inside sparse blocks.
     */
   def editPairs(strs: DataFrame, idCol: String, strCol: String,
-                k: Int, q: Int = 3): DataFrame = {
+                k: Int, q: Int = 3,
+                blockCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"edit-distance threshold k must be >= 1, got $k")
     require(q >= 1, s"gram width q must be >= 1, got $q")
-    val s = strs.select(col(idCol).as("_id"), col(strCol).as("_str"))
+    val reserved = Set("_id", "_str", "_len", "_m", "_base", "_bkt",
+      "gram", "gram_df", "pos")
+    require(!blockCols.exists(reserved),
+      s"blockCols may not use reserved names ${reserved.mkString(",")}")
+    val s = strs.select(
+        (Seq(col(idCol).as("_id"), col(strCol).as("_str")) ++
+          blockCols.map(col)): _*)
       .filter(length(col("_str")) >= q)
     // distinct positional q-grams, projected to gram SETS (the lemma
     // counts distinct grams; occurrences would inflate m and weaken
@@ -86,36 +117,48 @@ object EdJoin {
       .select(col("_id"), col("gram"))
       .join(s.withColumn("_len", length(col("_str"))), Seq("_id"))
     val n = strs.sparkSession.sparkContext.defaultParallelism
+    val blk = blockCols.map(col)
     val a = prefix
-      .select(col("gram"), col("_id").as("id_a"), col("_str").as("sa"),
-        col("_len").as("la"))
+      .select((Seq(col("gram"), col("_id").as("id_a"),
+        col("_str").as("sa"), col("_len").as("la")) ++ blk): _*)
       // explicit width: AQE must not byte-coalesce the CPU-dense side
       .repartition(n, col("id_a"))
     val b = prefix
-      .select(col("gram"), col("_id").as("id_b"), col("_str").as("sb"),
-        col("_len").as("lb"))
-    val gramPairs = a.join(b, Seq("gram"))
+      .select((Seq(col("gram"), col("_id").as("id_b"),
+        col("_str").as("sb"), col("_len").as("lb")) ++ blk): _*)
+    // candidates form on (blockCols…, gram): cross-block pairs never exist
+    val gramPairs = a.join(b, Seq("gram") ++ blockCols)
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("la") - col("lb")) <= k)
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
     // short-class side path: both strings holding ≤ k·q distinct grams
     // can be within k edits with ZERO shared grams (scaladoc example),
-    // so they pair exhaustively inside length bands — the class is
-    // length-bounded (≤ k·q + q − 1 chars), so the band blocks stay a
-    // constant-size corpus slice at any scale
+    // so they pair exhaustively inside length bands. Membership is
+    // BOTH m ≤ k·q AND len ≤ k·q + q − 1: the length bound is what
+    // keeps the band blocks a constant-size corpus slice (periodic
+    // strings hold few distinct grams at any length and would blow the
+    // bands up quadratically on repetitive corpora), and it is safe to
+    // exclude them — a longer string's ≥ k·q + 1 positional grams
+    // survive k edits with ≥ 1 distinct gram shared, and a low-m
+    // partner's whole gram set sits inside its k·q + 1 prefix, so the
+    // gram join already finds those pairs (scaladoc proof).
     val m = grams.groupBy(col("_id")).agg(count(lit(1)).as("_m"))
     val w = k + 1 // band width > k: lengths within k differ ≤ 1 in base
     val shorts = s.join(m, Seq("_id")).filter(col("_m") <= k * q)
       .withColumn("_len", length(col("_str")))
+      .filter(col("_len") <= k * q + q - 1)
       .withColumn("_base", expr(s"CAST(_len div $w AS INT)"))
       .withColumn("_bkt", explode(array(col("_base"), col("_base") + 1)))
-    val sa = shorts.select(col("_bkt"), col("_id").as("id_a"),
-      col("_str").as("sa"), col("_len").as("la"), col("_base").as("ba"))
-    val sb = shorts.select(col("_bkt").as("_bktb"), col("_id").as("id_b"),
-      col("_str").as("sb"), col("_len").as("lb"), col("_base").as("bb"))
-    val shortPairs = sa.join(sb,
-        col("_bkt") === col("_bktb")
-          && col("id_a") < col("id_b")
+    val sa = shorts.select((Seq(col("_bkt"), col("_id").as("id_a"),
+      col("_str").as("sa"), col("_len").as("la"),
+      col("_base").as("ba")) ++ blk): _*)
+    val sb = shorts.select((Seq(col("_bkt"), col("_id").as("id_b"),
+      col("_str").as("sb"), col("_len").as("lb"),
+      col("_base").as("bb")) ++ blk): _*)
+    // band key is (blockCols…, bkt) — blocked the same way as the gram
+    // path, so neither candidate structure ever crosses a block
+    val shortPairs = sa.join(sb, Seq("_bkt") ++ blockCols)
+      .filter(col("id_a") < col("id_b")
           && abs(col("la") - col("lb")) <= k
           // keep only the match on the larger base: the {base, base+1}
           // double emission otherwise finds same-base pairs twice
@@ -172,11 +215,29 @@ object EdJoin {
       .distinct()
   }
 
-  /** (_id, _str, _key) deletion-neighborhood rows: one 64-bit hashed
-    * ≤k-deletion variant per row. Shared by the batch self-join and the
+  /** Column-metadata key under which [[deletionKeys]] stamps its k on
+    * the `_key` column, so consumers joining two neighborhoods can
+    * verify they were built with the SAME k instead of silently missing
+    * true pairs (an index at k=1 probed at k=2 intersects on a strict
+    * subset of the k=2 variants — candidates ⊉ truth, no error raised).
+    */
+  private[graft] val KMetaKey = "graft.edjoin.k"
+
+  private[graft] def stampedK(df: DataFrame): Option[Long] = {
+    val m = df.schema("_key").metadata
+    if (m.contains(KMetaKey)) Some(m.getLong(KMetaKey)) else None
+  }
+
+  /** (_id, _str, _key, _vlen) deletion-neighborhood rows: one 64-bit
+    * hashed ≤k-deletion variant per row, `_vlen` its pre-hash length
+    * (two equal variants have equal length, so `_vlen` partitions the
+    * key space — the probe's length semi-filter prunes on it without
+    * unhashing anything). Shared by the batch self-join and the
     * streaming probe so batch and stream candidate verdicts cannot
     * silently diverge (the [[graft.operators.Dedup]] `bandedIndex`
-    * discipline).
+    * discipline). k is stamped into `_key`'s column metadata
+    * ([[KMetaKey]]) — [[editProbeStream]] refuses an index whose stamp
+    * doesn't match its probe k.
     */
   def deletionKeys(strs: DataFrame, idCol: String, strCol: String,
                    k: Int): DataFrame = {
@@ -194,9 +255,13 @@ object EdJoin {
       if (k == 1) expr(del1("_str", "i"))
       else expr(s"flatten(transform(${del1("_str", "i")}," +
         s" v -> ${del1("v", "j")}))")
+    val kMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(KMetaKey, k.toLong).build()
     s.select(col("_id"), col("_str"),
         explode(array_distinct(variants)).as("_v"))
-      .select(col("_id"), col("_str"), xxhash64(col("_v")).as("_key"))
+      .select(col("_id"), col("_str"),
+        xxhash64(col("_v")).as("_key", kMeta),
+        length(col("_v")).as("_vlen"))
   }
 
   /** Character-level near-dup probe ON INGEST: each micro-batch's
@@ -207,10 +272,26 @@ object EdJoin {
     * single-character edits token methods miss.
     *
     * Scale shape: stateless per batch — variant keys for the BATCH side
-    * only (tiny), one equi-join against the static index (a bucketed
-    * build side at scale), bounded levenshtein on candidates, min-dist
-    * dedup per (new, corpus) pair. No watermark or state store; the
-    * at-least-once + batchId-idempotent-sink contract is the same one
+    * only (tiny), one equi-join against the static index, bounded
+    * levenshtein on candidates, min-dist dedup per (new, corpus) pair.
+    * The batch side is the BROADCAST build side: the corpus index is
+    * orders of magnitude larger than any micro-batch, and a shuffled
+    * join would re-exchange (and re-sort) those millions of pinned
+    * variant rows on EVERY batch — the dominant per-batch cost, paid
+    * for a batch of a few thousand probes. Broadcasting the probes
+    * instead makes each batch one streamed pass over the cached index
+    * with a hash probe, no corpus shuffle ever. Two length filters cut
+    * the probe side before it fans out: a doc whose length is not
+    * within k of any corpus string length can match nothing and skips
+    * variant generation entirely, and a variant whose length no corpus
+    * variant shares (equal variants have equal length) is dropped
+    * before the join — both driver-side bounded sets (≤ max-length
+    * distinct values, computed once at stream construction, never per
+    * batch). On a self-replay every length is its own corpus's, so the
+    * filters prune nothing there; on a production ingest with drifting
+    * document shapes they bound the fan-out to the index's profile.
+    * No watermark or state store; the at-least-once +
+    * batchId-idempotent-sink contract is the same one
     * `DedupStreamSpec`/`DecontamStreamSpec` prove for the family.
     *
     * `staticKeys` is [[deletionKeys]] output for the corpus, built with
@@ -222,17 +303,41 @@ object EdJoin {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
+    // an index built at a different k intersects on a variant SUBSET —
+    // silently missing true pairs, never erroring — so the stamp is
+    // mandatory: only deletionKeys output (or a schema-preserving
+    // transform of it) is a valid staticKeys
+    stampedK(staticKeys) match {
+      case Some(ik) => require(ik == k.toLong,
+        s"staticKeys index was built with k=$ik but the probe runs k=$k" +
+          " — rebuild the index via deletionKeys with the probe's k")
+      case None => throw new IllegalArgumentException(
+        "staticKeys carries no k stamp on _key (metadata '" + KMetaKey +
+          "') — build it with EdJoin.deletionKeys, which stamps it")
+    }
     val corpus = staticKeys.select(col("_key"),
       col("_id").as("corpus_id"), col("_str").as("corpus_str"))
+    // once, at stream construction: the index's string-length profile
+    // (driver-side bounded — distinct lengths, not rows). A probe doc
+    // can only match corpus strings within ±k of its length, and a
+    // probe VARIANT can only equal a corpus variant of its own length.
+    val corpusLens = staticKeys
+      .select(length(col("_str")).as("l")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val docLenOk = corpusLens.flatMap(l => (l - k) to (l + k))
+    val variantLens = corpusLens.flatMap(l => (l - k) to l).toSeq.map(Int.box)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val probes = deletionKeys(
-            batch.select(col(idCol), col(strCol)), idCol, strCol, k)
+        val inRange = batch.select(col(idCol), col(strCol))
+          .filter(length(col(strCol))
+            .isin(docLenOk.toSeq.map(Int.box): _*))
+        val probes = deletionKeys(inRange, idCol, strCol, k)
+          .filter(col("_vlen").isin(variantLens: _*))
           .select(col("_key"), col("_id").as("new_id"),
             col("_str").as("new_str"))
-        val hits = probes.join(corpus, Seq("_key"))
+        val hits = corpus.join(broadcast(probes), Seq("_key"))
           .filter(col("new_id") =!= col("corpus_id"))
           .withColumn("dist",
             levenshtein(col("new_str"), col("corpus_str"), k))

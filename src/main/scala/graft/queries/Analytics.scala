@@ -87,17 +87,23 @@ object Analytics extends QueryPack {
     // Peak concurrent sessions per day — the interval sweep-line: e02
     // sessions become half-open occupancy intervals [ss, se+1µs) (so a
     // single-event session still occupies its microsecond), clipped to
-    // day boundaries so the sweep partitions by day instead of needing
-    // a global sort; +1/-1 deltas, running sum ordered by (t, delta)
-    // with ends before starts (half-open: a session ending exactly when
-    // another starts does not overlap it), max per day. Tie groups share
-    // one delta sign, so the prefix-sum multiset — and the max — is
-    // order-independent. At 100 TB the per-day sweep would go
-    // hierarchical (hour-bucket partial sums + prefix over buckets,
-    // BucketedRank's two-level kernel); day partitioning is the honest
-    // single-level version of that plan.
+    // day boundaries; +1/-1 deltas ordered by (t, delta) with ends
+    // before starts (half-open: a session ending exactly when another
+    // starts does not overlap it). Tie groups share one delta sign, so
+    // the prefix-sum multiset — and the max — is order-independent.
+    // The sweep is HIERARCHICAL (BucketedRank's two-level kernel): the
+    // running sum decomposes as (sum of all deltas in earlier hour
+    // buckets) + (running sum inside the event's own bucket), so level
+    // 1 windows per (day, hour) — 24× the sort parallelism, and no
+    // single core ever sees more than an hour of one day — level 2
+    // prefixes the ≤ 24 per-bucket totals per day (a constant-width
+    // window), and the day max is max over buckets of offset +
+    // intra-bucket peak. A day with billions of session deltas sorts
+    // per hour, never per day; bucket granularity drops to minutes at
+    // higher density without touching the shape.
     "e13_max_concurrency" -> { (s, dir) =>
-      sessionBounds(s, dir)
+      val HourUs = 3600000000L
+      val deltas = sessionBounds(s, dir)
         .withColumn("day_idx",
           explode(sequence(expr(s"ss div $DayUs"), expr(s"se div $DayUs"))))
         .withColumn("cs", greatest(col("ss"), col("day_idx") * DayUs))
@@ -108,11 +114,23 @@ object Analytics extends QueryPack {
           struct(col("ce").as("t"), lit(-1).as("delta")))).as("ev"))
         .select(col("day_idx"), col("ev.t").as("t"),
           col("ev.delta").as("delta"))
-        .withColumn("conc", sum(col("delta")).over(
-          Window.partitionBy(col("day_idx")).orderBy(col("t"), col("delta"))
+        // bkt is monotone in t, so bucket order IS time order and a
+        // (t, delta) tie group never straddles buckets
+        .withColumn("bkt", expr(s"t div $HourUs"))
+      val intra = deltas
+        .withColumn("run", sum(col("delta")).over(
+          Window.partitionBy(col("day_idx"), col("bkt"))
+            .orderBy(col("t"), col("delta"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("day_idx"), col("bkt"))
+        .agg(max(col("run")).as("peak_in_bkt"),
+          sum(col("delta")).as("bkt_total"))
+      intra
+        .withColumn("offset", coalesce(sum(col("bkt_total")).over(
+          Window.partitionBy(col("day_idx")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .groupBy(col("day_idx"))
-        .agg(max(col("conc")).as("max_concurrent"))
+        .agg(max(col("offset") + col("peak_in_bkt")).as("max_concurrent"))
     },
     // Gaps-and-islands: longest run of consecutive active months per
     // customer. The island key is monthIndex − row_number — constant
@@ -149,25 +167,25 @@ object Analytics extends QueryPack {
     // Candidates come from EdJoin's q-gram prefix filter at q=6 —
     // 6-gram document frequency falls with corpus diversity, so posting
     // lists (and candidate pairs) track content growth instead of block
-    // size squared. min(struct(dist, id)) keeps the neighbor choice
-    // deterministic under ties.
+    // size squared. The same-(lang, source) contract rides the join key
+    // itself (EdJoin blockCols): cross-block candidates are never
+    // generated, never verified, never discarded — at 100× a popular
+    // boilerplate head shared across sources would otherwise pay real
+    // bounded-DP verification for pairs the contract excludes.
+    // min(struct(dist, id)) keeps the neighbor choice deterministic
+    // under ties.
     "d40_edit_nn" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val heads = docs.select(col("doc_id"),
+      val heads = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
           substring(col("text"), 1, 120).as("head"))
         .filter(length(col("head")) >= 6)
-      val pairs = EdJoin.editPairs(heads, "doc_id", "head", k = 6, q = 6)
+      val pairs = EdJoin.editPairs(heads, "doc_id", "head", k = 6, q = 6,
+        blockCols = Seq("lang", "source"))
       // NN is per-doc, so every pair counts in both directions
-      val sym = pairs.select(col("id_a").as("doc_id"),
+      pairs.select(col("id_a").as("doc_id"),
           col("id_b").as("nn"), col("dist"))
         .union(pairs.select(col("id_b").as("doc_id"),
           col("id_a").as("nn"), col("dist")))
-      val meta = docs.select(col("doc_id"), col("lang"), col("source"))
-      sym
-        .join(meta, Seq("doc_id"))
-        .join(meta.select(col("doc_id").as("nn"),
-          col("lang").as("nl"), col("source").as("ns")), Seq("nn"))
-        .filter(col("lang") === col("nl") && col("source") === col("ns"))
         .groupBy(col("doc_id"))
         .agg(min(struct(col("dist"), col("nn"))).as("best"))
         .select(col("doc_id"), col("best.nn").as("nn_id"),

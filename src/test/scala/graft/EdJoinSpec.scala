@@ -201,6 +201,105 @@ class EdJoinSpec extends SparkSpec {
         s"k=$k")
   }
 
+  test("periodic long strings stay exact outside the short path") {
+    // "ababab…" of ANY length holds ≤ 4 distinct 3-grams, so a
+    // gram-count-only short-class test would drag arbitrarily long
+    // periodic strings (boilerplate heads, '----' rules) into the
+    // exhaustive band path and make its blocks O(corpus). Membership is
+    // length-bounded instead; these pairs must come out of the gram
+    // path, and exactness must survive that routing.
+    val rows = Seq[(Long, String)](
+      1L -> ("ab" * 20),              // len 40, 2 distinct 3-grams
+      2L -> ("ab" * 20 + "x"),        // ed(1,2)=1
+      3L -> ("ab" * 19),              // ed(1,3)=2
+      4L -> ("-" * 30),               // 1 distinct gram
+      5L -> ("-" * 29 + "x"),         // ed(4,5)=1
+      6L -> ("cd" * 20),              // far from everything
+      7L -> ("ab" * 7),               // len 14: short class at k=2,q=3? len>11 → no
+      8L -> ("abab"))                 // genuinely short periodic
+    val df = strs(rows: _*)
+    for (k <- 1 to 2; q <- 2 to 3)
+      assert(edPairs(df, k, q) == naivePairs(df, k, q), s"k=$k q=$q")
+  }
+
+  test("short-path membership is length-bounded, not gram-count-bounded") {
+    // structural check for the scale claim: a 40-char periodic string
+    // (2 distinct grams, m ≤ k·q) must contribute ZERO rows to the
+    // band side — its pairs are the gram path's job
+    val periodic = strs(1L -> ("ab" * 20), 2L -> ("ab" * 20 + "x"),
+      3L -> "abcdef")
+    // reconstruct the operator's short-class predicate at k=2, q=3:
+    // m ≤ 6 AND len ≤ 8 — only id 3 qualifies
+    val k = 2; val q = 3
+    val s = periodic.select(col("id").as("_id"), col("s").as("_str"))
+      .filter(length(col("_str")) >= q)
+    val grams = s.select(col("_id"), explode(array_distinct(
+      expr(s"transform(sequence(1, length(_str) - ${q - 1})," +
+        s" i -> substring(_str, i, $q))"))).as("gram"))
+    val m = grams.groupBy(col("_id")).agg(count(lit(1)).as("_m"))
+    val shortIds = s.join(m, Seq("_id")).filter(col("_m") <= k * q)
+      .filter(length(col("_str")) <= k * q + q - 1)
+      .select("_id").as[Long].collect().toSet
+    assert(shortIds == Set(3L),
+      "periodic long strings must not enter the band path")
+    // and the pair the gram path owes: still found, exactly
+    assert(edPairs(periodic, k, q) == naivePairs(periodic, k, q))
+  }
+
+  test("blockCols: pairs form only inside blocks, equal to the filtered naive join") {
+    // identical and near-identical strings placed in DIFFERENT blocks:
+    // a post-hoc filter would generate then discard those pairs; the
+    // blocked join must never form them, and within-block results must
+    // equal the naive join restricted to block agreement
+    val rows = Seq(
+      (1L, "Customer#000000001", "en", "web"),
+      (2L, "Customer#000000002", "en", "web"),  // in-block near-dup of 1
+      (3L, "Customer#000000001", "fr", "web"),  // exact dup, wrong lang
+      (4L, "Customer#000000001", "en", "pdf"),  // exact dup, wrong source
+      (5L, "Customer#000000003", "en", "web"),
+      (6L, "abcdef", "en", "web"),              // short class, in block
+      (7L, "aXcdYf", "en", "web"),              // ed=2, zero shared grams
+      (8L, "abcdef", "fr", "web"))              // short class, wrong block
+    val df = rows.toDF("id", "s", "lang", "source")
+    for (k <- 1 to 2; q <- 2 to 3) {
+      val got = EdJoin.editPairs(df, "id", "s", k, q,
+          blockCols = Seq("lang", "source"))
+        .as[(Long, Long, Int)].collect().toSet
+      val sameBlock = rows.map(r => r._1 -> (r._3, r._4)).toMap
+      val want = naivePairs(df, k, q)
+        .filter(p => sameBlock(p._1) == sameBlock(p._2))
+      assert(got == want, s"k=$k q=$q")
+      assert(!got.exists(p => Set(p._1, p._2).subsetOf(Set(1L, 3L, 4L))),
+        "cross-block exact dups must not pair")
+    }
+    // zero-shared-gram short pair still found inside its block at k=2
+    val k2 = EdJoin.editPairs(df, "id", "s", 2, 3,
+        blockCols = Seq("lang", "source"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(k2.contains((6L, 7L, 2)))
+    assert(!k2.exists(p => p._1 == 6L && p._2 == 8L))
+  }
+
+  test("editProbeStream refuses an index built at a different k") {
+    val corpus = strs(1L -> "abcdef", 2L -> "abcdeg")
+    val idx1 = EdJoin.deletionKeys(corpus, "id", "s", k = 1)
+    // mismatched k: the index intersects a k=2 probe on a variant
+    // subset — silent missed pairs — so the call must fail fast
+    val e = intercept[IllegalArgumentException] {
+      EdJoin.editProbeStream(corpus, "id", "s", idx1, k = 2, "unused") {
+        (_, _) => ()
+      }
+    }
+    assert(e.getMessage.contains("k=1") && e.getMessage.contains("k=2"))
+    // an index with no stamp (not built via deletionKeys) is refused too
+    val unstamped = idx1.select(col("_id"), col("_str"),
+      (col("_key") + 0).as("_key")) // arithmetic strips metadata
+    intercept[IllegalArgumentException] {
+      EdJoin.editProbeStream(corpus, "id", "s", unstamped, k = 1,
+        "unused") { (_, _) => () }
+    }
+  }
+
   test("duplicate strings and empty result sets are handled") {
     val dup = strs(1L -> "aaaa", 2L -> "aaaa", 3L -> "aaaa")
     assert(edPairs(dup, 1) ==

@@ -66,6 +66,12 @@ class NewQueryPlanSpec extends SparkSpec {
     readCols(p).foreach(cols =>
       assert(cols.subsetOf(Set("ts", "user_id")), s"over-wide scan: $cols"))
     assert(!p.contains("Join"), "sweep must be window+agg only")
+    // the delta sweep must window per (day, hour-bucket) — the
+    // two-level kernel; a day_idx-only sweep window serializes a
+    // billion-delta day onto one core
+    assert("windowspecdefinition\\(day_idx#\\d+L?, bkt#\\d+L?".r
+      .findFirstIn(p).isDefined,
+      s"level-1 sweep must partition by (day_idx, bkt):\n${p.take(800)}")
   }
 
   test("d40 capped NN prunes n_chars and stays an equi-join") {
@@ -76,6 +82,10 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"),
       "the gram-prefix candidate join must stay keyed")
+    // the (lang, source) contract must ride the candidate join KEY —
+    // blocked generation — not a post-hoc filter over meta joins
+    assert("gram#\\d+, lang#\\d+, source#\\d+".r.findFirstIn(p).isDefined,
+      s"gram join must key on (gram, lang, source):\n${p.take(800)}")
   }
 
   test("d41 deletion-neighborhood join is keyed on the variant hash") {
