@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
+/** Scale-trend probe: wall time PLUS stage/shuffle attribution for the
+  * heavy anchor queries across scale decades (VERDICT r10 Next #1 —
+  * turn the single measured decade behind the 100 TB claims into a
+  * trend line). The bench UI is disabled, so the physical evidence
+  * comes from a [[SparkListener]] aggregating per-stage task counts,
+  * shuffle read/write bytes, and disk spill over each query's
+  * execution window — the numbers that distinguish "wall grew because
+  * data grew" from "wall grew because the PLAN degenerated" (a
+  * super-linear shuffle-bytes trend at linear data growth is the
+  * candidate-explosion signature; spill appearing at a new SF is the
+  * partition-sizing signature).
+  *
+  * Usage: runMain graft.ScaleBench <sfDir> [query ...]
+  * Defaults to the six anchors the r10 verdict names. One warmup run
+  * absorbs JIT/codegen/FrameCache builds, then ONE metered run (the
+  * trend verdict compares ratios ACROSS SFs, where plan-shape effects
+  * dominate single-run noise; Bench.scala remains the estimator for
+  * absolute per-query cost). Output: one JSON line per query plus a
+  * summary line, Bench.scala format.
+  */
+object ScaleBench {
+
+  private final class StageAgg extends SparkListener {
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val shufReadB = new java.util.concurrent.atomic.AtomicLong
+    val shufWriteB = new java.util.concurrent.atomic.AtomicLong
+    val spillB = new java.util.concurrent.atomic.AtomicLong
+    val inputB = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      stages.incrementAndGet()
+      tasks.addAndGet(s.stageInfo.numTasks.toLong)
+      shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillB.addAndGet(m.diskBytesSpilled)
+      inputB.addAndGet(m.inputMetrics.bytesRead)
+    }
+    def snapshot: Seq[Long] = Seq(stages.get, tasks.get, shufReadB.get,
+      shufWriteB.get, spillB.get, inputB.get)
+  }
+
+  private val DefaultAnchors = Seq("d24_exact_dedup_survivors",
+    "d40_edit_nn", "d41_edit_pairs", "d42_edit_dedup_survivors",
+    "d11_dedup_survivors", "d36_decontam_exact_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/scale/sf1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq else DefaultAnchors
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val agg = new StageAgg
+    spark.sparkContext.addSparkListener(agg)
+    def f1(v: Double): String =
+      "%.1f".formatLocal(java.util.Locale.US, v)
+    val rows = names.map { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        once() // warmup: JIT, codegen cache, FrameCache index builds
+        val before = agg.snapshot
+        val wall = once()
+        // the listener bus is async; give in-flight stage events a
+        // moment to drain before reading the counters
+        Thread.sleep(500)
+        val d = agg.snapshot.zip(before).map { case (a, b) => a - b }
+        val json = s"""{"query":"$name","sf":"$sfDir","wall_s":${
+          f1(wall)},"stages":${d(0)},"tasks":${d(1)},"shuffle_read_mb":${
+          f1(d(2) / 1e6)},"shuffle_write_mb":${f1(d(3) / 1e6)
+          },"spilled_mb":${f1(d(4) / 1e6)},"input_mb":${f1(d(5) / 1e6)}}"""
+        println(json)
+        (name, wall, json)
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
+          (name, -1.0, s"""{"query":"$name","failed":true}""")
+      }
+    }
+    val ok = rows.filter(_._2 >= 0)
+    println(s"""{"metric":"scalebench_total","value":${
+      f1(ok.map(_._2).sum)},"unit":"sec","n_queries":${ok.size},"sf":"$sfDir"}""")
+    val outPath = java.nio.file.Paths.get(
+      s"target/scalebench_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.writeString(outPath,
+      rows.map(_._3).mkString("[", ",\n", "]"))
+    spark.stop()
+  }
+}

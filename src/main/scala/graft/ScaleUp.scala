@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   *     every dup-cluster k× larger → candidate pairs grow k², turning the
   *     dedup family's measurement quadratic BY CONSTRUCTION rather than by
   *     plan defect. Instead each copy's `documents.text` goes through a
-  *     bijective character substitution (`translate` over the 10 most
-  *     frequent letters in both cases plus the 10 digits, each class
-  *     rotated within itself by copy index): token boundaries, lengths,
-  *     and intra-copy equality/similarity are preserved exactly, while any
-  *     cross-copy word 3-gram overlap requires three consecutive tokens
-  *     containing no substituted letter and no digit — rare enough that
-  *     copies are disjoint corpora.
+  *     bijective character substitution (`translate` under an AFFINE
+  *     cipher x → a·x + b per character class — all 26 letters in both
+  *     cases mod 26, all 10 digits mod 10, `a` coprime to the modulus):
+  *     token boundaries, lengths, case, and intra-copy equality/
+  *     similarity are preserved exactly, while any two distinct affine
+  *     maps agree on ≤ 2 letters and ≤ 2 digits (a₁≠a₂ ⟹ the agreement
+  *     congruence (a₁−a₂)x ≡ b₂−b₁ has ≤ gcd(a₁−a₂, n) = 2 solutions;
+  *     a₁=a₂, b₁≠b₂ ⟹ none), so a cross-copy shared word 3-gram would
+  *     need every letter AND digit drawn from that ≤4-character
+  *     agreement set — copies are disjoint corpora by construction, and
+  *     the map family supports 312 letter × 40 digit bijections where
+  *     the earlier 10-letter rotation scheme exhausted at k = 10.
   *  3. '''Deterministic.''' No RNG anywhere; re-running produces
   *     byte-identical rows (modulo parquet file split), so scale-bench
   *     numbers are reproducible across sessions.
@@ -35,24 +40,39 @@ import org.apache.spark.sql.functions._
   * to the driver's own files.
   */
 object ScaleUp {
-  /** The substitution alphabets: 10 highest-frequency English letters
-    * (both cases) and the 10 digits, each class rotating WITHIN itself
-    * by the copy index — k distinct bijections (identity for copy 0),
-    * each preserving string length, token structure, and character
-    * class (letter stays letter, digit stays digit, case preserved).
-    * Digits and uppercase are included because the first sf1 build
-    * rotated lowercase only and d36 found 55 cross-copy "near-dup"
-    * pairs — short docs whose word-3-grams were digit/punctuation-only
-    * and thus substitution-invariant (STATUS r8 honest note).
+  /** Affine-cipher substitution per copy: copy i maps letter position
+    * x → aL·x + bL (mod 26) in both cases and digit position
+    * x → aD·x + bD (mod 10), with the multipliers drawn from the units
+    * of each modulus so every map is a bijection (identity for copy 0:
+    * a = 1, b = 0). Each map preserves string length, token structure,
+    * case, and character class; distinct copies' maps agree on ≤ 2
+    * letters and ≤ 2 digits (scaladoc proof), so only pure-punctuation
+    * shingles can survive across copies. ALL letters are substituted
+    * (not a frequency top-10) because the first sf1 build rotated
+    * lowercase only and d36 found 55 cross-copy "near-dup" pairs —
+    * word-3-grams of unsubstituted characters (STATUS r8 honest note);
+    * the digit map varies independently so even all-digit tokens
+    * diverge between copies sharing a letter map (none do below
+    * k = 312, but the digit guarantee should not lean on that).
     */
-  private val Alphas = Seq("etaoinsrhl", "ETAOINSRHL", "0123456789")
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Digits = "0123456789"
+  // units mod 26 and mod 10 (coprime multipliers)
+  private val A26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private val A10 = Seq(1, 3, 7, 9)
+  /** Distinct bijections available before (aD, bD) pairs repeat. */
+  private[graft] val MaxCopies = A10.length * Digits.length // 40
 
-  private def rotated(i: Int): (String, String) = {
-    val from = Alphas.mkString
-    val to = Alphas.map { a =>
-      val r = i % a.length
-      a.substring(r) + a.substring(0, r)
-    }.mkString
+  private def affine(alphabet: String, a: Int, b: Int): String =
+    alphabet.indices.map(x => alphabet((a * x + b) % alphabet.length))
+      .mkString
+
+  private[graft] def substitution(i: Int): (String, String) = {
+    val aL = A26(i % A26.length); val bL = i / A26.length
+    val aD = A10(i % A10.length); val bD = (i / A10.length) % 10
+    val from = Lower + Lower.toUpperCase + Digits
+    val to = affine(Lower, aL, bL) +
+      affine(Lower.toUpperCase, aL, bL) + affine(Digits, aD, bD)
     (from, to)
   }
 
@@ -73,13 +93,14 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
-    // the rotation alphabets have period 10: copy 10 would reuse copy
-    // 0's identity substitution and reintroduce exact cross-copy
-    // duplicates — the construction defect this tool exists to avoid
-    require(k >= 1 && k <= Alphas.head.length,
-      s"k=$k outside [1, ${Alphas.head.length}]: only " +
-        s"${Alphas.head.length} distinct substitutions exist before the " +
-        "rotation repeats and copies stop being disjoint")
+    // beyond MaxCopies the digit affine pairs repeat and copies stop
+    // being disjoint on all-digit tokens — the construction defect this
+    // tool exists to avoid (the letter maps last to 312, the embedding
+    // rotation to dim 64; 40 is the binding constraint)
+    require(k >= 1 && k <= MaxCopies,
+      s"k=$k outside [1, $MaxCopies]: only $MaxCopies distinct digit " +
+        "substitutions exist before the affine pairs repeat and copies " +
+        "stop being disjoint")
     def tbl(name: String): DataFrame = Tables.load(spark, src, name)
     // stride per key family = max + 1, so shifted ranges never collide.
     // One tiny driver-side aggregate per family — bounded metadata, the
@@ -156,7 +177,7 @@ object ScaleUp {
         .withColumn("text",
           if (i == 0) col("text")
           else {
-            val (from, to) = rotated(i)
+            val (from, to) = substitution(i)
             translate(col("text"), from, to)
           })
     }, "documents")

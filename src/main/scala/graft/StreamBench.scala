@@ -86,8 +86,11 @@ object StreamBench {
     // docs fan out (len+1 variants each).
     val heads = docs.select(col("doc_id"),
       expr("substring(text, 1, 120)").as("head"))
+    // pinned PRE-PARTITIONED by _key: editProbeStream's per-batch join
+    // then reuses this partitioning and only the batch side exchanges
     val edIndex = FrameCache.cached(spark, s"streambench_ed:$corpusDir") {
       graft.operators.EdJoin.deletionKeys(heads, "doc_id", "head", k = 1)
+        .repartition(cpus.toInt, col("_key"))
     }
     edIndex.count() // materialize outside the measured window
     val edCheckpoint = java.nio.file.Files

@@ -274,13 +274,19 @@ object EdJoin {
     * Scale shape: stateless per batch — variant keys for the BATCH side
     * only (tiny), one equi-join against the static index, bounded
     * levenshtein on candidates, min-dist dedup per (new, corpus) pair.
-    * The batch side is the BROADCAST build side: the corpus index is
-    * orders of magnitude larger than any micro-batch, and a shuffled
-    * join would re-exchange (and re-sort) those millions of pinned
-    * variant rows on EVERY batch — the dominant per-batch cost, paid
-    * for a batch of a few thousand probes. Broadcasting the probes
-    * instead makes each batch one streamed pass over the cached index
-    * with a hash probe, no corpus shuffle ever. Two length filters cut
+    * The batch side is the hash-join BUILD side (`shuffle_hash` hint):
+    * the corpus index is orders of magnitude larger than any
+    * micro-batch, and a default sort-merge join would re-exchange and
+    * re-sort those millions of pinned variant rows on EVERY batch —
+    * the dominant per-batch cost, paid for a batch of a few thousand
+    * probes. Callers should pin the index REPARTITIONED by `_key`
+    * (see [[graft.StreamBench]]): the join then reuses the cached
+    * partitioning, exchanges only the batch-side variants, and builds
+    * per-partition hash tables from them in parallel — a driver-side
+    * broadcast of the variant strings was measured no faster than the
+    * shuffled join it replaced, because serializing tens of MB of
+    * variants through one driver thread per batch costs what the
+    * corpus exchange did. Two length filters cut
     * the probe side before it fans out: a doc whose length is not
     * within k of any corpus string length can match nothing and skips
     * variant generation entirely, and a variant whose length no corpus
@@ -337,7 +343,7 @@ object EdJoin {
           .filter(col("_vlen").isin(variantLens: _*))
           .select(col("_key"), col("_id").as("new_id"),
             col("_str").as("new_str"))
-        val hits = corpus.join(broadcast(probes), Seq("_key"))
+        val hits = corpus.join(probes.hint("shuffle_hash"), Seq("_key"))
           .filter(col("new_id") =!= col("corpus_id"))
           .withColumn("dist",
             levenshtein(col("new_str"), col("corpus_str"), k))

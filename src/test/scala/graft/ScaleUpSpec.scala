@@ -66,6 +66,28 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("affine substitutions: copy 0 identity; any two copies agree on <=2 letters and <=2 digits") {
+    // the disjoint-corpora guarantee for 30+ copies: distinct affine
+    // maps agree on at most gcd(a1-a2, modulus) = 2 positions per
+    // class, so no cross-copy word shingle can survive substitution
+    val (from0, to0) = ScaleUp.substitution(0)
+    assert(from0 == to0, "copy 0 must be the identity substitution")
+    val maps = (0 until ScaleUp.MaxCopies).map { i =>
+      val (from, to) = ScaleUp.substitution(i)
+      assert(from == from0, s"copy $i: from-alphabet must be shared")
+      assert(to.toSet.size == to.length, s"copy $i: map must be bijective")
+      i -> to
+    }
+    for ((i, ti) <- maps; (j, tj) <- maps if i < j) {
+      val agree = from0.indices.filter(x => ti(x) == tj(x))
+      val letters = agree.count(x => from0(x).isLetter && from0(x).isLower)
+      val uppers = agree.count(x => from0(x).isLetter && from0(x).isUpper)
+      val digits = agree.count(x => from0(x).isDigit)
+      assert(letters <= 2 && uppers <= 2 && digits <= 2,
+        s"copies $i,$j agree on $letters lower/$uppers upper/$digits digits")
+    }
+  }
+
   test("embedding rotation preserves the norm") {
     val vecs = Tables.load(spark, out, "embeddings")
     val srcNorms = Tables.load(spark, src, "embeddings")
