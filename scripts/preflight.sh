@@ -11,8 +11,46 @@
 #     tests at a green HEAD). Run the suite against the CURRENT data,
 #     then eyeball the schema dump if anything timestamp-shaped fails.
 #
-# Usage: scripts/preflight.sh   (from the repo root; ~6 min)
+# Usage: scripts/preflight.sh           (round start; ~6 min)
+#        scripts/preflight.sh --close   (round end: regenerate the
+#            headline numbers STATUS must quote — full suite count,
+#            full oracle pass count, bench query count — FROM the
+#            artifacts, so STATUS can never drift from them again
+#            (VERDICT r10 "What's wrong" #3))
 set -u
+
+if [ "${1:-}" = "--close" ]; then
+  echo "== close 1/3 full unit suite (authoritative test count)"
+  sbt -batch test 2>&1 | tail -6 | tee /tmp/preflight_close_test.log
+  grep -q "All tests passed" /tmp/preflight_close_test.log || exit 1
+  echo "== close 2/3 full oracle gate at sf0.01"
+  SPARK_GRAFT_CPUS=8 sbt -batch \
+    "runMain graft.Verify /root/testdata/sf0.01 target/close_verify" \
+    > /tmp/preflight_close_verify.log 2>&1 || { tail -20 /tmp/preflight_close_verify.log; exit 1; }
+  python3 scripts/check.py /root/testdata/sf0.01 target/close_verify \
+    | tail -3 || exit 1
+  echo "== close 3/3 headline numbers"
+  python3 - <<'EOF' || exit 1
+import json, re
+suite = open("/tmp/preflight_close_test.log").read()
+m = re.search(r"Total number of tests run: (\d+)", suite)
+s = re.search(r"Suites: completed (\d+)", suite)
+nq = len(json.load(open("target/close_verify/oracle_sql.json")))
+import os
+dirs = [d for d in os.listdir("target/close_verify")
+        if d.endswith(".parquet")]
+print("CLOSE SUMMARY (copy into STATUS verbatim):")
+print(f"  tests: {m.group(1)} across {s.group(1)} suites")
+print(f"  queries materialized: {len(dirs)}; oracle-checked: {nq}")
+bench = "target/bench_full.json"
+if os.path.exists(bench):
+    b = json.load(open(bench))
+    print(f"  bench: {b['total']} s / {b['n_queries']} queries"
+          f" at {b['sf']} (target/bench_full.json)")
+EOF
+  echo "CLOSE GREEN"
+  exit 0
+fi
 
 echo "== 1/4 compile"
 sbt -batch compile || exit 1

@@ -57,9 +57,17 @@ object ScaleBench {
     val unknown = names.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // at a real cluster SF the shuffle width scales with the data (AQE
+    // sizes post-shuffle partitions by bytes); local[32] pins it to the
+    // core count, so a 100× corpus quietly pushes per-partition shuffle
+    // blocks past memory and into spill. The override lets a scale run
+    // reproduce the cluster's width and show the spill is a WIDTH
+    // artifact, not a plan defect (d24 at sf3: 2 GB spill at 32
+    // partitions, see STATUS r11).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
