@@ -237,6 +237,50 @@ object Analytics extends QueryPack {
           max(col("lag_s")).as("max_lag_s"),
           sum(col("lag_s")).as("sum_lag_s"))
     },
+    // The pinned-corpus-index-at-scale story for the CHAR modality,
+    // executable on the oracle surface (the t19 treatment for the
+    // deletion path): d41's k=1 edit join re-run over the deletion-
+    // variant index written ONCE per (session, dir) as an 8-bucket
+    // catalog table hashed AND sorted on the variant key. The
+    // self-join then consumes bucket layout directly — zero exchanges
+    // and zero sorts beneath the join (PlanGuardSpec) — leaving the
+    // survivors' distinct as the plan's only shuffle. At 100 TB this
+    // is how the corpus side of every fuzzy probe is stored: the
+    // index is the table, not a per-query derivation, and arriving
+    // probes co-locate to it by bucket instead of re-shuffling the
+    // corpus (the batch face of editProbeStream's pinned-partitioned
+    // contract). Same oracle as d41.
+    "d43_edit_pairs_bucketed" -> { (s, dir) =>
+      val idx = graft.FrameCache.cached(s, s"d43idx:$dir",
+          persist = false) {
+        val name =
+          s"graft_edidx_${(dir.hashCode & 0x7fffffff).toHexString}"
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        graft.sinks.WarehouseSink.writeBucketed(
+          EdJoin.deletionKeys(t(s, dir, "customer"), "c_custkey",
+              "c_name", k = 1)
+            .select(col("_id"), col("_str"), col("_key")),
+          name, "_key", 8)
+        s.table(name)
+      }
+      val a = idx.select(col("_key"), col("_id").as("id_a"),
+        col("_str").as("sa"))
+      val b = idx.select(col("_key"), col("_id").as("id_b"),
+        col("_str").as("sb"))
+      // merge hint as in t19: at test SFs auto-broadcast would win and
+      // never exercise the co-located path the layout exists for
+      a.hint("merge").join(b, Seq("_key"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("sa"), col("sb"), 1))
+        .filter(col("dist") >= 0)
+        .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
+          col("dist"))
+        .distinct()
+    },
     // ORACLE ANCHOR for character-level dedup: the d24 treatment
     // (connected components → min-id survivor, hash-checked against a
     // DuckDB recursive-CTE closure) over an exact edit-distance ≤ 2
@@ -380,6 +424,12 @@ object Analytics extends QueryPack {
          SELECT doc_id, nn_id, CAST(nn_dist AS INT) AS nn_dist
          FROM ranked WHERE rn = 1""",
     "d41_edit_pairs" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    "d43_edit_pairs_bucketed" ->
       """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
                 CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
          FROM customer a JOIN customer b

@@ -243,6 +243,17 @@ class PlanGuardSpec extends SparkSpec {
       s"only the final aggregation may shuffle:\n${p.take(600)}")
   }
 
+  test("bucketed deletion-index self-join consumes bucket layout, one shuffle") {
+    // d43 stores the k=1 deletion-variant index as an 8-bucket catalog
+    // table hashed+sorted on _key: the self-join must read bucket
+    // layout directly — no exchange and no sort beneath the join; the
+    // only shuffle in the plan is the surviving pairs' distinct
+    val p = plan("d43_edit_pairs_bucketed")
+    assert(p.contains("SortMergeJoin"), "the index join should sort-merge")
+    assert(shuffleCount(p) == 1,
+      s"only the pair distinct may shuffle:\n${p.take(600)}")
+  }
+
   test("vocab overlap joins on the shingle, sizes broadcast") {
     val p = plan("d29_source_vocab_overlap")
     assert(p.contains("BroadcastHashJoin"),
