@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational3,
     graft.queries.Relational4,
     graft.queries.TrainingOps2,
-    graft.queries.Analytics)
+    graft.queries.Analytics,
+    graft.queries.SubstrOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

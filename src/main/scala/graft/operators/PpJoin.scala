@@ -150,6 +150,17 @@ object PpJoin {
     * pairs — the ONLY part that differs between the self-join and
     * bipartite variants, so the threshold inequality lives in exactly
     * one place.
+    *
+    * SORT-FREE verification: both joins hint the sets side
+    * shuffled-hash. The default sort-merge shape put rows CARRYING
+    * token arrays through sort buffers — the pair frame re-sorted by
+    * id_b while dragging toks_a along — and at 30× data (sf3,
+    * local[32]) that sort spilled ~2 GB to disk (r11 ScaleBench flag)
+    * even though the wall trend stayed sub-linear. Hash-building on
+    * the sets side holds each candidate id's array exactly ONCE per
+    * build map (the sets frames are id-distinct by construction),
+    * streams the pair side, and sorts nothing, so array payloads
+    * never enter a spillable sort at any SF.
     */
   private def resolveBands(cand: DataFrame, num: Int, den: Int)
       (setsFor: DataFrame => (DataFrame, DataFrame)): DataFrame = {
@@ -158,8 +169,8 @@ object PpJoin {
     val maybe = cand.filter(!proven)
     val (setsA, setsB) = setsFor(maybe)
     val verified = maybe
-      .join(setsA, Seq("id_a"))
-      .join(setsB, Seq("id_b"))
+      .join(setsA.hint("shuffle_hash"), Seq("id_a"))
+      .join(setsB.hint("shuffle_hash"), Seq("id_b"))
       .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
       .filter(qualifies(col("c"), num, den))
       .select(col("id_a"), col("id_b"))
