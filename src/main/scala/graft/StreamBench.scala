@@ -117,6 +117,52 @@ object StreamBench {
       s""""value":${f1(edDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${edProgress.length},""" +
       s""""hits":${edHits.get()},"sf":"$corpusDir"}""")
+
+    // Third modality: the verbatim-run probe (winnowed fingerprints,
+    // minLen=59/w=20 over full texts) on the same replay — the ingest
+    // face of d45. The pinned index holds ~2/(w+1) of corpus positions
+    // as 16-byte rows, pre-partitioned by _h so each batch exchanges
+    // only its own fingerprints; corpus texts (for verification) are
+    // pinned partitioned by id and move only for candidate pairs.
+    val subIndex = FrameCache.cached(spark,
+      s"streambench_sub:$corpusDir") {
+      graft.operators.SubstrDedup
+        .fingerprints(docs, "doc_id", "text", minLen = 59, w = 20)
+        .repartition(cpus.toInt, col("_h"))
+    }
+    subIndex.count() // materialize outside the measured window
+    val subTexts = FrameCache.cached(spark,
+      s"streambench_subtexts:$corpusDir") {
+      docs.select(col("doc_id"), col("text"))
+        .repartition(cpus.toInt, col("doc_id"))
+    }
+    subTexts.count()
+    val subCheckpoint = java.nio.file.Files
+      .createTempDirectory("graft_streambench_sub_ckpt").toString
+    val subStream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val subHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val subQuery = graft.operators.SubstrDedup.repeatProbeStream(
+      subStream, "doc_id", "text", subIndex, subTexts,
+      minLen = 59, w = 20, subCheckpoint) {
+      (hits, _) => subHits.addAndGet(hits.count())
+    }.start()
+    subQuery.processAllAvailable()
+    subQuery.stop()
+    val subProgress = subQuery.recentProgress.filter(_.numInputRows > 0)
+    val subSteady = subProgress.drop(1)
+    val subDocsSec =
+      if (subSteady.isEmpty) 0.0
+      else subSteady.map(_.numInputRows).sum.toDouble /
+        (subSteady.map(_.durationMs.get("triggerExecution").toLong)
+          .sum / 1e3)
+    println(s"""{"metric":"stream_substr_docs_per_sec",""" +
+      s""""value":${f1(subDocsSec)},"unit":"docs/sec",""" +
+      s""""corpus_docs":$corpusN,"batches":${subProgress.length},""" +
+      s""""hits":${subHits.get()},"sf":"$corpusDir"}""")
     spark.stop()
   }
 }

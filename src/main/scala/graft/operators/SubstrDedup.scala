@@ -29,43 +29,120 @@ import org.apache.spark.sql.functions._
   */
 object SubstrDedup {
 
+  /** Column-metadata keys under which [[fingerprints]] stamps its
+    * (minLen, w) on `_h` — the [[EdJoin]] k-stamp discipline: an index
+    * winnowed with different parameters intersects the probe's
+    * fingerprints on an arbitrary subset (different gram length k, or a
+    * sparser window), silently missing true pairs instead of erroring,
+    * so consumers joining two fingerprint relations `require` matching
+    * stamps.
+    */
+  private[graft] val MinLenMetaKey = "graft.winnow.minlen"
+  private[graft] val WMetaKey = "graft.winnow.w"
+
+  private[graft] def stampedParams(df: DataFrame): Option[(Long, Long)] = {
+    val m = df.schema("_h").metadata
+    if (m.contains(MinLenMetaKey) && m.contains(WMetaKey))
+      Some((m.getLong(MinLenMetaKey), m.getLong(WMetaKey)))
+    else None
+  }
+
   /** Winnowed fingerprint relation: one (id, pos, h) row per SELECTED
     * k-gram position, k = minLen − w + 1. `pos` is the 1-based
     * codepoint position (feedable to `substr`), `h` the 32-bit mixed
-    * gram hash as an unsigned value in a long.
+    * gram hash as an unsigned value in a long, stamped with
+    * (minLen, w) in its column metadata ([[MinLenMetaKey]]).
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    minLen: Int, w: Int): DataFrame = {
     val k = minLen - w + 1
     require(k >= 1, s"minLen=$minLen must be >= w=$w")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(MinLenMetaKey, minLen.toLong)
+      .putLong(WMetaKey, w.toLong).build()
     docs
       .select(col(idCol),
         explode(graft.functions.Winnow
           .winnowFingerprints(col(textCol), k, w)).as("_f"))
       .select(col(idCol),
         shiftright(col("_f"), 32).cast("int").as("_pos"),
-        col("_f").bitwiseAND(lit(0xffffffffL)).as("_h"))
+        col("_f").bitwiseAND(lit(0xffffffffL)).as("_h", meta))
+  }
+
+  /** The anchor-verification predicate shared by the batch join and the
+    * streaming probe (rows carry `anchors: array<struct<pa,pb>>`, `ta`,
+    * `tb`): an anchor at (pa, pb) proves a shared ≥ minLen run iff some
+    * alignment d ∈ [0, w) yields equal minLen-codepoint slices — for a
+    * true run the selected gram sits at most w−1 positions past the
+    * run's start at the SAME offset on both sides; bounds guards keep
+    * truncated `substr` results from comparing equal, which also kills
+    * 32-bit hash collisions at the cost of one check.
+    */
+  private[graft] def anchorsVerified(minLen: Int, w: Int)
+      : org.apache.spark.sql.Column =
+    exists(col("anchors"), an => {
+      val pa = an.getField("pa")
+      val pb = an.getField("pb")
+      exists(sequence(lit(0), lit(w - 1)), dd =>
+        (pa > dd) && (pb > dd) &&
+          (pa - dd + (minLen - 1) <= length(col("ta"))) &&
+          (pb - dd + (minLen - 1) <= length(col("tb"))) &&
+          (col("ta").substr(pa - dd, lit(minLen)) ===
+            col("tb").substr(pb - dd, lit(minLen))))
+    })
+
+  /** All-positions gram relation (id, p, gram, 64-bit gram hash) —
+    * shared by the exact anchor and the cut.
+    */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       L: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= L)
+      .select(col(idCol).as("_id"),
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - (L - 1)),
+          p => struct(p.as("p"),
+            col(textCol).substr(p, lit(L)).as("g")))).as("_pg"))
+      .select(col("_id"), col("_pg.p").as("p"), col("_pg.g").as("g"),
+        xxhash64(col("_pg.g")).as("_gh"))
+
+  /** Positions whose gram's 64-bit hash occurs more than once in the
+    * corpus — a SUPERSET of every position of every repeated gram (a
+    * gram in ≥ 2 docs, or twice in one, occurs ≥ 2 times, so its hash
+    * count is ≥ 2; collisions only ADD positions, and downstream
+    * regrouping by the REAL gram string removes them exactly).
+    *
+    * This is the load-bearing scale move for the exhaustive family:
+    * pass 1 shuffles 16-byte (hash) rows for every position and keeps
+    * only repeated hashes; pass 2 re-derives gram STRINGS from the
+    * scan and ships them only for this surviving subset. The naive
+    * single pass shuffled every L-codepoint gram string and spilled
+    * 3.9 GB at sf3 (r11 ScaleBench); unique grams — the overwhelming
+    * majority of any real corpus — now never leave their scan task in
+    * string form.
+    */
+  private def repeatedHashPositions(docs: DataFrame, idCol: String,
+                                    textCol: String, L: Int): DataFrame = {
+    val g = gramRows(docs, idCol, textCol, L)
+    val dup = g.groupBy(col("_gh")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .select(col("_gh"))
+    g.join(dup, Seq("_gh"), "left_semi")
   }
 
   /** EXACT: all distinct `L`-codepoint substrings occurring in ≥ 2
     * distinct documents, with the distinct-document count — the
-    * all-positions anchor. Every position of every document becomes a
-    * gram row, so the shuffle is O(corpus·L) bytes by construction;
-    * this is the d24-style honest corpus pass that pins the scale
-    * path's semantics, not the shape to run at 100 TB (that is
-    * [[longRepeatPairs]], which shuffles winnowed 16-byte rows
-    * instead of L-byte gram strings).
+    * all-positions anchor, at repeated-subset cost: the exact
+    * distinct-doc count runs only over [[repeatedHashPositions]], so
+    * the string shuffle tracks the corpus's DUPLICATED volume, not its
+    * size (unique grams travel as 16-byte hashes once and are gone).
     */
   def repeatedGramDocs(docs: DataFrame, idCol: String, textCol: String,
                        L: Int): DataFrame = {
     require(L >= 1, s"gram length must be >= 1, got $L")
-    docs
-      .filter(length(col(textCol)) >= L)
-      .select(col(idCol), explode(
-        transform(sequence(lit(1), length(col(textCol)) - (L - 1)),
-          p => col(textCol).substr(p, lit(L)))).as("gram"))
+    repeatedHashPositions(docs, idCol, textCol, L)
+      .select(col("_id"), col("g").as("gram"))
       .groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .agg(countDistinct(col("_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
   }
 
@@ -79,15 +156,12 @@ object SubstrDedup {
     */
   def coveredStarts(docs: DataFrame, idCol: String, textCol: String,
                     L: Int): DataFrame = {
-    val g = docs.filter(length(col(textCol)) >= L)
-      .select(col(idCol).as("_id"),
-        explode(transform(
-          sequence(lit(1), length(col(textCol)) - (L - 1)),
-          p => struct(p.as("p"),
-            col(textCol).substr(p, lit(L)).as("g")))).as("_pg"))
-      .select(col("_id"), col("_pg.p").as("p"), col("_pg.g").as("g"))
-    val minDoc = g.groupBy(col("g")).agg(min(col("_id")).as("_min"))
-    g.join(minDoc, Seq("g"))
+    // only repeated-hash positions can be covered (a gram that occurs
+    // once has no second occurrence to cover it), so the exact min-id
+    // group runs over the duplicated subset, never the whole corpus
+    val rep = repeatedHashPositions(docs, idCol, textCol, L)
+    val minDoc = rep.groupBy(col("g")).agg(min(col("_id")).as("_min"))
+    rep.join(minDoc, Seq("g"))
       .filter(col("_min") < col("_id"))
       .select(col("_id"), col("p"))
   }
@@ -116,7 +190,13 @@ object SubstrDedup {
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("p"))).as("_ss"))
     val txt = col(textCol)
-    docs.join(starts, col(idCol) === col("_id"), "left")
+    // the starts frame scales WITH the corpus (one row per affected
+    // doc, arrays of covered positions): an auto-broadcast here means
+    // collecting it to the driver, which is exactly what blew
+    // spark.driver.maxResultSize at sf3 (Catalyst's size estimate for
+    // a two-level aggregate guessed below the 10 MB threshold).
+    // shuffle_hash pins a distributed build instead.
+    docs.join(starts.hint("shuffle_hash"), col(idCol) === col("_id"), "left")
       .withColumn("clean_text",
         when(col("_ss").isNull, txt).otherwise(aggregate(
           col("_ss"),
@@ -164,8 +244,12 @@ object SubstrDedup {
     */
   def longRepeatPairs(docs: DataFrame, idCol: String, textCol: String,
                       minLen: Int = 59, w: Int = 20): DataFrame = {
-    val d = docs.select(col(idCol).as("_did"), col(textCol).as("_txt"))
-    val fp = fingerprints(docs, idCol, textCol, minLen, w)
+    // a doc below minLen codepoints cannot host a qualifying run; prune
+    // before its k-grams fan out (its fingerprints could only ever be
+    // rejected by the verification bounds)
+    val eligible = docs.filter(length(col(textCol)) >= minLen)
+    val d = eligible.select(col(idCol).as("_did"), col(textCol).as("_txt"))
+    val fp = fingerprints(eligible, idCol, textCol, minLen, w)
     val a = fp.select(col("_h"), col(idCol).as("id_a"),
       col("_pos").as("pa"))
     val b = fp.select(col("_h"), col(idCol).as("id_b"),
@@ -184,16 +268,76 @@ object SubstrDedup {
         .hint("shuffle_hash"), Seq("id_a"))
       .join(texts.select(col("_did").as("id_b"), col("_txt").as("tb"))
         .hint("shuffle_hash"), Seq("id_b"))
-      .filter(exists(col("anchors"), an => {
-        val pa = an.getField("pa")
-        val pb = an.getField("pb")
-        exists(sequence(lit(0), lit(w - 1)), dd =>
-          (pa > dd) && (pb > dd) &&
-            (pa - dd + (minLen - 1) <= length(col("ta"))) &&
-            (pb - dd + (minLen - 1) <= length(col("tb"))) &&
-            (col("ta").substr(pa - dd, lit(minLen)) ===
-              col("tb").substr(pb - dd, lit(minLen))))
-      }))
+      .filter(anchorsVerified(minLen, w))
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Long-verbatim-run probe ON INGEST: each micro-batch's documents
+    * are checked against a PINNED corpus fingerprint index for shared
+    * runs of ≥ minLen codepoints — the streaming face of
+    * [[longRepeatPairs]], completing the curation-at-the-door family's
+    * third modality (token near-dup, char-edit proximity, and now
+    * verbatim-run overlap: the arriving doc that embeds a known
+    * boilerplate block or a licence paragraph the other two probes
+    * can't see).
+    *
+    * Scale shape, the [[EdJoin.editProbeStream]] contract exactly:
+    * stateless per batch; fingerprints for the BATCH side only (~2/(w+1)
+    * of its positions); ONE equi-join against the static index with the
+    * batch side as the shuffled-hash BUILD side, so a caller who pins
+    * `staticFps` repartitioned by `_h` pays no corpus exchange per
+    * batch; candidates group per (new, corpus) pair; corpus TEXTS move
+    * only for candidate pairs (`corpusDocs` pinned repartitioned by its
+    * id, cand side hash-built); verification is the shared
+    * [[anchorsVerified]] predicate, so batch and stream verdicts cannot
+    * diverge. The (minLen, w) stamp on the index is mandatory — an
+    * index winnowed with other parameters would silently miss true
+    * pairs, never error.
+    *
+    * `staticFps` is [[fingerprints]] output for the corpus (same
+    * minLen/w), `corpusDocs` the corpus (id, text) relation for
+    * verification. Emits (new_id, corpus_id) pairs.
+    */
+  def repeatProbeStream(stream: DataFrame, idCol: String, textCol: String,
+                        staticFps: DataFrame, corpusDocs: DataFrame,
+                        minLen: Int, w: Int, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    stampedParams(staticFps) match {
+      case Some((im, iw)) => require(im == minLen.toLong && iw == w.toLong,
+        s"staticFps index was winnowed with (minLen=$im, w=$iw) but the" +
+          s" probe runs (minLen=$minLen, w=$w) — rebuild via" +
+          " SubstrDedup.fingerprints with the probe's parameters")
+      case None => throw new IllegalArgumentException(
+        "staticFps carries no (minLen, w) stamp on _h (metadata '" +
+          MinLenMetaKey + "') — build it with SubstrDedup.fingerprints," +
+          " which stamps it")
+    }
+    val corpus = staticFps.select(col("_h"),
+      col(idCol).as("corpus_id"), col("_pos").as("pa"))
+    val corpusTexts = corpusDocs
+      .select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val eligible = batch.select(col(idCol), col(textCol))
+          .filter(length(col(textCol)) >= minLen)
+        val probes = fingerprints(eligible, idCol, textCol, minLen, w)
+          .select(col("_h"), col(idCol).as("new_id"),
+            col("_pos").as("pb"))
+        val cand = corpus.join(probes.hint("shuffle_hash"), Seq("_h"))
+          .filter(col("new_id") =!= col("corpus_id"))
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
+        val hits = corpusTexts
+          .join(cand.hint("shuffle_hash"), Seq("corpus_id"))
+          .join(eligible.select(col(idCol).as("new_id"),
+            col(textCol).as("tb")).hint("shuffle_hash"), Seq("new_id"))
+          .filter(anchorsVerified(minLen, w))
+          .select(col("new_id"), col("corpus_id"))
+        sink(hits, batchId)
+      }
   }
 }
