@@ -126,7 +126,10 @@ object SubstrDedup {
     val dup = g.groupBy(col("_gh")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1)
       .select(col("_gh"))
-    g.join(dup, Seq("_gh"), "left_semi")
+    // dup scales with corpus DUPLICATION — another frame Catalyst's
+    // aggregate size estimate can wrongly auto-broadcast (the d46
+    // starts-frame failure mode); pin a distributed build
+    g.join(dup.hint("shuffle_hash"), Seq("_gh"), "left_semi")
   }
 
   /** EXACT: all distinct `L`-codepoint substrings occurring in ≥ 2
@@ -161,7 +164,7 @@ object SubstrDedup {
     // group runs over the duplicated subset, never the whole corpus
     val rep = repeatedHashPositions(docs, idCol, textCol, L)
     val minDoc = rep.groupBy(col("g")).agg(min(col("_id")).as("_min"))
-    rep.join(minDoc, Seq("g"))
+    rep.join(minDoc.hint("shuffle_hash"), Seq("g"))
       .filter(col("_min") < col("_id"))
       .select(col("_id"), col("p"))
   }

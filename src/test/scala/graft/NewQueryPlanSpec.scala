@@ -105,4 +105,46 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("d44 runs hash-first: a semi join gates the gram-string group") {
+    val p = plan("d44_repeated_grams")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("doc_id", "text")), s"over-wide scan: $cols"))
+    // pass 1 keeps only repeated hashes; without the LeftSemi the
+    // full corpus's gram strings shuffle again (the 3.9 GB sf3 spill)
+    assert(p.contains("LeftSemi"),
+      s"expected the repeated-hash semi gate:\n${p.take(600)}")
+  }
+
+  test("d45 joins winnowed fingerprints on _h, never all positions") {
+    val p = plan("d45_long_repeat_pairs")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("doc_id", "text")), s"over-wide scan: $cols"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+    // the candidate frame is localCheckpointed (it feeds two branches),
+    // which truncates the visible plan at a LogicalRDD — assert the
+    // kernel on the fingerprint relation itself
+    val fp = graft.operators.SubstrDedup.fingerprints(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", 59, 20)
+    assert(fp.queryExecution.executedPlan.toString
+      .contains("winnow_fingerprints"),
+      "the fingerprint kernel must be in the plan (not a transform sweep)")
+  }
+
+  test("d46's corpus-scaled starts frame must never broadcast") {
+    val p = plan("d46_exact_substr_clean")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("doc_id", "text")), s"over-wide scan: $cols"))
+    // Catalyst underestimates the two-level aggregate and, unhinted,
+    // auto-broadcasts it: at sf3 that collected ~1 GB to the driver
+    // and died on maxResultSize. The hint must keep every join here
+    // a distributed build.
+    assert(!p.contains("BroadcastExchange")
+      && !p.contains("BroadcastHashJoin"),
+      s"starts frame broadcast would collect the corpus to the driver:\n${
+        p.take(600)}")
+    assert(p.contains("LeftSemi"), "hash-first gate missing")
+  }
 }
