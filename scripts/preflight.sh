@@ -38,7 +38,7 @@ s = re.search(r"Suites: completed (\d+)", suite)
 nq = len(json.load(open("target/close_verify/oracle_sql.json")))
 import os
 dirs = [d for d in os.listdir("target/close_verify")
-        if d.endswith(".parquet")]
+        if os.path.isdir(os.path.join("target/close_verify", d))]
 print("CLOSE SUMMARY (copy into STATUS verbatim):")
 print(f"  tests: {m.group(1)} across {s.group(1)} suites")
 print(f"  queries materialized: {len(dirs)}; oracle-checked: {nq}")
