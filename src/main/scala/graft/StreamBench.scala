@@ -163,6 +163,48 @@ object StreamBench {
       s""""value":${f1(subDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${subProgress.length},""" +
       s""""hits":${subHits.get()},"sf":"$corpusDir"}""")
+
+    // Fourth modality: scrub-on-ingest (the TRANSFORMATION probe — the
+    // other three report, this one emits cleaned text). Self-replay
+    // against the corpus's own gram index is the WORST case: every
+    // position is covered, so every doc pays candidate join + text
+    // verification + the full cut fold — a throughput floor, not a
+    // typical rate.
+    val scrubIdx = FrameCache.cached(spark,
+      s"streambench_scrubidx:$corpusDir") {
+      graft.operators.SubstrDedup
+        .scrubIndex(docs, "doc_id", "text", L = 59)
+        .repartition(cpus.toInt, col("_gh"))
+    }
+    scrubIdx.count() // materialize outside the measured window
+    val scrubCheckpoint = java.nio.file.Files
+      .createTempDirectory("graft_streambench_scrub_ckpt").toString
+    val scrubStream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val scrubbedEmpty = new java.util.concurrent.atomic.AtomicLong(0)
+    val scrubQuery = graft.operators.SubstrDedup.scrubProbeStream(
+      scrubStream, "doc_id", "text", scrubIdx, subTexts, L = 59,
+      scrubCheckpoint) { (cleaned, _) =>
+      scrubbedEmpty.addAndGet(
+        cleaned.filter(org.apache.spark.sql.functions
+          .length(col("clean_text")) === 0).count())
+    }.start()
+    scrubQuery.processAllAvailable()
+    scrubQuery.stop()
+    val scrubProgress = scrubQuery.recentProgress.filter(_.numInputRows > 0)
+    val scrubSteady = scrubProgress.drop(1)
+    val scrubDocsSec =
+      if (scrubSteady.isEmpty) 0.0
+      else scrubSteady.map(_.numInputRows).sum.toDouble /
+        (scrubSteady.map(_.durationMs.get("triggerExecution").toLong)
+          .sum / 1e3)
+    println(s"""{"metric":"stream_scrub_docs_per_sec",""" +
+      s""""value":${f1(scrubDocsSec)},"unit":"docs/sec",""" +
+      s""""corpus_docs":$corpusN,"batches":${scrubProgress.length},""" +
+      s""""fully_scrubbed":${scrubbedEmpty.get()},"sf":"$corpusDir"}""")
     spark.stop()
   }
 }

@@ -188,10 +188,24 @@ object SubstrDedup {
     * untouched.
     */
   def cleanText(docs: DataFrame, idCol: String, textCol: String,
-                L: Int): DataFrame = {
-    val starts = coveredStarts(docs, idCol, textCol, L)
+                L: Int): DataFrame =
+    applyCut(docs, idCol, textCol,
+      coveredStarts(docs, idCol, textCol, L), L)
+
+  /** The cut tail shared by [[cleanText]] and the corpus-scrub faces:
+    * `covered` is an (_id, p) relation of cut-START positions; each
+    * doc's starts collapse to ONE sorted array and a single
+    * `aggregate()` fold emits the surviving segments via
+    * interval-merged `substr` slices (cursor = first uncut codepoint;
+    * overlapping and adjacent [p, p+L) intervals merge through
+    * `greatest`). Documents with nothing to cut pass through the left
+    * join untouched.
+    */
+  private def applyCut(docs: DataFrame, idCol: String, textCol: String,
+                       covered: DataFrame, L: Int): DataFrame = {
+    val starts = covered
       .groupBy(col("_id"))
-      .agg(sort_array(collect_list(col("p"))).as("_ss"))
+      .agg(sort_array(collect_set(col("p"))).as("_ss"))
     val txt = col(textCol)
     // the starts frame scales WITH the corpus (one row per affected
     // doc, arrays of covered positions): an auto-broadcast here means
@@ -217,6 +231,113 @@ object SubstrDedup {
             txt.substr(acc.getField("cur"),
               greatest(length(txt) - acc.getField("cur") + 1, lit(0)))))))
       .select(col(idCol), col("clean_text"))
+  }
+
+  /** Column-metadata key stamping the gram length L onto a
+    * [[scrubIndex]]'s `_gh` column — same contract as the winnow and
+    * deletion-index stamps: an index built at a different L intersects
+    * probe grams arbitrarily, silently under- or over-cutting.
+    */
+  private[graft] val ScrubLMetaKey = "graft.substr.scrubL"
+
+  private[graft] def stampedScrubL(df: DataFrame): Option[Long] = {
+    val m = df.schema("_gh").metadata
+    if (m.contains(ScrubLMetaKey)) Some(m.getLong(ScrubLMetaKey)) else None
+  }
+
+  /** Reference-corpus gram index for the scrub faces: ONE
+    * (hash, ref_id, ref_pos) representative per DISTINCT L-gram of the
+    * reference (min occurrence per distinct gram), so a probe joining
+    * on the hash meets ≤ 1 row per distinct gram — a boilerplate gram
+    * occurring millions of times in the reference costs the probe ONE
+    * candidate, never a per-occurrence fan-out — while 64-bit
+    * collisions keep their own representatives and exactness survives
+    * verification against the reference TEXT at (ref_id, ref_pos).
+    * Building the index groups gram strings once — the one-time batch
+    * index build, not the probe hot path (the d43/t19 "index is the
+    * stored table" discipline).
+    */
+  def scrubIndex(reference: DataFrame, idCol: String, textCol: String,
+                 L: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ScrubLMetaKey, L.toLong).build()
+    gramRows(reference, idCol, textCol, L)
+      .groupBy(col("_gh"), col("g"))
+      .agg(min(struct(col("_id"), col("p"))).as("_rep"))
+      .select(col("_gh").as("_gh", meta),
+        col("_rep._id").as("_rid"), col("_rep.p").as("_rpos"))
+  }
+
+  /** (_id, p) start positions in `arrivals` covered by an L-gram that
+    * occurs ANYWHERE in the reference behind `refIdx`: the probe's
+    * grams join the index on the 64-bit hash (bounded fan-out — see
+    * [[scrubIndex]]) and every candidate verifies against the real
+    * reference text, so a hash collision costs one failed comparison,
+    * never a wrong cut. `refTexts` must hold the reference (id, text)
+    * relation the index was built from.
+    */
+  def coveredByCorpus(arrivals: DataFrame, idCol: String, textCol: String,
+                      refIdx: DataFrame, refTexts: DataFrame,
+                      L: Int): DataFrame = {
+    val cand = gramRows(arrivals, idCol, textCol, L)
+      .join(refIdx, Seq("_gh"))
+    refTexts
+      .select(col(idCol).as("_rid"), col(textCol).as("_rtxt"))
+      .join(cand.hint("shuffle_hash"), Seq("_rid"))
+      .filter(col("_rtxt").substr(col("_rpos"), lit(L)) === col("g"))
+      .select(col("_id"), col("p"))
+  }
+
+  /** Scrub arrivals against an IMMUTABLE reference corpus — the
+    * bipartite face of [[cleanText]] and the batch twin of
+    * [[scrubProbeStream]]: every codepoint of an arrival covered by an
+    * L-gram present anywhere in the reference is removed (the
+    * reference keeps everything; arrival-to-arrival sharing is NOT
+    * cut — that is [[cleanText]]'s keep-first job on the arrival set
+    * itself). Output: (id, clean_text) for every arrival.
+    */
+  def scrubAgainstCorpus(arrivals: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         L: Int): DataFrame =
+    applyCut(arrivals, idCol, textCol,
+      coveredByCorpus(arrivals, idCol, textCol,
+        scrubIndex(reference, idCol, textCol, L), reference, L), L)
+
+  /** Scrub ON INGEST: each micro-batch's documents are emitted with
+    * every span shared with the pinned reference corpus removed — the
+    * transformation face of the streaming family (the other three
+    * probes REPORT; this one emits the cleaned corpus). Stateless per
+    * batch; the batch side is the shuffled-hash build against the
+    * pinned `_gh`-partitioned [[scrubIndex]]; reference texts move
+    * only for candidate grams; the L stamp is enforced. Emits
+    * (id, clean_text) rows per batch via the shared [[applyCut]] fold,
+    * so stream output and [[scrubAgainstCorpus]] batch output cannot
+    * diverge.
+    */
+  def scrubProbeStream(stream: DataFrame, idCol: String, textCol: String,
+                       refIdx: DataFrame, refTexts: DataFrame, L: Int,
+                       checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    stampedScrubL(refIdx) match {
+      case Some(il) => require(il == L.toLong,
+        s"scrub index was built at L=$il but the probe runs L=$L — " +
+          "rebuild via SubstrDedup.scrubIndex with the probe's L")
+      case None => throw new IllegalArgumentException(
+        "refIdx carries no L stamp on _gh (metadata '" + ScrubLMetaKey +
+          "') — build it with SubstrDedup.scrubIndex, which stamps it")
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(col(idCol), col(textCol))
+        val cleaned = applyCut(arrivals, idCol, textCol,
+          coveredByCorpus(arrivals, idCol, textCol, refIdx, refTexts, L),
+          L)
+        sink(cleaned, batchId)
+      }
   }
 
   /** EXACT distinct (id_a < id_b) pairs of documents sharing at least

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryPack, Tables}
 import graft.operators.SubstrDedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Cross-document repeated-substring detection over the `documents`
   * table — the character-RUN duplication modality
@@ -60,6 +61,23 @@ object SubstrOps extends QueryPack {
       SubstrDedup.cleanText(t(s, dir, "documents"),
         "doc_id", "text", L = 59)
     },
+    // THE BIPARTITE CUT: src0's documents scrubbed against the
+    // immutable reference of every OTHER source — the production shape
+    // of ExactSubstr dedup (a frozen training corpus, a stream of
+    // candidate additions; the reference keeps everything, arrivals
+    // shed every span the reference already holds, arrival-to-arrival
+    // sharing is untouched). The probe joins the one-representative-
+    // per-distinct-gram index on the 64-bit hash (bounded fan-out on
+    // hot boilerplate grams) and verifies against reference TEXT, so
+    // collisions cannot mis-cut. Same operator the streaming scrub
+    // runs per micro-batch.
+    "d47_scrub_against_corpus" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      SubstrDedup.scrubAgainstCorpus(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", L = 59)
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -113,5 +131,40 @@ object SubstrOps extends QueryPack {
          )
          SELECT d.doc_id, coalesce(a.ct, '') AS clean_text
          FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+    "d47_scrub_against_corpus" ->
+      """WITH rg AS (
+           SELECT DISTINCT substr(text, p, 59) AS g FROM (
+             SELECT text,
+                    unnest(generate_series(1, length(text) - 58)) AS p
+             FROM documents
+             WHERE source <> 'src0' AND length(text) >= 59)
+         ), arr AS (
+           SELECT doc_id, text FROM documents WHERE source = 'src0'
+         ), apos AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(1, length(text) - 58)) AS p
+           FROM arr WHERE length(text) >= 59
+         ), cov AS (
+           SELECT a.doc_id, a.p
+           FROM apos a JOIN rg ON substr(a.text, a.p, 59) = rg.g
+         ), mask AS (
+           SELECT DISTINCT doc_id, q FROM (
+             SELECT doc_id, unnest(generate_series(p, p + 58)) AS q
+             FROM cov)
+         ), chars AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(1, length(text))) AS i
+           FROM arr
+         ), agg AS (
+           SELECT c.doc_id,
+                  string_agg(CASE WHEN m.q IS NULL
+                    THEN substr(c.text, c.i, 1) END, ''
+                    ORDER BY c.i) AS ct
+           FROM chars c LEFT JOIN mask m
+             ON m.doc_id = c.doc_id AND m.q = c.i
+           GROUP BY c.doc_id
+         )
+         SELECT d.doc_id, coalesce(a.ct, '') AS clean_text
+         FROM arr d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
   )
 }

@@ -147,4 +147,18 @@ class NewQueryPlanSpec extends SparkSpec {
         p.take(600)}")
     assert(p.contains("LeftSemi"), "hash-first gate missing")
   }
+
+  test("d47 scrub scans prune to doc_id/text/source, no cartesian") {
+    val p = plan("d47_scrub_against_corpus")
+    readCols(p).foreach(cols =>
+      assert(cols.subsetOf(Set("doc_id", "text", "source")),
+        s"over-wide scan: $cols"))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+    // the candidate probe joins the one-rep-per-distinct-gram index on
+    // the 64-bit hash — an equi-join; and the corpus-scaled starts
+    // frame must hash-build, never sort the text-carrying side
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected distributed hash builds:\n${p.take(600)}")
+  }
 }

@@ -184,6 +184,46 @@ class SubstrDedupSpec extends SparkSpec {
     assert(got(7L) == "")                     // fully shed
   }
 
+  test("scrubAgainstCorpus == brute force; arrival-arrival runs survive") {
+    val r = new Random(71)
+    val L = 20
+    val refBoiler = "### REFERENCE LICENSE BLOCK v2 ###" // 34 >= L
+    val arrOnly = "@@ ARRIVAL-ONLY SHARED SEGMENT @@"    // 33 >= L
+    val reference = Seq(
+      (1L, "ref doc alpha " + refBoiler + " tail"),
+      (2L, (1 to 70).map(_ => ('a' + r.nextInt(4)).toChar).mkString))
+    val arrivals = Seq(
+      (10L, "intro " + refBoiler + " outro"),      // cut the boiler
+      (11L, "A" + arrOnly + "B"),                  // shared w/ 12 ONLY
+      (12L, "C" + arrOnly + "D"),                  // -> both keep it
+      (13L, (1 to 50).map(_ => ('e' + r.nextInt(4)).toChar).mkString),
+      (14L, refBoiler))                            // fully shed
+    val refDf = spark.createDataFrame(reference).toDF("doc_id", "text")
+    val arrDf = spark.createDataFrame(arrivals).toDF("doc_id", "text")
+    val got = SubstrDedup
+      .scrubAgainstCorpus(arrDf, refDf, "doc_id", "text", L)
+      .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+    // brute: cut iff the L-gram occurs anywhere in the reference
+    val refGrams = reference.flatMap { case (_, t) =>
+      (0 to t.length - L).map(p => t.substring(p, p + L))
+    }.toSet
+    val brute = arrivals.map { case (id, t) =>
+      val cut = new Array[Boolean](t.length)
+      for (p <- 0 to t.length - L)
+        if (refGrams(t.substring(p, p + L)))
+          for (q <- p until p + L) cut(q) = true
+      id -> t.zipWithIndex.collect {
+        case (ch, i) if !cut(i) => ch
+      }.mkString
+    }.toMap
+    assert(got == brute)
+    assert(got(11L) == "A" + arrOnly + "B",
+      "arrival-to-arrival sharing must NOT be cut")
+    assert(got(12L) == "C" + arrOnly + "D")
+    assert(got(14L) == "")
+    assert(!got(10L).contains("LICENSE"))
+  }
+
   test("longRepeatPairs on randomized corpora with planted structure") {
     val r = new Random(59)
     val minLen = 25; val w = 6

@@ -119,6 +119,59 @@ class SubstrStreamSpec extends SparkSpec {
     assert(!batchPairs.exists(p => p._1 == 102L || p._2 == 102L))
   }
 
+  test("scrub-on-ingest emits cleaned docs agreeing with the batch scrub") {
+    implicit val sqlCtx = spark.sqlContext
+    val refDf = corpusRows.toDF("id", "text")
+    val refIdx = SubstrDedup.scrubIndex(refDf, "id", "text", minLen)
+    val arrivals = Seq(
+      (100L, "fresh intro " + boiler + " fresh outro"), // boiler shed
+      (101L, "a document sharing nothing with the corpus here"),
+      (102L, boiler)) // fully shed
+    val expected = SubstrDedup.scrubAgainstCorpus(
+      arrivals.toDF("id", "text"), refDf, "id", "text", minLen)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val input = MemoryStream[(Long, String)]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_scrub_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val query = SubstrDedup.scrubProbeStream(
+      input.toDF().toDF("id", "text"), "id", "text", refIdx, refDf,
+      minLen, checkpoint) { (cleaned, _) =>
+      cleaned.collect().foreach(r => got.put(r.getLong(0), r.getString(1)))
+    }.start()
+    try {
+      input.addData(arrivals.take(2): _*)
+      query.processAllAvailable()
+      input.addData(arrivals.drop(2): _*) // second batch
+      query.processAllAvailable()
+    } finally query.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap == expected)
+    assert(got.get(102L) == "")
+    assert(got.get(101L) == arrivals(1)._2, "clean arrival untouched")
+  }
+
+  test("a scrub index built at a different L is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val refDf = corpusRows.toDF("id", "text")
+    val input = MemoryStream[(Long, String)]
+    val other = SubstrDedup.scrubIndex(refDf, "id", "text", minLen + 1)
+    intercept[IllegalArgumentException] {
+      SubstrDedup.scrubProbeStream(
+        input.toDF().toDF("id", "text"), "id", "text", other, refDf,
+        minLen, "/tmp/never") { (_, _) => }
+    }
+    val stripped = SubstrDedup.scrubIndex(refDf, "id", "text", minLen)
+      .select(col("_rid"), col("_rpos"),
+        col("_gh").as("_gh", org.apache.spark.sql.types.Metadata.empty))
+    intercept[IllegalArgumentException] {
+      SubstrDedup.scrubProbeStream(
+        input.toDF().toDF("id", "text"), "id", "text", stripped, refDf,
+        minLen, "/tmp/never") { (_, _) => }
+    }
+  }
+
   test("a mis-parameterized or unstamped index is refused") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
