@@ -279,7 +279,15 @@ object SubstrDedup {
   def coveredByCorpus(arrivals: DataFrame, idCol: String, textCol: String,
                       refIdx: DataFrame, refTexts: DataFrame,
                       L: Int): DataFrame = {
+    // the index is a corpus-scaled aggregate: Catalyst's size estimate
+    // can auto-broadcast it (the d46 starts-frame driver kill, found
+    // HERE at plan-audit time — the sf0.01 dump showed the index as a
+    // BroadcastExchange build side). Build on the arrival grams
+    // instead: distributed, per-partition bounded, and a pinned
+    // _gh-partitioned stream index keeps its partitioning reused with
+    // only the batch side exchanging (the editProbeStream contract).
     val cand = gramRows(arrivals, idCol, textCol, L)
+      .hint("shuffle_hash")
       .join(refIdx, Seq("_gh"))
     refTexts
       .select(col(idCol).as("_rid"), col(textCol).as("_rtxt"))

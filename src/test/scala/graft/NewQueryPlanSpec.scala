@@ -148,16 +148,21 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "hash-first gate missing")
   }
 
-  test("d47 scrub scans prune to doc_id/text/source, no cartesian") {
+  test("d47 scrub scans prune to doc_id/text/source, no broadcast") {
     val p = plan("d47_scrub_against_corpus")
     readCols(p).foreach(cols =>
       assert(cols.subsetOf(Set("doc_id", "text", "source")),
         s"over-wide scan: $cols"))
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"))
-    // the candidate probe joins the one-rep-per-distinct-gram index on
-    // the 64-bit hash — an equi-join; and the corpus-scaled starts
-    // frame must hash-build, never sort the text-carrying side
+    // every join side here scales with the corpus (the gram index, the
+    // reference texts, the covered-starts aggregate): an auto-broadcast
+    // of ANY of them is the estimate-driven driver collect that killed
+    // d46 at sf3 — and the unhinted index was indeed planned as a
+    // BroadcastExchange build (caught in the r11 plan audit)
+    assert(!p.contains("BroadcastExchange")
+      && !p.contains("BroadcastHashJoin"),
+      s"corpus-scaled frame planned as broadcast:\n${p.take(600)}")
     assert(p.contains("ShuffledHashJoin"),
       s"expected distributed hash builds:\n${p.take(600)}")
   }
