@@ -60,15 +60,38 @@ object ScaleUp {
   // units mod 26 and mod 10 (coprime multipliers)
   private val A26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
   private val A10 = Seq(1, 3, 7, 9)
-  /** Distinct bijections available before (aD, bD) pairs repeat. */
-  private[graft] val MaxCopies = A10.length * Digits.length // 40
+  /** Distinct LETTER bijections: the full affine family over Z26
+    * (12 units × 26 offsets). Any two distinct members agree on ≤ 2
+    * letters (both multipliers are odd, so a₁−a₂ is even and not
+    * divisible by 26 ⟹ gcd(a₁−a₂, 26) = 2), so the pairwise-disjoint
+    * guarantee holds across the whole family, not just the first 40. */
+  private[graft] val MaxCopies = A26.length * Lower.length // 312
+  /** Distinct DIGIT bijections before (aD, bD) pairs repeat. Beyond
+    * this, two copies can share a digit map, so all-digit shingles
+    * would collide cross-copy — [[run]] therefore refuses k >
+    * MaxDigitCopies unless the source corpus is digit-free (the
+    * driver's `documents.text` is strictly [a-z ]; the guard keeps the
+    * guarantee honest for any future digit-bearing corpus). */
+  private[graft] val MaxDigitCopies = A10.length * Digits.length // 40
+
+  /** Copy i's embedding transform: rotate by (i mod dim) positions,
+    * elementwise-negated for i ≥ dim. Orthogonal either way, identity
+    * at i = 0, pairwise distinct for i < 2·dim. */
+  private[graft] def rotateFlip(emb: org.apache.spark.sql.Column, i: Int,
+      dim: Int): org.apache.spark.sql.Column = {
+    val r = i % dim
+    val rotated =
+      if (r == 0) emb
+      else concat(slice(emb, r + 1, 100000), slice(emb, 1, r))
+    if (i < dim) rotated else transform(rotated, x => -x)
+  }
 
   private def affine(alphabet: String, a: Int, b: Int): String =
     alphabet.indices.map(x => alphabet((a * x + b) % alphabet.length))
       .mkString
 
   private[graft] def substitution(i: Int): (String, String) = {
-    val aL = A26(i % A26.length); val bL = i / A26.length
+    val aL = A26(i % A26.length); val bL = (i / A26.length) % 26
     val aD = A10(i % A10.length); val bD = (i / A10.length) % 10
     val from = Lower + Lower.toUpperCase + Digits
     val to = affine(Lower, aL, bL) +
@@ -93,15 +116,30 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
-    // beyond MaxCopies the digit affine pairs repeat and copies stop
-    // being disjoint on all-digit tokens — the construction defect this
-    // tool exists to avoid (the letter maps last to 312, the embedding
-    // rotation to dim 64; 40 is the binding constraint)
+    // the letter affine family lasts to 312 distinct maps; the digit
+    // family to 40; the embedding family to 2×dim (rotation composed
+    // with a sign flip). The digit and embedding constraints are
+    // checked against the actual data below — the static cap here is
+    // the letter family's.
     require(k >= 1 && k <= MaxCopies,
-      s"k=$k outside [1, $MaxCopies]: only $MaxCopies distinct digit " +
+      s"k=$k outside [1, $MaxCopies]: only $MaxCopies distinct letter " +
         "substitutions exist before the affine pairs repeat and copies " +
         "stop being disjoint")
     def tbl(name: String): DataFrame = Tables.load(spark, src, name)
+    if (k > MaxDigitCopies) {
+      // beyond 40 copies two digit maps can coincide; that is only
+      // sound when no text contains a digit (then the letter family
+      // alone carries the disjointness guarantee). Measured, not
+      // assumed: refuse rather than silently build a corpus whose
+      // all-digit shingles collide across copies.
+      val digitDocs = tbl("documents")
+        .filter(col("text").rlike("[0-9]")).count()
+      require(digitDocs == 0L,
+        s"k=$k > $MaxDigitCopies but $digitDocs documents contain " +
+          "digits: the digit affine family is exhausted and cross-copy " +
+          "all-digit shingles would collide — cap k at " +
+          s"$MaxDigitCopies for this corpus")
+    }
     // stride per key family = max + 1, so shifted ranges never collide.
     // One tiny driver-side aggregate per family — bounded metadata, the
     // Sampling.collectSample discipline.
@@ -182,15 +220,40 @@ object ScaleUp {
           })
     }, "documents")
 
+    // embedding transform family: rotate by (i mod dim) positions,
+    // negated for i >= dim — both are orthogonal maps (norms and
+    // intra-copy pairwise distances preserved exactly), and the 2×dim
+    // members are pairwise distinct: two rotations differ unless the
+    // offsets match, and a rotation never equals a negated rotation on
+    // a non-zero vector. Beyond 2×dim the family repeats — refuse.
+    val dim = tbl("embeddings").select(size(col("embedding")))
+      .head().getInt(0)
+    require(k <= 2 * dim,
+      s"k=$k > ${2 * dim}: the embedding rotation/sign family over " +
+        s"dim=$dim vectors is exhausted; copies would repeat transforms")
     write(copies(tbl("embeddings")) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecS))
-        // rotate the vector by i positions: preserves the norm and the
-        // pairwise-distance distribution within a copy, decorrelates
-        // cross-copy neighbors — same trick as the text bijection.
-        .withColumn("embedding",
-          if (i == 0) col("embedding")
-          else concat(slice(col("embedding"), i + 1, 100000),
-            slice(col("embedding"), 1, i)))
+        // rotate the vector by i positions (negated past one full
+        // period): preserves the norm and the pairwise-distance
+        // distribution within a copy, decorrelates cross-copy
+        // neighbors — same trick as the text bijection.
+        .withColumn("embedding", rotateFlip(col("embedding"), i, dim))
     }, "embeddings")
+
+    // Post-build audit: every copy's substituted texts must be disjoint
+    // from every other copy's (the no-cross-copy-duplicates contract
+    // this generator exists for). Distinct texts in the output must be
+    // exactly k × the source's distinct texts — a collision anywhere
+    // (map family exhausted, identity bug, digit leak) shows up as a
+    // shortfall. One aggregation over the built corpus; generation is
+    // offline so the pass is cheap relative to what it protects.
+    val srcDistinct = tbl("documents").select("text").distinct().count()
+    val outDistinct = Tables.load(spark, dst, "documents")
+      .select("text").distinct().count()
+    require(outDistinct == k * srcDistinct,
+      s"cross-copy text collision: expected ${k * srcDistinct} distinct " +
+        s"texts (k=$k × $srcDistinct), built $outDistinct")
+    println(s"scaleup: audit ok — $outDistinct distinct texts = " +
+      s"$k x $srcDistinct, zero cross-copy collisions")
   }
 }

@@ -67,9 +67,13 @@ class ScaleUpSpec extends SparkSpec {
   }
 
   test("affine substitutions: copy 0 identity; any two copies agree on <=2 letters and <=2 digits") {
-    // the disjoint-corpora guarantee for 30+ copies: distinct affine
+    // the disjoint-corpora guarantee for 100+ copies: distinct affine
     // maps agree on at most gcd(a1-a2, modulus) = 2 positions per
-    // class, so no cross-copy word shingle can survive substitution
+    // class, so no cross-copy word shingle can survive substitution.
+    // The letter family carries this across all 312 copies; the digit
+    // family exhausts at MaxDigitCopies = 40, beyond which copies
+    // i ≡ j (mod 40) share a digit map — run() refuses k > 40 on a
+    // digit-bearing corpus precisely because this bound lapses there.
     val (from0, to0) = ScaleUp.substitution(0)
     assert(from0 == to0, "copy 0 must be the identity substitution")
     val maps = (0 until ScaleUp.MaxCopies).map { i =>
@@ -83,8 +87,36 @@ class ScaleUpSpec extends SparkSpec {
       val letters = agree.count(x => from0(x).isLetter && from0(x).isLower)
       val uppers = agree.count(x => from0(x).isLetter && from0(x).isUpper)
       val digits = agree.count(x => from0(x).isDigit)
-      assert(letters <= 2 && uppers <= 2 && digits <= 2,
-        s"copies $i,$j agree on $letters lower/$uppers upper/$digits digits")
+      assert(letters <= 2 && uppers <= 2,
+        s"copies $i,$j agree on $letters lower/$uppers upper letters")
+      if (i % ScaleUp.MaxDigitCopies != j % ScaleUp.MaxDigitCopies)
+        assert(digits <= 2, s"copies $i,$j agree on $digits digits")
+    }
+  }
+
+  test("letter maps are pairwise distinct across the full 312-copy family") {
+    val letterMaps = (0 until ScaleUp.MaxCopies)
+      .map(i => ScaleUp.substitution(i)._2.take(26))
+    assert(letterMaps.distinct.size === ScaleUp.MaxCopies)
+  }
+
+  test("rotateFlip: identity at 0, orthogonal and pairwise distinct to 2*dim") {
+    import spark.implicits._
+    val dim = 8
+    val v = (1 to dim).map(_.toDouble)
+    val base = Seq(Tuple1(v)).toDF("embedding")
+    val images = (0 until 2 * dim).map { i =>
+      base.select(ScaleUp.rotateFlip(col("embedding"), i, dim))
+        .head().getSeq[Double](0).toList
+    }
+    assert(images(0) === v.toList, "copy 0 must be the identity")
+    // all 2*dim transforms of a generic vector are distinct
+    assert(images.distinct.size === 2 * dim)
+    // each preserves the norm and the multiset of magnitudes
+    val mags = v.map(math.abs).sorted
+    for ((img, i) <- images.zipWithIndex) {
+      assert(img.map(math.abs).sorted === mags, s"copy $i")
+      if (i >= dim) assert(img.forall(_ < 0), s"copy $i must be negated")
     }
   }
 
