@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Content-defined segmentation and segment-level deduplication — the
+  * "paragraph dedup" modality for corpora without layout structure.
+  *
+  * C4-style pipelines dedup at the line/paragraph level because
+  * boilerplate repeats in LAYOUT units; this corpus (and any
+  * whitespace-normalized one) has no newlines, so the unit has to come
+  * from content. The rsync/LBFS trick: a token STARTS a new segment
+  * when its hash falls in a fixed residue class (here
+  * `charFold(token) ≡ 0 (mod divisor)`), so expected segment length is
+  * `divisor` tokens and — the property that matters — boundaries are
+  * SHIFT-INVARIANT: inserting a word before a shared run moves every
+  * offset but not the boundary tokens, so two documents sharing a long
+  * token run still produce identical interior segments and dedup
+  * against each other. Fixed-width chunking has no such guarantee
+  * (one inserted token misaligns every downstream chunk).
+  *
+  * Scale shape (the 100 TB contract):
+  *  - token explode + per-doc running boundary count: narrow work plus
+  *    ONE shuffle by doc id; the window partitions by document, so no
+  *    global sort and no single-partition stage anywhere;
+  *  - the segment groupBy reuses the window's doc-id partitioning
+  *    (clustering on (doc, seg) is satisfied by doc — Catalyst elides
+  *    the exchange);
+  *  - survivor election groups 16-byte MD5 digests (the d01 exactness
+  *    convention), never segment text;
+  *  - the winner join back is hinted shuffle-hash with the narrow
+  *    winners frame as build side, so the text-bearing segment rows
+  *    stream through it unsorted (the d24 sort-free discipline);
+  *  - reconstruction shuffles each surviving segment's text exactly
+  *    once, keyed by doc — that is the OUTPUT being assembled, the
+  *    irreducible cost.
+  *
+  * Keep-first survivorship, globally deterministic: for each distinct
+  * segment text the single occurrence with the smallest
+  * (doc id, start position) survives; every other occurrence —
+  * including later repeats inside the SAME document — is dropped.
+  * Oracle-checked character-for-character against DuckDB's windowed
+  * `string_agg` reconstruction (d48).
+  */
+object CdcDedup {
+
+  /** Per-token boundary hash: the d05 char fold
+    * `h = (h·31 + codepoint) mod 1e9+7` — cross-engine replicable
+    * (DuckDB `list_reduce`/`unicode`), ANSI-safe (stays far below
+    * 2^63). */
+  private def charFold(tok: Column): Column =
+    aggregate(
+      transform(filter(split(tok, ""), ch => ch =!= ""),
+        ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** Content-defined segments of every document: one row per segment,
+    * `(id, seg_start, seg_text)` with `seg_start` the 1-based token
+    * ordinal of the segment's first token. */
+  def segments(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int): DataFrame = {
+    require(divisor >= 2, s"divisor=$divisor: expected >= 2")
+    val toks = docs
+      .select(col(idCol).as("_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("_p", "_tok")))
+    val seg = toks.withColumn("_seg",
+      sum(when(charFold(col("_tok")) % divisor === 0, 1L).otherwise(0L))
+        .over(Window.partitionBy("_id").orderBy("_p")))
+    // the groupBy's (id, seg) clustering is satisfied by the window's
+    // id partitioning — no second exchange (PlanGuard-checked in spec)
+    seg.groupBy(col("_id"), col("_seg"))
+      .agg(
+        (min(col("_p")) + 1L).as("seg_start"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_p"), col("_tok")))),
+            s => s.getField("_tok")), " ").as("seg_text"))
+      .drop("_seg")
+  }
+
+  /** Segment-level keep-first dedup with document reconstruction:
+    * `(id, clean_text, n_segs, n_kept)`. Documents whose every segment
+    * was first seen elsewhere come back with `clean_text = ''`. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int): DataFrame = {
+    val segs = segments(docs, idCol, textCol, divisor)
+      .withColumn("_d", md5(col("seg_text")))
+    // one winner per distinct text: the minimal (id, start) occurrence.
+    // Digest-keyed groupBy — 16 bytes per row shuffles, never the text.
+    val winners = segs
+      .groupBy(col("_d"))
+      .agg(min(struct(col("_id"), col("seg_start"))).as("_w"))
+    // build on the narrow winners frame; text-bearing rows stream
+    val flagged = segs.join(winners.hint("shuffle_hash"), "_d")
+      .withColumn("_keep",
+        col("_w._id") === col("_id") &&
+          col("_w.seg_start") === col("seg_start"))
+    val rebuilt = flagged.groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("seg_start"), col("seg_text"))))),
+            s => s.getField("seg_text")), " ").as("clean_text"))
+    docs.select(col(idCol).as("_id"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  private[graft] val DivisorMetaKey = "graft.cdc.divisor"
+
+  private[graft] def stampedDivisor(df: DataFrame): Option[Long] = {
+    val m = df.schema.find(_.name == "_d").map(_.metadata)
+    m.filter(_.contains(DivisorMetaKey)).map(_.getLong(DivisorMetaKey))
+  }
+
+  /** Immutable reference index for the bipartite segment scrub: the
+    * DISTINCT md5 digests of the reference corpus' content-defined
+    * segments, with the boundary divisor stamped into the column
+    * metadata so a probe built at a different divisor fails fast
+    * instead of silently missing every segment (the EdJoin k-stamp /
+    * scrubIndex L-stamp discipline — a mis-parameterized index
+    * produces DIFFERENT segment boundaries, zero digest overlap, and
+    * no error). One 16-byte digest per distinct segment text: a
+    * boilerplate segment occurring millions of times costs the index
+    * one row. */
+  def segmentIndex(reference: DataFrame, idCol: String, textCol: String,
+      divisor: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(DivisorMetaKey, divisor.toLong).build()
+    segments(reference, idCol, textCol, divisor)
+      .select(md5(col("seg_text")).as("_d"))
+      .distinct()
+      .select(col("_d").as("_d", meta))
+  }
+
+  /** Bipartite segment scrub — the segment-granularity face of the
+    * d47 corpus scrub: every content-defined segment of an arrival
+    * whose text exists ANYWHERE in the reference corpus is dropped;
+    * arrival-to-arrival sharing is untouched (that is [[segmentDedup]]'s
+    * keep-first job on the arrival set itself). Output
+    * `(id, clean_text, n_segs, n_kept)` for every arrival.
+    *
+    * The index join is hinted shuffle-hash on the INDEX side: a
+    * corpus-scaled aggregate must never auto-broadcast (the d47
+    * plan-audit catch — Catalyst underestimates aggregate output and
+    * plans a driver-killing BroadcastExchange at larger SFs), and a
+    * pinned `_d`-partitioned stream index keeps its partitioning
+    * reused with only the batch side exchanging. */
+  private def requireDivisorStamp(index: DataFrame, divisor: Int): Unit =
+    stampedDivisor(index) match {
+      case Some(d) => require(d == divisor.toLong,
+        s"segment index was built at divisor=$d but the probe runs " +
+          s"divisor=$divisor — rebuild via CdcDedup.segmentIndex")
+      case None => throw new IllegalArgumentException(
+        "index carries no divisor stamp on _d (metadata '" +
+          DivisorMetaKey + "') — build it with CdcDedup.segmentIndex")
+    }
+
+  def scrubSegments(arrivals: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, divisor: Int): DataFrame = {
+    requireDivisorStamp(index, divisor)
+    val segs = segments(arrivals, idCol, textCol, divisor)
+      .withColumn("_d", md5(col("seg_text")))
+    val flagged = segs
+      .join(index.hint("shuffle_hash").withColumn("_hit", lit(1)),
+        Seq("_d"), "left")
+      .withColumn("_keep", col("_hit").isNull)
+    val rebuilt = flagged.groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("seg_start"), col("seg_text"))))),
+            s => s.getField("seg_text")), " ").as("clean_text"))
+    arrivals.select(col(idCol).as("_id"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Streaming face of [[scrubSegments]] — segment-scrub-on-ingest:
+    * each micro-batch is segmented, probed against the pinned
+    * reference index, and re-emitted cleaned through `sink` with its
+    * batch id (idempotent-sink discipline: foreachBatch may redeliver
+    * a batch after a crash; the sink must overwrite by batchId). The
+    * SAME `scrubSegments` code runs per batch — batch/stream agreement
+    * is by construction, spec'd in `CdcStreamSpec`. */
+  def segmentProbeStream(stream: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, divisor: Int, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    requireDivisorStamp(index, divisor)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(col(idCol), col(textCol))
+        sink(scrubSegments(arrivals, idCol, textCol, index, divisor),
+          batchId)
+      }
+  }
+
+  /** Fixed-width overlapping chunks with provenance — the context-window
+    * shaping step of a training pipeline: `(id, chunk_idx, start_word,
+    * n_words, chunk_text)`, windows of `width` tokens every `stride`
+    * tokens (overlap = width − stride). Purely narrow (explode + slice:
+    * no shuffle, whole-stage codegen) — the plan a 100 TB chunking pass
+    * needs. Empty documents produce one empty chunk 0, so every input
+    * id appears in the output. */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"width=$width stride=$stride: expected 1 <= stride <= width")
+    docs
+      .select(col(idCol).as("_id"),
+        TextFunctions.tokens(col(textCol)).as("_ts"))
+      .select(col("_id"), col("_ts"),
+        explode(sequence(lit(0), greatest(size(col("_ts")) - 1, lit(0)),
+          lit(stride))).as("_start"))
+      .select(
+        col("_id").as(idCol),
+        (col("_start") / stride).cast("long").as("chunk_idx"),
+        col("_start").cast("long").as("start_word"),
+        size(slice(col("_ts"), col("_start") + 1, lit(width))).cast("long")
+          .as("n_words"),
+        array_join(slice(col("_ts"), col("_start") + 1, lit(width)), " ")
+          .as("chunk_text"))
+  }
+}

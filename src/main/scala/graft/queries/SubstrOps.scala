@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.operators.SubstrDedup
+import graft.operators.{CdcDedup, SubstrDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -77,6 +77,42 @@ object SubstrOps extends QueryPack {
         docs.filter(col("source") === "src0"),
         docs.filter(col("source") =!= "src0"),
         "doc_id", "text", L = 59)
+    },
+    // SEGMENT-LEVEL keep-first dedup over content-defined boundaries
+    // (rsync/LBFS residue rule, expected segment 16 tokens) — the
+    // "paragraph dedup" modality for a layout-free corpus, and the
+    // shift-invariant one: an inserted word moves offsets but not
+    // boundary tokens, so shared runs still dedup. Character-exact
+    // reconstruction oracle, same contract shape as d46.
+    "d48_cdc_segment_dedup" -> { (s, dir) =>
+      CdcDedup.segmentDedup(t(s, dir, "documents"),
+        "doc_id", "text", divisor = 16)
+    },
+    // Overlapping fixed-width chunking with provenance (width 32,
+    // stride 24) — the context-window shaping pass. Fully narrow plan
+    // (explode + slice, zero shuffles): the plan a 100 TB chunking run
+    // needs, and the query surface proves it stays that way.
+    "d49_chunk_overlap" -> { (s, dir) =>
+      CdcDedup.chunks(t(s, dir, "documents"),
+        "doc_id", "text", width = 32, stride = 24)
+    },
+    // THE BIPARTITE SEGMENT CUT — d47's shape at segment granularity:
+    // src0's documents shed every content-defined segment whose text
+    // exists anywhere in the other sources (the immutable reference);
+    // arrival-to-arrival sharing untouched. One 16-byte digest per
+    // DISTINCT reference segment, shuffle-hash on the index side (a
+    // corpus-scaled aggregate must never broadcast), divisor stamped
+    // and enforced. Same operator the streaming segment scrub runs
+    // per micro-batch.
+    "d50_segment_scrub" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      CdcDedup.scrubSegments(
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text",
+        CdcDedup.segmentIndex(
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", divisor = 16),
+        divisor = 16)
     },
   )
 
@@ -166,5 +202,106 @@ object SubstrOps extends QueryPack {
          )
          SELECT d.doc_id, coalesce(a.ct, '') AS clean_text
          FROM arr d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+    // boundary rule replicated via the d05 char fold; keep-first
+    // survivorship via a (text → min occurrence) window; reconstruction
+    // via ordered string_agg — character-exact on both engines
+    "d48_cdc_segment_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS INT) AS ord
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS ts
+                 FROM documents),
+                UNNEST(range(1, len(ts) + 1)) AS u(i)
+         ), b AS (
+           SELECT doc_id, tok, ord,
+                  CASE WHEN list_reduce([0::BIGINT] ||
+                         list_transform(range(length(tok)),
+                           i -> unicode(substring(tok, CAST(i+1 AS INT), 1))),
+                         (a, b) -> (a * 31 + b) % 1000000007) % 16 = 0
+                    THEN 1 ELSE 0 END AS bd
+           FROM toks
+         ), seg AS (
+           SELECT doc_id, tok, ord,
+                  sum(bd) OVER (PARTITION BY doc_id ORDER BY ord) AS sid
+           FROM b
+         ), segs AS (
+           SELECT doc_id, sid, min(ord) AS seg_start,
+                  string_agg(tok, ' ' ORDER BY ord) AS seg_text
+           FROM seg GROUP BY doc_id, sid
+         ), k AS (
+           SELECT *, row_number() OVER (PARTITION BY seg_text
+                       ORDER BY doc_id, seg_start) AS rn
+           FROM segs
+         ), agg AS (
+           SELECT doc_id,
+                  CAST(count(1) AS BIGINT) AS n_segs,
+                  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_kept,
+                  coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+                    ' ' ORDER BY seg_start), '') AS ct
+           FROM k GROUP BY doc_id
+         )
+         SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+                coalesce(a.n_segs, 0) AS n_segs,
+                coalesce(a.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+    "d50_segment_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, source, ts[CAST(i AS INT)] AS tok,
+                  CAST(i AS INT) AS ord
+           FROM (SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS ts
+                 FROM documents),
+                UNNEST(range(1, len(ts) + 1)) AS u(i)
+         ), b AS (
+           SELECT doc_id, source, tok, ord,
+                  CASE WHEN list_reduce([0::BIGINT] ||
+                         list_transform(range(length(tok)),
+                           i -> unicode(substring(tok, CAST(i+1 AS INT), 1))),
+                         (a, b) -> (a * 31 + b) % 1000000007) % 16 = 0
+                    THEN 1 ELSE 0 END AS bd
+           FROM toks
+         ), seg AS (
+           SELECT doc_id, source, tok, ord,
+                  sum(bd) OVER (PARTITION BY doc_id ORDER BY ord) AS sid
+           FROM b
+         ), segs AS (
+           SELECT doc_id, source, sid, min(ord) AS seg_start,
+                  string_agg(tok, ' ' ORDER BY ord) AS seg_text
+           FROM seg GROUP BY doc_id, source, sid
+         ), ref AS (
+           SELECT DISTINCT seg_text FROM segs WHERE source <> 'src0'
+         ), arr AS (
+           SELECT * FROM segs WHERE source = 'src0'
+         ), agg AS (
+           SELECT a.doc_id,
+                  CAST(count(1) AS BIGINT) AS n_segs,
+                  CAST(sum(CASE WHEN r.seg_text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+                  coalesce(string_agg(
+                    CASE WHEN r.seg_text IS NULL THEN a.seg_text END,
+                    ' ' ORDER BY a.seg_start), '') AS ct
+           FROM arr a LEFT JOIN ref r ON a.seg_text = r.seg_text
+           GROUP BY a.doc_id
+         )
+         SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+                coalesce(a.n_segs, 0) AS n_segs,
+                coalesce(a.n_kept, 0) AS n_kept
+         FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+         LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+    "d49_chunk_overlap" ->
+      """SELECT doc_id,
+                CAST(s / 24 AS BIGINT) AS chunk_idx,
+                CAST(s AS BIGINT) AS start_word,
+                CAST(len(ts[s + 1 : s + 32]) AS BIGINT) AS n_words,
+                array_to_string(ts[s + 1 : s + 32], ' ') AS chunk_text
+         FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x <> '') AS ts
+               FROM documents),
+              LATERAL (SELECT unnest(generate_series(0,
+                greatest(len(ts) - 1, 0), 24)) AS s)""",
   )
 }

@@ -1,0 +1,179 @@
+package graft
+
+import graft.operators.CdcDedup
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
+
+import scala.util.Random
+
+/** Contract of the content-defined segmentation family (d48/d49).
+  *
+  * The oracle gate checks the end result on the real corpus; these pin
+  * the operator's algebra on hostile inputs: segmentation is a
+  * partition of the token stream, boundaries are shift-invariant
+  * (the property fixed-width chunking lacks), keep-first survivorship
+  * matches a brute-force reference on a collision-rich corpus, and the
+  * physical plans keep the shapes the scaladoc promises (one exchange
+  * for segmentation, zero for chunking).
+  */
+class CdcDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 1000000007L
+  private def fold(tok: String): Long =
+    tok.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+
+  /** Reference segmentation: 1-based start ordinal + segment text. */
+  private def refSegments(text: String, d: Int): Seq[(Long, String)] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return Nil
+    val segIds = toks.scanLeft(0L) {
+      (s, t) => s + (if (fold(t) % d == 0) 1 else 0)
+    }.tail
+    toks.zipWithIndex.groupBy { case (t, i) => segIds(i) }.toSeq
+      .map { case (_, ts) =>
+        ((ts.map(_._2).min + 1).toLong, ts.map(_._1).mkString(" "))
+      }.sortBy(_._1)
+  }
+
+  /** Reference keep-first dedup over reference segments. */
+  private def refDedup(docs: Seq[(Long, String)], d: Int)
+      : Map[Long, (String, Long, Long)] = {
+    val segs = docs.flatMap { case (id, t) =>
+      refSegments(t, d).map { case (st, sx) => (id, st, sx) }
+    }
+    val winner = segs.groupBy(_._3)
+      .map { case (sx, occ) => sx -> occ.map(o => (o._1, o._2)).min }
+    docs.map { case (id, t) =>
+      val mine = refSegments(t, d)
+      val kept = mine.filter { case (st, sx) => winner(sx) == ((id, st)) }
+      id -> (kept.map(_._2).mkString(" "), mine.size.toLong,
+        kept.size.toLong)
+    }.toMap
+  }
+
+  // a vocabulary straddling the boundary rule (divisor 4): some words
+  // open segments, most don't — found by search so the test can't rot
+  // if the fold changes
+  private val words = {
+    val rg = new Random(123)
+    val pool = (1 to 400).map(_ => rg.alphanumeric.take(3).mkString
+      .toLowerCase).distinct
+    val boundary = pool.filter(w => fold(w) % 4 == 0).take(3)
+    val interior = pool.filter(w => fold(w) % 4 != 0).take(9)
+    assert(boundary.size == 3 && interior.size == 9)
+    boundary ++ interior
+  }
+  private def randText(r: Random, n: Int): String =
+    (1 to n).map(_ => words(r.nextInt(words.size))).mkString(" ")
+
+  test("segmentation is a partition: ordered concat rebuilds the text") {
+    val r = new Random(3)
+    val docs = (1L to 40L).map(id => (id, randText(r, 5 + r.nextInt(60))))
+    val got = CdcDedup.segments(docs.toDF("doc_id", "text"),
+      "doc_id", "text", divisor = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    for ((id, text) <- docs) {
+      val mine = got.filter(_._1 == id).sortBy(_._2)
+      assert(mine.map(_._3).mkString(" ") === text, s"doc $id")
+      assert(mine.map(_._2).toSeq === refSegments(text, 4).map(_._1),
+        s"doc $id starts")
+    }
+  }
+
+  test("boundaries are shift-invariant: a prefix insertion preserves every segment but the first") {
+    val r = new Random(17)
+    for (_ <- 1 to 20) {
+      val base = randText(r, 30 + r.nextInt(40))
+      val shifted = words(r.nextInt(words.size)) + " " + base
+      val a = refSegments(base, 4).map(_._2)
+      val b = refSegments(shifted, 4).map(_._2)
+      // all of a except its head segment must survive VERBATIM in b —
+      // the dedupability guarantee an offset-based chunker cannot give
+      assert(a.tail === b.takeRight(a.tail.size),
+        s"base='$base'")
+    }
+  }
+
+  test("segmentDedup matches the brute-force reference on a collision-rich corpus") {
+    val r = new Random(41)
+    // 15 distinct texts dealt to 45 docs: cross-doc repeats everywhere,
+    // plus in-doc repeats from the small vocabulary
+    val pool = (1 to 15).map(_ => randText(r, 4 + r.nextInt(40)))
+    val docs = (1L to 45L).map(id => (id, pool(r.nextInt(pool.size))))
+    val expect = refDedup(docs, 4)
+    val got = CdcDedup.segmentDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", divisor = 4)
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(got === expect)
+    // sanity on the fixture itself: dups existed and were cut
+    assert(got.values.exists(_._1.isEmpty), "a fully-deduped doc")
+    assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
+  }
+
+  test("a duplicate-free corpus passes through intact") {
+    val docs = Seq((1L, words.take(5).mkString(" ")),
+      (2L, words.slice(5, 9).mkString(" ")))
+    val got = CdcDedup.segmentDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", divisor = 4).collect()
+    for (row <- got) {
+      val orig = docs.find(_._1 == row.getLong(0)).get._2
+      assert(row.getString(1) === orig)
+      assert(row.getLong(2) === row.getLong(3))
+    }
+  }
+
+  test("chunks: coverage, overlap, and per-chunk text match slicing") {
+    val r = new Random(59)
+    val docs = (1L to 30L).map(id => (id, randText(r, r.nextInt(90))))
+    val got = CdcDedup.chunks(docs.toDF("doc_id", "text"),
+      "doc_id", "text", width = 32, stride = 24)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))
+    for ((id, text) <- docs) {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val starts = 0L to math.max(toks.length - 1, 0).toLong by 24L
+      val mine = got.filter(_._1 == id).sortBy(_._3)
+      assert(mine.map(_._3).toSeq === starts.toSeq, s"doc $id starts")
+      for ((_, idx, st, n, txt) <- mine) {
+        val want = toks.slice(st.toInt, st.toInt + 32)
+        assert(idx === st / 24)
+        assert(n === want.length.toLong, s"doc $id chunk $idx")
+        assert(txt === want.mkString(" "), s"doc $id chunk $idx")
+      }
+      // every token of every doc is covered by at least one chunk
+      val covered = mine.flatMap(c => c._3 until c._3 + c._4).toSet
+      assert(covered === toks.indices.map(_.toLong).toSet, s"doc $id")
+    }
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def shuffles(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).length
+
+  test("plan: segmentation costs one exchange; the groupBy reuses the window partitioning") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = planOf(CdcDedup.segments(df, "doc_id", "text", 16))
+    assert(shuffles(p) == 1, s"expected 1 exchange:\n${p.take(600)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(400))
+  }
+
+  test("plan: chunking is fully narrow (zero exchanges) and codegen'd") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = planOf(CdcDedup.chunks(df, "doc_id", "text", 32, 24))
+    assert(shuffles(p) == 0, s"expected narrow plan:\n${p.take(600)}")
+    // formatted mode marks codegen'd operators with "[codegen id : n]"
+    assert(p.contains("[codegen id"), p.take(400))
+  }
+
+  test("plan: dedup never single-partitions and never sorts on a broadcast") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val p = planOf(CdcDedup.segmentDedup(df, "doc_id", "text", 16))
+    assert(!p.contains("Exchange SinglePartition"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+}
