@@ -205,6 +205,49 @@ object StreamBench {
       s""""value":${f1(scrubDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${scrubProgress.length},""" +
       s""""fully_scrubbed":${scrubbedEmpty.get()},"sf":"$corpusDir"}""")
+
+    // Fifth modality: segment-scrub-on-ingest (content-defined
+    // boundaries, divisor 16 — d50's operator at the segment grain).
+    // Self-replay worst case again: every arrival segment exists in
+    // the index, so each batch pays full segmentation, the digest
+    // join, and the rebuild fold with everything dropped. The probe
+    // side is ONE 16-byte digest per segment (~1/16 of tokens), the
+    // cheapest probe payload of the five.
+    val segIdx = FrameCache.cached(spark,
+      s"streambench_segidx:$corpusDir") {
+      graft.operators.CdcDedup
+        .segmentIndex(docs, "doc_id", "text", divisor = 16)
+        .repartition(cpus.toInt, col("_d"))
+    }
+    segIdx.count() // materialize outside the measured window
+    val segCheckpoint = java.nio.file.Files
+      .createTempDirectory("graft_streambench_seg_ckpt").toString
+    val segStream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val segScrubbed = new java.util.concurrent.atomic.AtomicLong(0)
+    val segQuery = graft.operators.CdcDedup.segmentProbeStream(
+      segStream, "doc_id", "text", segIdx, 16, segCheckpoint) {
+      (cleaned, _) =>
+        segScrubbed.addAndGet(
+          cleaned.filter(org.apache.spark.sql.functions
+            .length(col("clean_text")) === 0).count())
+    }.start()
+    segQuery.processAllAvailable()
+    segQuery.stop()
+    val segProgress = segQuery.recentProgress.filter(_.numInputRows > 0)
+    val segSteady = segProgress.drop(1)
+    val segDocsSec =
+      if (segSteady.isEmpty) 0.0
+      else segSteady.map(_.numInputRows).sum.toDouble /
+        (segSteady.map(_.durationMs.get("triggerExecution").toLong)
+          .sum / 1e3)
+    println(s"""{"metric":"stream_segment_docs_per_sec",""" +
+      s""""value":${f1(segDocsSec)},"unit":"docs/sec",""" +
+      s""""corpus_docs":$corpusN,"batches":${segProgress.length},""" +
+      s""""fully_scrubbed":${segScrubbed.get()},"sf":"$corpusDir"}""")
     spark.stop()
   }
 }
