@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational4,
     graft.queries.TrainingOps2,
     graft.queries.Analytics,
-    graft.queries.SubstrOps)
+    graft.queries.SubstrOps,
+    graft.queries.Curation)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
