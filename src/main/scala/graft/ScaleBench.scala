@@ -33,6 +33,8 @@ object ScaleBench {
     val shufWriteB = new java.util.concurrent.atomic.AtomicLong
     val spillB = new java.util.concurrent.atomic.AtomicLong
     val inputB = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       val m = s.stageInfo.taskMetrics
       stages.incrementAndGet()
@@ -41,9 +43,11 @@ object ScaleBench {
       shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       spillB.addAndGet(m.diskBytesSpilled)
       inputB.addAndGet(m.inputMetrics.bytesRead)
+      gcMs.addAndGet(m.jvmGCTime)
+      cpuNs.addAndGet(m.executorCpuTime)
     }
     def snapshot: Seq[Long] = Seq(stages.get, tasks.get, shufReadB.get,
-      shufWriteB.get, spillB.get, inputB.get)
+      shufWriteB.get, spillB.get, inputB.get, gcMs.get, cpuNs.get)
   }
 
   private val DefaultAnchors = Seq("d24_exact_dedup_survivors",
@@ -91,10 +95,16 @@ object ScaleBench {
         // moment to drain before reading the counters
         Thread.sleep(500)
         val d = agg.snapshot.zip(before).map { case (a, b) => a - b }
+        // gc_s / cpu_s split a wall anomaly into its mechanism: same
+        // stages+bytes with wall >> cpu_s/32 and gc_s ~ wall is a heap
+        // artifact (measured tri-modal on d50@sf3: 2.6/17.1/57.4 s
+        // with IDENTICAL plan metrics); wall tracking cpu_s/32 is
+        // honest compute growth.
         val json = s"""{"query":"$name","sf":"$sfDir","wall_s":${
           f1(wall)},"stages":${d(0)},"tasks":${d(1)},"shuffle_read_mb":${
           f1(d(2) / 1e6)},"shuffle_write_mb":${f1(d(3) / 1e6)
-          },"spilled_mb":${f1(d(4) / 1e6)},"input_mb":${f1(d(5) / 1e6)}}"""
+          },"spilled_mb":${f1(d(4) / 1e6)},"input_mb":${f1(d(5) / 1e6)
+          },"gc_s":${f1(d(6) / 1e3)},"cpu_s":${f1(d(7) / 1e9)}}"""
         println(json)
         (name, wall, json)
       } catch {

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Content-defined segmentation and segment-level deduplication — the
@@ -22,12 +21,10 @@ import org.apache.spark.sql.functions._
   * (one inserted token misaligns every downstream chunk).
   *
   * Scale shape (the 100 TB contract):
-  *  - token explode + per-doc running boundary count: narrow work plus
-  *    ONE shuffle by doc id; the window partitions by document, so no
-  *    global sort and no single-partition stage anywhere;
-  *  - the segment groupBy reuses the window's doc-id partitioning
-  *    (clustering on (doc, seg) is satisfied by doc — Catalyst elides
-  *    the exchange);
+  *  - segmentation is FULLY NARROW: boundary detection and segment
+  *    assembly are higher-order array expressions over the in-row
+  *    token array (see [[segments]]) — zero exchanges, no window, no
+  *    object aggregate, no per-token rows anywhere;
   *  - survivor election groups 16-byte MD5 digests (the d01 exactness
   *    convention), never segment text;
   *  - the winner join back is hinted shuffle-hash with the narrow
@@ -46,38 +43,35 @@ import org.apache.spark.sql.functions._
   */
 object CdcDedup {
 
-  /** Per-token boundary hash: the d05 char fold
-    * `h = (h·31 + codepoint) mod 1e9+7` — cross-engine replicable
-    * (DuckDB `list_reduce`/`unicode`), ANSI-safe (stays far below
-    * 2^63). */
-  private def charFold(tok: Column): Column =
-    aggregate(
-      transform(filter(split(tok, ""), ch => ch =!= ""),
-        ch => ascii(ch).cast("long")),
-      lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
-
   /** Content-defined segments of every document: one row per segment,
     * `(id, seg_start, seg_text)` with `seg_start` the 1-based token
-    * ordinal of the segment's first token. */
+    * ordinal of the segment's first token.
+    *
+    * NARROW BY CONSTRUCTION: tokenization, boundary detection, and
+    * segment assembly run in ONE compiled pass per row
+    * ([[graft.functions.CdcSegmentsExpr]]) — no token explode, no
+    * per-doc window, no object aggregate, ZERO exchanges (plan-pinned
+    * in CdcDedupSpec). Two predecessors died at scale, both caught by
+    * the r11 sweep's gc_s/cpu_s attribution (which exists because of
+    * them): the posexplode → running-sum window → collect_list
+    * formulation pushed ~140M per-token structs through the heap at
+    * sf3 and went wall-tri-modal on GC (2.6/17.1/57.4 s, identical
+    * plan metrics, gc_s 3→187); its HOF replacement
+    * (aggregate-in-transform per token) fixed GC but ran interpreted,
+    * with JIT-dependent fresh-JVM CPU (147–2434 executor-CPU-s for the
+    * same plan). The kernel is deterministic and allocation-light, and
+    * segments are ~divisor× fewer rows than tokens, so everything
+    * downstream (digest groupBy, scrub join, per-doc rebuild) shuffles
+    * ~divisor× less. */
   def segments(docs: DataFrame, idCol: String, textCol: String,
       divisor: Int): DataFrame = {
     require(divisor >= 2, s"divisor=$divisor: expected >= 2")
-    val toks = docs
+    docs
       .select(col(idCol).as("_id"),
-        posexplode(TextFunctions.tokens(col(textCol)))
-          .as(Seq("_p", "_tok")))
-    val seg = toks.withColumn("_seg",
-      sum(when(charFold(col("_tok")) % divisor === 0, 1L).otherwise(0L))
-        .over(Window.partitionBy("_id").orderBy("_p")))
-    // the groupBy's (id, seg) clustering is satisfied by the window's
-    // id partitioning — no second exchange (PlanGuard-checked in spec)
-    seg.groupBy(col("_id"), col("_seg"))
-      .agg(
-        (min(col("_p")) + 1L).as("seg_start"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("_p"), col("_tok")))),
-            s => s.getField("_tok")), " ").as("seg_text"))
-      .drop("_seg")
+        explode(graft.functions.CdcSegment
+          .cdcSegments(col(textCol), divisor)).as("_s"))
+      .select(col("_id"), col("_s.seg_start").as("seg_start"),
+        col("_s.seg_text").as("seg_text"))
   }
 
   /** Segment-level keep-first dedup with document reconstruction:

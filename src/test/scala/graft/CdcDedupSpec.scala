@@ -13,8 +13,8 @@ import scala.util.Random
   * partition of the token stream, boundaries are shift-invariant
   * (the property fixed-width chunking lacks), keep-first survivorship
   * matches a brute-force reference on a collision-rich corpus, and the
-  * physical plans keep the shapes the scaladoc promises (one exchange
-  * for segmentation, zero for chunking).
+  * physical plans keep the shapes the scaladoc promises (zero
+  * exchanges for both segmentation and chunking).
   */
 class CdcDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -155,11 +155,11 @@ class CdcDedupSpec extends SparkSpec {
   private def shuffles(p: String): Int =
     "\\(\\d+\\) Exchange".r.findAllIn(p).length
 
-  test("plan: segmentation costs one exchange; the groupBy reuses the window partitioning") {
+  test("plan: segmentation is fully narrow — zero exchanges, no window") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = planOf(CdcDedup.segments(df, "doc_id", "text", 16))
-    assert(shuffles(p) == 1, s"expected 1 exchange:\n${p.take(600)}")
-    assert(!p.contains("Exchange SinglePartition"), p.take(400))
+    assert(shuffles(p) == 0, s"expected 0 exchanges:\n${p.take(600)}")
+    assert(!p.contains("Window"), p.take(400))
   }
 
   test("plan: chunking is fully narrow (zero exchanges) and codegen'd") {
