@@ -48,6 +48,23 @@ object FamDiag {
           index, 16)
         timed("full scrub")(noop(full))
         println(full.queryExecution.executedPlan.toString.take(12000))
+      case "mass" =>
+        // ground truth for the d44/d46 byte-scaling question: how does
+        // the corpus's REPEATED-gram mass (the pass-2 shuffle driver)
+        // actually scale? (occurrence-counted, hash-level — exactly
+        // what repeatedHashPositions keeps)
+        val g = docs.filter(length(col("text")) >= 40)
+          .select(col("doc_id").as("_id"),
+            explode(transform(
+              sequence(lit(1), length(col("text")) - 39),
+              p => xxhash64(col("text").substr(p, lit(40))))).as("_gh"))
+        val dup = g.groupBy(col("_gh")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+        val total = timed("total positions")(g.count())
+        val stats = timed("dup hash stats")(
+          dup.agg(count(lit(1)), sum(col("c")), max(col("c"))).head())
+        println(s"total=$total dupHashes=${stats.getLong(0)} " +
+          s"dupMass=${stats.getLong(1)} maxOcc=${stats.getLong(2)}")
       case _ =>
         val q = SparkEntry.queries("d51_curation_pipeline")
         val df = q(spark, dir)

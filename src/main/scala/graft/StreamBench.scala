@@ -248,6 +248,55 @@ object StreamBench {
       s""""value":${f1(segDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${segProgress.length},""" +
       s""""fully_scrubbed":${segScrubbed.get()},"sf":"$corpusDir"}""")
+
+    // Sixth modality: semantic decontam-on-ingest — IVF-probed cosine
+    // hits of each arriving embedding against the pinned corpus index
+    // (the embedding-space face of the decontam family). Probe payload
+    // is nProbe list probes per vector, map-side assigned against
+    // plan-time centroid literals; only the batch side exchanges.
+    // Self-replay: every vector's own cell is probed first, so hits
+    // re-discover the corpus's near-neighbor structure (self-pairs
+    // excluded by id inside the operator).
+    val emb = Tables.load(spark, corpusDir, "embeddings")
+    val vecN = emb.count()
+    val semCentroids = FrameCache.cached(spark,
+      s"streambench_semcent:$corpusDir", persist = false) {
+      graft.operators.IvfIndex.fit(emb, "vec_id", "embedding",
+        k = graft.operators.IvfIndex.kFor(vecN), iters = 3)
+    }
+    val semIdx = FrameCache.cached(spark,
+      s"streambench_semidx:$corpusDir") {
+      graft.operators.IvfIndex.buildSemanticIndex(
+        emb, "vec_id", "embedding", semCentroids)
+        .repartition(cpus.toInt, col("centroid_id"))
+    }
+    semIdx.count() // materialize outside the measured window
+    val semCheckpoint = java.nio.file.Files
+      .createTempDirectory("graft_streambench_sem_ckpt").toString
+    val semStream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$corpusDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val semHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val semQuery = graft.operators.IvfIndex.semanticProbeStream(
+      semStream, "vec_id", "embedding", semIdx, semCentroids,
+      tau = 0.8, nProbe = 2, semCheckpoint) { (hits, _) =>
+      semHits.addAndGet(hits.count())
+    }.start()
+    semQuery.processAllAvailable()
+    semQuery.stop()
+    val semProgress = semQuery.recentProgress.filter(_.numInputRows > 0)
+    val semSteady = semProgress.drop(1)
+    val semVecsSec =
+      if (semSteady.isEmpty) 0.0
+      else semSteady.map(_.numInputRows).sum.toDouble /
+        (semSteady.map(_.durationMs.get("triggerExecution").toLong)
+          .sum / 1e3)
+    println(s"""{"metric":"stream_semantic_vecs_per_sec",""" +
+      s""""value":${f1(semVecsSec)},"unit":"vecs/sec",""" +
+      s""""corpus_vecs":$vecN,"batches":${semProgress.length},""" +
+      s""""hits":${semHits.get()},"sf":"$corpusDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowed k-gram fingerprints of a string column (Schleimer, Wilkerson
@@ -36,20 +36,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside whole-stage codegen via a static call, emitting only the
   * ~2n/(w+1) survivors.
   *
-  * Output: `array<long>`, each element packing
-  * `(codepoint_position_1based << 32) | (hash32 & 0xffffffff)`.
-  * Positions count Unicode CODE POINTS from 1, exactly the positional
-  * semantics of SQL `substring`, so a fingerprint's position can be fed
-  * straight back into `substr` during pair verification. The 32-bit
-  * mixed hash is a join key, not an identity claim — downstream
-  * verification re-compares real substrings, so a 2⁻³² collision costs
-  * one wasted check, never a wrong answer.
+  * Output: `array<struct<p: int, h: long>>` — `p` counts Unicode CODE
+  * POINTS from 1, exactly the positional semantics of SQL `substring`,
+  * so a fingerprint's position can be fed straight back into `substr`
+  * during pair verification; `h` is the FULL 64-bit mixed gram hash.
+  * The hash is a join key, not an identity claim — verification
+  * re-compares real substrings, so a collision costs one wasted check,
+  * never a wrong answer. The width still matters for VOLUME: the first
+  * form packed (pos << 32 | hash32) into one long, and at the 100×
+  * corpus the 32-bit key saturated — ~12M fingerprints give ~17M
+  * birthday-collision candidate PAIRS (quadratic in corpus; measured
+  * as d45's 9.4× shuffle for 3.33× data in the r11 third-decade
+  * sweep). At 64 bits the expected collision count at the same scale
+  * is ~10⁻⁵ — candidate volume tracks true repetition again.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
-  override def dataType: DataType =
-    ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -59,14 +67,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Winnow.select(input.asInstanceOf[UTF8String], k, w))
+    Winnow.selectRows(input.asInstanceOf[UTF8String], k, w)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
-        s".fromPrimitiveArray(graft.functions.Winnow.select($c, $k, $w))")
+      s"graft.functions.Winnow.selectRows($c, $k, $w)")
 
   override protected def withNewChildInternal(
       newChild: Expression): WinnowFingerprints = copy(child = newChild)
@@ -74,9 +80,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
 object Winnow {
 
-  /** Column API: selected fingerprints as packed
-    * `(pos1based << 32) | hash32` longs; empty array when the text holds
-    * fewer than k code points.
+  /** Column API: selected fingerprints as `struct<p: int, h: long>`
+    * rows (1-based codepoint position, 64-bit mixed hash); empty array
+    * when the text holds fewer than k code points.
     */
   def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
     require(k >= 1, s"gram length k must be >= 1, got $k")
@@ -88,33 +94,34 @@ object Winnow {
 
   private final val B = 1000003L
 
-  /** murmur3-style 64→32 finalizer: the raw polynomial hash is weak in
+  /** murmur3-style 64-bit finalizer: the raw polynomial hash is weak in
     * its low positions (last character only touches the low bits); the
     * avalanche makes the winnowing min-order effectively uniform, which
     * is what keeps the selected density near 2/(w+1).
     */
-  private def mix(x: Long): Int = {
+  private def mix(x: Long): Long = {
     var h = x
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
     h ^= h >>> 33
-    h.toInt
+    h
   }
 
-  /** One-pass kernel, called from generated code. Rolling polynomial
-    * k-gram hash over CODE POINTS (mod 2⁶⁴ by natural overflow — both
-    * sides of any comparison use the identical map, and the downstream
-    * contract verifies real substrings) + a monotonic deque holding
-    * candidate minima: back-popping on `≥` makes the front the RIGHTMOST
-    * window minimum, the tie rule the winnowing guarantee requires
-    * (leftmost ties would let selection depend on context outside the
-    * shared region). Each selected position is emitted once.
+  /** One-pass kernel. Rolling polynomial k-gram hash over CODE POINTS
+    * (mod 2⁶⁴ by natural overflow — both sides of any comparison use
+    * the identical map, and the downstream contract verifies real
+    * substrings) + a monotonic deque holding candidate minima:
+    * back-popping on `≥` makes the front the RIGHTMOST window minimum,
+    * the tie rule the winnowing guarantee requires (leftmost ties would
+    * let selection depend on context outside the shared region). Each
+    * selected position is emitted once. Returns FLAT (pos1based,
+    * hash64) long pairs — [[selectRows]] wraps them for SQL.
     */
   def select(text: UTF8String, k: Int, w: Int): Array[Long] = {
     val cps = text.toString.codePoints().toArray
     val n = cps.length - k + 1
     if (n <= 0) return Array.emptyLongArray
-    val hs = new Array[Int](n)
+    val hs = new Array[Long](n)
     var bk = 1L
     var i = 0
     while (i < k - 1) { bk *= B; i += 1 }
@@ -129,7 +136,7 @@ object Winnow {
       i += 1
     }
     val ww = if (w < n) w else n
-    val out = new Array[Long](n)
+    val out = new Array[Long](2 * n)
     var nOut = 0
     val deque = new Array[Int](n)
     var head = 0
@@ -138,17 +145,35 @@ object Winnow {
     i = 0
     while (i < n) {
       while (tail > head &&
-        Integer.compareUnsigned(hs(deque(tail - 1)), hs(i)) >= 0) tail -= 1
+        java.lang.Long.compareUnsigned(hs(deque(tail - 1)), hs(i)) >= 0)
+        tail -= 1
       deque(tail) = i
       tail += 1
       if (deque(head) <= i - ww) head += 1
       if (i >= ww - 1 && deque(head) != last) {
         last = deque(head)
-        out(nOut) = ((last + 1).toLong << 32) | (hs(last) & 0xffffffffL)
+        out(2 * nOut) = (last + 1).toLong
+        out(2 * nOut + 1) = hs(last)
         nOut += 1
       }
       i += 1
     }
-    if (nOut == n) out else java.util.Arrays.copyOf(out, nOut)
+    if (nOut == n) out else java.util.Arrays.copyOf(out, 2 * nOut)
+  }
+
+  /** [[select]] wrapped as `array<struct<p, h>>` rows, called from
+    * generated code. */
+  def selectRows(text: UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val flat = select(text, k, w)
+    val out = new Array[Any](flat.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(
+          Array[Any](flat(2 * i).toInt, flat(2 * i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -221,4 +221,114 @@ object IvfIndex {
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  private[graft] val StampKey = "graft.ivf.stamp"
+
+  /** Order-stable fingerprint of a centroid family, rounded to 1e-9 —
+    * detects a DIFFERENT family (different k, different training data,
+    * different iteration count), not float noise. Driver-side over the
+    * k·dim-double model, same bounded footprint as [[centroidLits]]. */
+  private[graft] def centroidStamp(centroids: DataFrame): Long = {
+    val lits = centroidLits(centroids)
+    lits.foldLeft(lits.length.toLong) { (h, c) =>
+      c.foldLeft(h)((a, x) =>
+        a * 1000003L +
+          java.lang.Double.hashCode(math.rint(x * 1e9) / 1e9))
+    }
+  }
+
+  /** Pinned reference index for semantic scrub-on-ingest: the corpus
+    * assigned to inverted lists with norms precomputed, the centroid
+    * family's fingerprint stamped into `centroid_id`'s metadata. A
+    * probe run against an index built from DIFFERENT centroids would
+    * probe the wrong lists and silently miss true neighbors — the same
+    * silent-divergence mode as a mismatched EdJoin k or CDC divisor,
+    * prevented the same way: [[semanticHits]] `require`s the stamp.
+    * Callers pin this repartitioned by `centroid_id` so every batch
+    * join reuses the partitioning and only the batch side exchanges.
+    */
+  def buildSemanticIndex(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(StampKey, centroidStamp(centroids)).build()
+    assign(corpus, idCol, vecCol, centroids)
+      .withColumn("cnrm", VectorFunctions.norm(col("v")))
+      .select(col("centroid_id").as("centroid_id", meta),
+        col("id").as("corpus_id"), col("v").as("cv"), col("cnrm"))
+  }
+
+  private def requireStamp(index: DataFrame,
+      centroids: DataFrame): Unit = {
+    val stamped = index.schema.find(_.name == "centroid_id")
+      .map(_.metadata).filter(_.contains(StampKey))
+      .map(_.getLong(StampKey))
+    stamped match {
+      case Some(s) =>
+        val now = centroidStamp(centroids)
+        require(s == now,
+          s"semantic index was built from a different centroid family " +
+            s"(stamp $s vs $now) — rebuild via IvfIndex.buildSemanticIndex")
+      case None => throw new IllegalArgumentException(
+        "index carries no centroid stamp on centroid_id (metadata '" +
+          StampKey + "') — build it with IvfIndex.buildSemanticIndex")
+    }
+  }
+
+  /** Semantic contamination hits of a (micro-)batch against the pinned
+    * index: every (new_id, corpus_id, cosine) with cosine ≥ `tau`
+    * among the batch vector's `nProbe` nearest lists. EXACT for the
+    * probed-lists contract (every corpus vector in a probed list is
+    * scored with the true cosine — SemanticStreamSpec pins equality
+    * with a brute-force bipartite join restricted to probed cells);
+    * recall beyond the probed lists is the standard IVF trade,
+    * measured in `RecallSpec` for the same machinery.
+    *
+    * Scale shape: probes assign map-side (centroids are plan-time
+    * literals), the join is hinted shuffle-hash with the BATCH side as
+    * build (a corpus-scaled index must never broadcast, and never be
+    * the hash build), so the pinned index streams through its own
+    * partitioning. Join width is bounded by the probed lists' sizes —
+    * the [[listStats]] imbalance dial is the operational guard.
+    */
+  def semanticHits(index: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, tau: Double,
+      nProbe: Int): DataFrame = {
+    requireStamp(index, centroids)
+    val pr = probes(batch, idCol, vecCol, centroids, nProbe)
+    index.join(pr.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("qnrm") * col("cnrm") === 0.0, 0.0)
+          .otherwise(VectorFunctions.dot(col("qv"), col("cv")) /
+            (col("qnrm") * col("cnrm"))))
+      .filter(col("cosine") >= tau)
+      .select(col("query_id").as("new_id"), col("corpus_id"),
+        col("cosine"))
+  }
+
+  /** Streaming face of [[semanticHits]] — semantic decontam-on-ingest,
+    * the sixth ingest modality (token near-dup, char-edit, verbatim
+    * run, gram scrub, segment scrub, and now embedding space): each
+    * micro-batch of (id, embedding) rows is probed against the pinned
+    * corpus index and its ≥-tau neighbor pairs emitted through `sink`
+    * with the batch id. Stateless per batch; the index is the only
+    * cross-batch artifact. Same at-least-once/foreachBatch contract as
+    * every other probe: the sink must be idempotent keyed on batchId
+    * (delete-then-insert, never blind append) — SemanticStreamSpec's
+    * crash-redelivery test verifies the discipline.
+    */
+  def semanticProbeStream(stream: DataFrame, idCol: String,
+      vecCol: String, index: DataFrame, centroids: DataFrame,
+      tau: Double, nProbe: Int, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    requireStamp(index, centroids)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(semanticHits(index, batch, idCol, vecCol, centroids,
+          tau, nProbe), batchId)
+      }
+  }
 }

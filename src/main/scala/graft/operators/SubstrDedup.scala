@@ -49,9 +49,10 @@ object SubstrDedup {
 
   /** Winnowed fingerprint relation: one (id, pos, h) row per SELECTED
     * k-gram position, k = minLen − w + 1. `pos` is the 1-based
-    * codepoint position (feedable to `substr`), `h` the 32-bit mixed
-    * gram hash as an unsigned value in a long, stamped with
-    * (minLen, w) in its column metadata ([[MinLenMetaKey]]).
+    * codepoint position (feedable to `substr`), `h` the FULL 64-bit
+    * mixed gram hash (32 bits saturate at corpus scale — see
+    * [[graft.functions.WinnowFingerprints]]), stamped with (minLen, w)
+    * in its column metadata ([[MinLenMetaKey]]).
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    minLen: Int, w: Int): DataFrame = {
@@ -65,8 +66,8 @@ object SubstrDedup {
         explode(graft.functions.Winnow
           .winnowFingerprints(col(textCol), k, w)).as("_f"))
       .select(col(idCol),
-        shiftright(col("_f"), 32).cast("int").as("_pos"),
-        col("_f").bitwiseAND(lit(0xffffffffL)).as("_h", meta))
+        col("_f.p").as("_pos"),
+        col("_f.h").as("_h", meta))
   }
 
   /** The anchor-verification predicate shared by the batch join and the
@@ -105,31 +106,56 @@ object SubstrDedup {
       .select(col("_id"), col("_pg.p").as("p"), col("_pg.g").as("g"),
         xxhash64(col("_pg.g")).as("_gh"))
 
+  /** String-free position relation (id, p, 64-bit gram hash) — the
+    * probe side of the repeated-subset pass. */
+  private def hashRows(docs: DataFrame, idCol: String, textCol: String,
+                       L: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= L)
+      .select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .select(col("_id"),
+        explode(transform(
+          sequence(lit(1), length(col("_t")) - (L - 1)),
+          p => struct(p.as("p"),
+            xxhash64(col("_t").substr(p, lit(L))).as("_gh")))).as("_pg"))
+      .select(col("_id"), col("_pg.p").as("p"), col("_pg._gh").as("_gh"))
+
   /** Positions whose gram's 64-bit hash occurs more than once in the
     * corpus — a SUPERSET of every position of every repeated gram (a
     * gram in ≥ 2 docs, or twice in one, occurs ≥ 2 times, so its hash
     * count is ≥ 2; collisions only ADD positions, and downstream
     * regrouping by the REAL gram string removes them exactly).
     *
-    * This is the load-bearing scale move for the exhaustive family:
-    * pass 1 shuffles 16-byte (hash) rows for every position and keeps
-    * only repeated hashes; pass 2 re-derives gram STRINGS from the
-    * scan and ships them only for this surviving subset. The naive
-    * single pass shuffled every L-codepoint gram string and spilled
-    * 3.9 GB at sf3 (r11 ScaleBench); unique grams — the overwhelming
-    * majority of any real corpus — now never leave their scan task in
-    * string form.
+    * This is the load-bearing scale move for the exhaustive family,
+    * and the THIRD-decade sweep corrected its first form: pass 1
+    * shuffles 16-byte hash counts for every position; pass 2 semi-joins
+    * STRING-FREE (id, p, hash) rows against the surviving hashes; only
+    * then are gram strings re-derived — one `substr` per SURVIVING
+    * position, off a single text join (texts build the hash side,
+    * corpus-linear and ~L× smaller than the gram mass). The previous
+    * form ran the semi join over rows already CARRYING their gram
+    * strings, so every position's string rode the `_gh` exchange:
+    * invisible through sf3, but at sf10 d44's shuffle read 10.5× for
+    * 3.33× data (5997 MB) and d46's 27.6× — against a ground-truthed
+    * LINEAR duplicated mass (FamDiag `mass`: dup positions 3.55M→11.84M
+    * = 3.33×). After: strings shuffle only for the duplicated subset,
+    * bytes track dupMass, and the naive-one-pass history (3.9 GB spill
+    * at sf3, STATUS r11 §7) stays fixed.
     */
   private def repeatedHashPositions(docs: DataFrame, idCol: String,
                                     textCol: String, L: Int): DataFrame = {
-    val g = gramRows(docs, idCol, textCol, L)
-    val dup = g.groupBy(col("_gh")).agg(count(lit(1)).as("_c"))
+    val gh = hashRows(docs, idCol, textCol, L)
+    val dup = gh.groupBy(col("_gh")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1)
       .select(col("_gh"))
-    // dup scales with corpus DUPLICATION — another frame Catalyst's
+    // dup scales with corpus DUPLICATION — a frame Catalyst's
     // aggregate size estimate can wrongly auto-broadcast (the d46
     // starts-frame failure mode); pin a distributed build
-    g.join(dup.hint("shuffle_hash"), Seq("_gh"), "left_semi")
+    val surv = gh.join(dup.hint("shuffle_hash"), Seq("_gh"), "left_semi")
+    surv
+      .join(docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
+        .hint("shuffle_hash"), Seq("_id"))
+      .select(col("_id"), col("p"),
+        col("_t").substr(col("p"), lit(L)).as("g"), col("_gh"))
   }
 
   /** EXACT: all distinct `L`-codepoint substrings occurring in ≥ 2

@@ -113,6 +113,25 @@ class CurationSpec extends SparkSpec {
       "host survives: the contained doc never entered the corpus")
   }
 
+  test("plan: scans prune n_chars; rates broadcast; no cartesian on " +
+    "the data path") {
+    val df = SparkEntry.queries("d51_curation_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      val cols = r.split(",").map(_.takeWhile(_ != ':').trim).toSet
+      assert(cols.subsetOf(Set("doc_id", "text", "lang", "source")),
+        s"over-wide scan: $r")
+    }
+    // the per-language rates and grand totals ride broadcasts; the only
+    // nested-loop is the broadcast 1-row grand frame, never data×data
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("uniform corpus keeps mixture rate at 100% and drops nothing " +
     "at the mixture stage") {
     // 2 langs × 3 docs each, all distinct, no containment: every doc

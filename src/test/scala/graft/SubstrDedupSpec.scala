@@ -18,11 +18,12 @@ import scala.util.Random
   */
 class SubstrDedupSpec extends SparkSpec {
 
-  private def fps(s: String, k: Int, w: Int): Array[Long] =
+  // kernel output is FLAT (pos, hash64) pairs — regroup for assertions
+  private def fps(s: String, k: Int, w: Int): Seq[(Int, Long)] =
     Winnow.select(UTF8String.fromString(s), k, w)
+      .grouped(2).map(p => (p(0).toInt, p(1))).toSeq
 
-  private def positions(a: Array[Long]): Seq[Int] =
-    a.map(x => (x >>> 32).toInt).toSeq
+  private def positions(a: Seq[(Int, Long)]): Seq[Int] = a.map(_._1)
 
   test("kernel: empty below k, single fingerprint at exactly k") {
     assert(fps("abc", 4, 3).isEmpty)
@@ -70,10 +71,8 @@ class SubstrDedupSpec extends SparkSpec {
       val (p2, s2) = host(r.nextInt(40), r.nextInt(40))
       val a = p1 + shared + s1
       val b = p2 + shared + s2
-      val fa = fps(a, k, w).map(x =>
-        ((x >>> 32).toInt - p1.length, x.toInt)).toSet
-      val fb = fps(b, k, w).map(x =>
-        ((x >>> 32).toInt - p2.length, x.toInt)).toSet
+      val fa = fps(a, k, w).map { case (p, h) => (p - p1.length, h) }.toSet
+      val fb = fps(b, k, w).map { case (p, h) => (p - p2.length, h) }.toSet
       // common fingerprint at the SAME offset relative to the run, with
       // that offset inside [1, w] (gram start within the run's window)
       val common = fa.intersect(fb)
