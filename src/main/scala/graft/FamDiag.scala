@@ -23,10 +23,27 @@ object FamDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          shufW.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(
+            s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        }
+      })
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()
+      val w0 = shufW.get; val r0 = shufR.get
       val r = body
-      println(f"phase $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      Thread.sleep(400) // listener drain
+      println(f"phase $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  w=${(shufW.get - w0) / 1e6}%9.1f MB r=${
+          (shufR.get - r0) / 1e6}%9.1f MB")
       r
     }
     def noop(df: DataFrame): Unit =
@@ -65,6 +82,43 @@ object FamDiag {
           dup.agg(count(lit(1)), sum(col("c")), max(col("c"))).head())
         println(s"total=$total dupHashes=${stats.getLong(0)} " +
           s"dupMass=${stats.getLong(1)} maxOcc=${stats.getLong(2)}")
+      case "d40parts" =>
+        // phase split of the EdJoin gram path (diagnostic replica of
+        // editPairs' stages) — attributing the sf10 write growth
+        import org.apache.spark.sql.expressions.Window
+        val s0 = docs
+          .select(col("doc_id").as("_id"), col("lang"), col("source"),
+            substring(col("text"), 1, 120).as("_str"))
+          .filter(length(col("_str")) >= 6)
+        val q6 = 6; val k = 6
+        val grams = s0.select(col("_id"), explode(array_distinct(
+          expr(s"transform(sequence(1, length(_str) - ${q6 - 1})," +
+            s" i -> substring(_str, i, $q6))"))).as("gram"))
+        val dfreq = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("gram_df"))
+        timed("grams+dfreq")(noop(dfreq))
+        val byRarity = Window.partitionBy(col("_id"))
+          .orderBy(col("gram_df"), col("gram"))
+        val prefix = grams.join(dfreq, Seq("gram"))
+          .withColumn("pos",
+            org.apache.spark.sql.functions.row_number().over(byRarity))
+          .filter(col("pos") <= k * q6 + 1)
+          .select(col("_id"), col("gram"))
+          .join(s0.withColumn("_len", length(col("_str"))), Seq("_id"))
+        timed("prefix index")(noop(prefix))
+        val n = spark.sparkContext.defaultParallelism
+        val a = prefix.select(col("gram"), col("_id").as("id_a"),
+            col("_str").as("sa"), col("_len").as("la"),
+            col("lang"), col("source"))
+          .repartition(n, col("id_a"))
+        val b = prefix.select(col("gram"), col("_id").as("id_b"),
+          col("_str").as("sb"), col("_len").as("lb"),
+          col("lang"), col("source"))
+        val cands = a.join(b, Seq("gram", "lang", "source"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(abs(col("la") - col("lb")) <= k)
+        println("candidate rows: " + timed("gram join count")(
+          cands.count()))
       case _ =>
         val q = SparkEntry.queries("d51_curation_pipeline")
         val df = q(spark, dir)

@@ -279,9 +279,12 @@ object StreamBench {
       .parquet(s"$corpusDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val semHits = new java.util.concurrent.atomic.AtomicLong(0)
+    // tau matches s03's near-dup contract (0.4): this corpus has no
+    // cosine-0.8 pairs at all, and a zero-hit replay would leave the
+    // join's probe->hit path unexercised in the measured window
     val semQuery = graft.operators.IvfIndex.semanticProbeStream(
       semStream, "vec_id", "embedding", semIdx, semCentroids,
-      tau = 0.8, nProbe = 2, semCheckpoint) { (hits, _) =>
+      tau = 0.4, nProbe = 2, semCheckpoint) { (hits, _) =>
       semHits.addAndGet(hits.count())
     }.start()
     semQuery.processAllAvailable()

@@ -283,15 +283,48 @@ object SubstrDedup {
     * index build, not the probe hot path (the d43/t19 "index is the
     * stored table" discipline).
     */
+  /** Packed (id, pos) representative: ids up to 2⁴³, positions up to
+    * 2²⁰ (a position is a codepoint offset in one document; 1M-char
+    * documents are far beyond this corpus and the require makes the
+    * bound explicit). Packing keeps the min-representative aggregate a
+    * PRIMITIVE codegen HashAggregate — `min(struct(...))` forces
+    * ObjectHashAggregate, whose per-group JVM buffers made the sf10
+    * index build GC-bound (gc_s up to 195 on identical plan metrics).
+    */
+  private val PosBits = 20
+
   def scrubIndex(reference: DataFrame, idCol: String, textCol: String,
                  L: Int): DataFrame = {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(ScrubLMetaKey, L.toLong).build()
-    gramRows(reference, idCol, textCol, L)
+    // overflow past PosBits would unpack to a wrong representative
+    // and silently UNDER-cut (verification can kill extra candidates,
+    // not resurrect missed ones) — fail loudly instead
+    def packed = {
+      val p = when(col("p") < lit(1 << PosBits), col("p"))
+        .otherwise(raise_error(lit(
+          s"document exceeds 2^$PosBits codepoints; widen PosBits"))
+          .cast("int"))
+      shiftleft(col("_id"), PosBits) + p
+    }
+    def unpack(df: DataFrame): DataFrame = df.select(
+      col("_gh").as("_gh", meta),
+      shiftright(col("_rep"), PosBits).as("_rid"),
+      (col("_rep").bitwiseAND(lit((1L << PosBits) - 1)))
+        .cast("int").as("_rpos"))
+    // One pass, string-keyed groups, PRIMITIVE packed agg value.
+    // min(struct(...)) would force ObjectHashAggregate (per-group JVM
+    // buffers — GC-fragile over 39M groups); the packed long keeps the
+    // aggregate in codegen'd UnsafeRow form. A d44-style two-pass
+    // (hash-only singles + string re-derivation for repeated hashes)
+    // was built and MEASURED at sf10: 7758 MB shuffle vs this shape's
+    // 6539 — the extra hash pass costs more than the gram strings it
+    // saves at this corpus's ~9% duplication rate, so the two-pass was
+    // reverted (negative result; it would win on corpora where
+    // duplicated mass ≪ total and strings ≫ 16 bytes).
+    unpack(gramRows(reference, idCol, textCol, L)
       .groupBy(col("_gh"), col("g"))
-      .agg(min(struct(col("_id"), col("p"))).as("_rep"))
-      .select(col("_gh").as("_gh", meta),
-        col("_rep._id").as("_rid"), col("_rep.p").as("_rpos"))
+      .agg(min(packed).as("_rep")))
   }
 
   /** (_id, p) start positions in `arrivals` covered by an L-gram that
@@ -312,13 +345,21 @@ object SubstrDedup {
     // instead: distributed, per-partition bounded, and a pinned
     // _gh-partitioned stream index keeps its partitioning reused with
     // only the batch side exchanging (the editProbeStream contract).
-    val cand = gramRows(arrivals, idCol, textCol, L)
+    // STRING-FREE probe (the d44 family invariant — no gram string
+    // ever shuffles): candidates are (id, p, hash) triples; both gram
+    // texts are re-derived by substr at verification, off the two
+    // pinned/batch TEXT relations (each ~L× smaller than its gram
+    // mass). For the streaming face this is the per-batch payload.
+    val cand = hashRows(arrivals, idCol, textCol, L)
       .hint("shuffle_hash")
       .join(refIdx, Seq("_gh"))
     refTexts
       .select(col(idCol).as("_rid"), col(textCol).as("_rtxt"))
       .join(cand.hint("shuffle_hash"), Seq("_rid"))
-      .filter(col("_rtxt").substr(col("_rpos"), lit(L)) === col("g"))
+      .join(arrivals.select(col(idCol).as("_id"),
+        col(textCol).as("_atxt")).hint("shuffle_hash"), Seq("_id"))
+      .filter(col("_rtxt").substr(col("_rpos"), lit(L)) ===
+        col("_atxt").substr(col("p"), lit(L)))
       .select(col("_id"), col("p"))
   }
 
