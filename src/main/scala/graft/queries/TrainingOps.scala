@@ -331,6 +331,31 @@ object TrainingOps extends QueryPack {
       Similarity.nearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, planes = Similarity.planesFor(embCount(s, dir)))
     },
+    "s16_semantic_decontam_pairs" -> { (s, dir) =>
+      // the batch face of the sixth ingest modality (semantic
+      // decontam): src0's vectors probed against the OTHER sources'
+      // pinned IVF index — every (new, corpus) pair with cosine ≥ 0.4
+      // among the probe's 2 nearest lists, deterministic under ties by
+      // construction (hits are a set, no ranking). EXACT for the
+      // probed-lists contract (SemanticStreamSpec pins equality with a
+      // brute-force bipartite join restricted to probed cells);
+      // rows-only at the gate like every trained-centroid query (cell
+      // assignment depends on float k-means output — no DuckDB
+      // replica). The centroid family is fingerprint-stamped into the
+      // index and enforced at probe time. The docs→embeddings bridge
+      // is vec_id ≡ doc_id here (TESTDATA: embeddings are per-doc).
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").as("vec_id"), col("source"))
+      val tagged = emb.join(docs, Seq("vec_id"))
+      val centroids = ivfCentroids(s, dir)
+      val index = graft.operators.IvfIndex.buildSemanticIndex(
+        tagged.filter(col("source") =!= "src0"),
+        "vec_id", "embedding", centroids)
+      graft.operators.IvfIndex.semanticHits(index,
+        tagged.filter(col("source") === "src0"),
+        "vec_id", "embedding", centroids, tau = 0.4, nProbe = 2)
+    },
     "s14_semdedup_survivors" -> { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): semantic dedup in embedding
       // space — coarse k-means cells (the session-cached IVF
