@@ -77,6 +77,22 @@ object CdcDedup {
   /** Segment-level keep-first dedup with document reconstruction:
     * `(id, clean_text, n_segs, n_kept)`. Documents whose every segment
     * was first seen elsewhere come back with `clean_text = ''`. */
+  /** Packed (id, seg_start) winner key: ordinals up to 2²⁰ tokens per
+    * document (guarded — overflow would elect a wrong winner
+    * silently). min over the packed long is lexicographic min over
+    * (id, start), and — the reason to pack — a PRIMITIVE min stays a
+    * codegen HashAggregate where `min(struct(...))` plans as
+    * Sort + SortAggregate on both sides of the exchange (seen in the
+    * captured d48 plan; the d47 scrub-index lesson applied here). */
+  private val StartBits = 20
+  private def packedWinner: Column = {
+    val s = when(col("seg_start") < lit(1L << StartBits), col("seg_start"))
+      .otherwise(raise_error(lit(
+        s"document exceeds 2^$StartBits tokens; widen StartBits"))
+        .cast("long"))
+    shiftleft(col("_id"), StartBits) + s
+  }
+
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       divisor: Int): DataFrame = {
     val segs = segments(docs, idCol, textCol, divisor)
@@ -85,12 +101,10 @@ object CdcDedup {
     // Digest-keyed groupBy — 16 bytes per row shuffles, never the text.
     val winners = segs
       .groupBy(col("_d"))
-      .agg(min(struct(col("_id"), col("seg_start"))).as("_w"))
+      .agg(min(packedWinner).as("_w"))
     // build on the narrow winners frame; text-bearing rows stream
     val flagged = segs.join(winners.hint("shuffle_hash"), "_d")
-      .withColumn("_keep",
-        col("_w._id") === col("_id") &&
-          col("_w.seg_start") === col("seg_start"))
+      .withColumn("_keep", col("_w") === packedWinner)
     val rebuilt = flagged.groupBy(col("_id"))
       .agg(
         count(lit(1)).as("n_segs"),
@@ -100,8 +114,12 @@ object CdcDedup {
             array_sort(collect_list(
               when(col("_keep"), struct(col("seg_start"), col("seg_text"))))),
             s => s.getField("seg_text")), " ").as("clean_text"))
+    // rebuilt is CORPUS-SCALED (one row per doc, carrying clean_text):
+    // the sf0.01 plan capture showed Catalyst auto-broadcasting it —
+    // the d46/d47 driver-kill mode, latent until a larger SF. Pin a
+    // distributed build.
     docs.select(col(idCol).as("_id"))
-      .join(rebuilt, Seq("_id"), "left")
+      .join(rebuilt.hint("shuffle_hash"), Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
@@ -176,8 +194,9 @@ object CdcDedup {
             array_sort(collect_list(
               when(col("_keep"), struct(col("seg_start"), col("seg_text"))))),
             s => s.getField("seg_text")), " ").as("clean_text"))
+    // same corpus-scaled-frame discipline as segmentDedup's rebuild
     arrivals.select(col(idCol).as("_id"))
-      .join(rebuilt, Seq("_id"), "left")
+      .join(rebuilt.hint("shuffle_hash"), Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),

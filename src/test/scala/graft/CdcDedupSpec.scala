@@ -162,6 +162,19 @@ class CdcDedupSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(400))
   }
 
+  test("plan: dedup never broadcasts a corpus-scaled frame and never " +
+    "sorts for the winner election") {
+    // parquet-backed so size estimates behave like production scans
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val p = planOf(CdcDedup.segmentDedup(df, "doc_id", "text", 16))
+    // the rebuilt (per-doc clean_text) frame auto-broadcast at sf0.01
+    // in the first capture — the d46/d47 driver-kill mode
+    assert(!p.contains("BroadcastExchange"), p.take(800))
+    // packed winner keeps min() a hash aggregate; min(struct) planned
+    // Sort + SortAggregate on both sides of the exchange
+    assert(!p.contains("SortAggregate"), p.take(800))
+  }
+
   test("plan: chunking is fully narrow (zero exchanges) and codegen'd") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = planOf(CdcDedup.chunks(df, "doc_id", "text", 32, 24))
