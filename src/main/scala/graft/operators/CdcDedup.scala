@@ -90,7 +90,17 @@ object CdcDedup {
       .otherwise(raise_error(lit(
         s"document exceeds 2^$StartBits tokens; widen StartBits"))
         .cast("long"))
-    shiftleft(col("_id"), StartBits) + s
+    // The id side needs the same loud guard: an id ≥ 2^(63−StartBits)
+    // overflows the packed long, and an IntegerType id would make
+    // shiftleft wrap at id ≥ 2^11 — both elect a wrong keep-first
+    // winner SILENTLY, the exact failure the seg_start guard exists to
+    // prevent. Cast to long first so the shift is always 64-bit.
+    val id = when(col("_id").cast("long") < lit(1L << (63 - StartBits)),
+        col("_id").cast("long"))
+      .otherwise(raise_error(lit(
+        s"id exceeds 2^${63 - StartBits}; widen the packed-winner key"))
+        .cast("long"))
+    shiftleft(id, StartBits) + s
   }
 
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,

@@ -70,7 +70,16 @@ object IvfIndex {
     require(sample.nonEmpty, "IvfIndex.fit: empty corpus")
     val dim = sample(0).length
 
-    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
+    // k is capped at the sample size: callers sizing k from the FULL
+    // corpus count (kFor(n) ≈ n/250 exceeds sampleCap=65536 beyond
+    // ~16.4M vectors) would otherwise get a silently smaller family
+    // from sample.take(k). Cap loudly instead of truncating silently.
+    val kEff = math.min(k, sample.length)
+    if (kEff < k)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IvfIndex.fit: k=$k exceeds sample size ${sample.length}; " +
+          s"training $kEff centroids (raise sampleCap for more)")
+    var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)

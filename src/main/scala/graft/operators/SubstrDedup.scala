@@ -77,7 +77,7 @@ object SubstrDedup {
     * true run the selected gram sits at most w−1 positions past the
     * run's start at the SAME offset on both sides; bounds guards keep
     * truncated `substr` results from comparing equal, which also kills
-    * 32-bit hash collisions at the cost of one check.
+    * 64-bit hash collisions at the cost of one check.
     */
   private[graft] def anchorsVerified(minLen: Int, w: Int)
       : org.apache.spark.sql.Column =
@@ -305,7 +305,16 @@ object SubstrDedup {
         .otherwise(raise_error(lit(
           s"document exceeds 2^$PosBits codepoints; widen PosBits"))
           .cast("int"))
-      shiftleft(col("_id"), PosBits) + p
+      // Same loud guard on the id side: id ≥ 2^(63−PosBits) overflows
+      // the packed long (and an int id would wrap far earlier under a
+      // 32-bit shiftleft) — either silently mis-elects the
+      // representative. Cast to long so the shift is always 64-bit.
+      val id = when(col("_id").cast("long") < lit(1L << (63 - PosBits)),
+          col("_id").cast("long"))
+        .otherwise(raise_error(lit(
+          s"id exceeds 2^${63 - PosBits}; widen the packed key"))
+          .cast("long"))
+      shiftleft(id, PosBits) + p
     }
     def unpack(df: DataFrame): DataFrame = df.select(
       col("_gh").as("_gh", meta),
@@ -419,7 +428,9 @@ object SubstrDedup {
     * one substring of ≥ `minLen` code points, computed at winnowed
     * cost. Three stages:
     *
-    *  1. fingerprint join on the 32-bit gram hash — by the winnowing
+    *  1. fingerprint join on the 64-bit gram hash (the
+    *     `array<struct<p,h>>` contract in [[graft.functions.Winnow]]) —
+    *     by the winnowing
     *     guarantee every qualifying pair surfaces here (both sides
     *     select the shared window's rightmost-min gram), and density
     *     2/(w+1) bounds the shuffled volume;
@@ -433,7 +444,7 @@ object SubstrDedup {
     *     the run's start at the SAME offset on both sides, so that d
     *     exists; conversely any passing d exhibits the run. Bounds
     *     guards keep truncated substr results from comparing equal.
-    *     Hash collisions (2⁻³²) die here at the cost of one check.
+    *     Hash collisions (2⁻⁶⁴) die here at the cost of one check.
     *
     * Texts are fetched ONLY for candidate ids (semi-join prune) and the
     * two text joins are hinted shuffled-hash for the same reason as
