@@ -16,13 +16,34 @@ import scala.util.control.NonFatal
   * candidate-explosion signature; spill appearing at a new SF is the
   * partition-sizing signature).
   *
-  * Usage: runMain graft.ScaleBench <sfDir> [query ...]
+  * Usage: runMain graft.ScaleBench <sfDir>
+  *          [--min-of N] [--calm-below L] [query ...]
   * Defaults to the six anchors the r10 verdict names. One warmup run
-  * absorbs JIT/codegen/FrameCache builds, then ONE metered run (the
+  * absorbs JIT/codegen/FrameCache builds, then the metered run(s) (the
   * trend verdict compares ratios ACROSS SFs, where plan-shape effects
   * dominate single-run noise; Bench.scala remains the estimator for
   * absolute per-query cost). Output: one JSON line per query plus a
   * summary line, Bench.scala format.
+  *
+  * Calm mode (VERDICT r11 Next #3): sf10 wall readings are episodically
+  * contaminated by ambient vCPU contention on the shared host —
+  * documented 20× walls at byte-identical stages — and calm-window
+  * re-reads were previously opportunistic. `--min-of N` takes N metered
+  * samples per query and reports the fastest; `--calm-below L` gates
+  * each sample on host load: before a sample starts, /proc/loadavg
+  * (1-min field — HOST-wide, so it sees both other tenants and the
+  * decaying contribution of our own previous sample) is polled every
+  * 10 s until it drops below L, bailing out after 240 s so a loaded
+  * host degrades to a labeled reading instead of a hang. Every sample
+  * records (wall, load-at-start, calm?); the reported row is the
+  * fastest CALM sample when one exists (`"calm":true`), else the
+  * fastest overall (`"calm":false` — treat the wall as an upper
+  * bound). All samples ride the JSON (`"samples"`) so a scale claim
+  * can show its evidence instead of asking to be believed. Stage/
+  * shuffle/spill metrics come from the reported sample's own window —
+  * they are plan-determined and identical across samples (the r11
+  * tri-modal d50 readings had byte-identical metrics); wall and gc are
+  * the contention-sensitive fields.
   */
 object ScaleBench {
 
@@ -54,10 +75,29 @@ object ScaleBench {
     "d40_edit_nn", "d41_edit_pairs", "d42_edit_dedup_survivors",
     "d11_dedup_survivors", "d36_decontam_exact_pairs")
 
+  /** 1-min /proc/loadavg field; NaN where unreadable (non-Linux), which
+    * disables calm gating rather than failing the bench. */
+  private def loadAvg1(): Double =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case NonFatal(_) => Double.NaN }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/scale/sf1")
-    val names =
-      if (args.length > 1) args.drop(1).toSeq else DefaultAnchors
+    var minOf = 1
+    var calmBelow = Double.PositiveInfinity
+    val rest = scala.collection.mutable.Buffer.empty[String]
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--min-of" => minOf = args(i + 1).toInt; i += 2
+        case "--calm-below" => calmBelow = args(i + 1).toDouble; i += 2
+        case q => rest += q; i += 1
+      }
+    }
+    require(minOf >= 1, s"--min-of must be >= 1, got $minOf")
+    val names = if (rest.nonEmpty) rest.toSeq else DefaultAnchors
     val unknown = names.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,22 +129,47 @@ object ScaleBench {
       }
       try {
         once() // warmup: JIT, codegen cache, FrameCache index builds
-        val before = agg.snapshot
-        val wall = once()
-        // the listener bus is async; give in-flight stage events a
-        // moment to drain before reading the counters
-        Thread.sleep(500)
-        val d = agg.snapshot.zip(before).map { case (a, b) => a - b }
+        // --min-of N samples, each gated on host calm when requested;
+        // sample = (wall, deltas, loadAtStart, calm?)
+        val samples = (1 to minOf).map { _ =>
+          var load = loadAvg1()
+          if (!load.isNaN && calmBelow.isFinite) {
+            val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+            while (load >= calmBelow && System.nanoTime() < deadline) {
+              Thread.sleep(10000) // our own previous sample's loadavg
+              load = loadAvg1()   // contribution decays here too
+            }
+          }
+          val calm = load.isNaN || !calmBelow.isFinite || load < calmBelow
+          val before = agg.snapshot
+          val wall = once()
+          // the listener bus is async; give in-flight stage events a
+          // moment to drain before reading the counters
+          Thread.sleep(500)
+          val d = agg.snapshot.zip(before).map { case (a, b) => a - b }
+          (wall, d, load, calm)
+        }
+        // report the fastest CALM sample when one exists; a loaded host
+        // degrades to a labeled upper bound, never a silent lie
+        val calmOnes = samples.filter(_._4)
+        val best = (if (calmOnes.nonEmpty) calmOnes else samples)
+          .minBy(_._1)
+        val (wall, d, load, _) = best
         // gc_s / cpu_s split a wall anomaly into its mechanism: same
         // stages+bytes with wall >> cpu_s/32 and gc_s ~ wall is a heap
         // artifact (measured tri-modal on d50@sf3: 2.6/17.1/57.4 s
         // with IDENTICAL plan metrics); wall tracking cpu_s/32 is
         // honest compute growth.
+        val sampleJson = samples.map { case (w, _, l, c) =>
+          s"""[${f1(w)},${if (l.isNaN) "null" else f1(l)},$c]"""
+        }.mkString("[", ",", "]")
         val json = s"""{"query":"$name","sf":"$sfDir","wall_s":${
           f1(wall)},"stages":${d(0)},"tasks":${d(1)},"shuffle_read_mb":${
           f1(d(2) / 1e6)},"shuffle_write_mb":${f1(d(3) / 1e6)
           },"spilled_mb":${f1(d(4) / 1e6)},"input_mb":${f1(d(5) / 1e6)
-          },"gc_s":${f1(d(6) / 1e3)},"cpu_s":${f1(d(7) / 1e9)}}"""
+          },"gc_s":${f1(d(6) / 1e3)},"cpu_s":${f1(d(7) / 1e9)
+          },"load":${if (load.isNaN) "null" else f1(load)
+          },"calm":${calmOnes.nonEmpty},"samples":$sampleJson}"""
         println(json)
         (name, wall, json)
       } catch {

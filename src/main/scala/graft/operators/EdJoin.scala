@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * does). Hence ed(A,B) ≤ k ⟹ |set(A) ∩ set(B)| ≥ max(mA, mB) − k·q,
   * and by the same prefix-filter lemma PpJoin proves, the first
   * k·q + 1 grams of each string under ONE global order — ascending
-  * corpus document frequency, ties by gram — must intersect. A
+  * corpus document frequency, ties by 64-bit gram hash (grams live as
+  * `xxhash64` keys through every exchange; see [[editPairs]]) — must
+  * intersect. A
   * shared-prefix gram has maximal DF, lands at the END of the order,
   * and never enters any prefix: the hot-block failure mode is pruned
   * exactly, not heuristically.
@@ -103,14 +105,28 @@ object EdJoin {
       .filter(length(col("_str")) >= q)
     // distinct positional q-grams, projected to gram SETS (the lemma
     // counts distinct grams; occurrences would inflate m and weaken
-    // the k·q bound)
+    // the k·q bound) — then immediately to 64-bit HASHES: every
+    // downstream exchange (DF count, rarity window, candidate join)
+    // keys on the hash, so gram STRINGS never ride a shuffle (at sf10
+    // the string-keyed exchanges were d40's dominant byte component —
+    // 936 MB — for keys the verification never reads). The prefix
+    // lemma holds verbatim in hash space: an edit changes ≤ q
+    // positional grams, so it removes ≤ q members from the hash SET
+    // (a hash leaves only if every gram mapping to it leaves), the
+    // order (gram_df, hash) is one strict total order on the hash
+    // element space shared by both sides, and a 2⁻⁶⁴ collision can
+    // only MERGE elements — shrinking m, enlarging intersections —
+    // which admits extra candidates but never loses a true pair;
+    // exact bounded-Levenshtein verification kills the extras.
     val grams = s.select(col("_id"), explode(array_distinct(
         expr(s"transform(sequence(1, length(_str) - ${q - 1})," +
-          s" i -> substring(_str, i, $q))"))).as("gram"))
+          s" i -> xxhash64(substring(_str, i, $q)))"))).as("gram"))
     val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
     val byRarity = Window.partitionBy(col("_id"))
       .orderBy(col("gram_df"), col("gram"))
-    // strings ride along the prefix index so candidates verify inline
+    // strings ride along the prefix index ONLY from here — one join on
+    // _id after the prefix filter has cut to ≤ k·q + 1 rows per string
+    // — so candidates verify inline without a separate text fetch
     val prefix = grams.join(dfreq, Seq("gram"))
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= k * q + 1)
@@ -142,6 +158,10 @@ object EdJoin {
     // survive k edits with ≥ 1 distinct gram shared, and a low-m
     // partner's whole gram set sits inside its k·q + 1 prefix, so the
     // gram join already finds those pairs (scaladoc proof).
+    // _m counts distinct gram HASHES — ≤ the distinct-gram count, so
+    // every string the set-count test would admit is still admitted
+    // (a collision can only pull a borderline string INTO the
+    // exhaustive band path, adding candidates, never dropping one)
     val m = grams.groupBy(col("_id")).agg(count(lit(1)).as("_m"))
     val w = k + 1 // band width > k: lengths within k differ ≤ 1 in base
     val shorts = s.join(m, Seq("_id")).filter(col("_m") <= k * q)
