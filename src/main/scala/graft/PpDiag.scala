@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Dedup, PpJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-level timing and variant comparison for the d24 PPJoin dedup
+  * anchor (ad-hoc scale diagnostics, [[Diag]] family — not part of the
+  * driver contract). VERDICT r11 Next #1 names d24 the 100× wall floor
+  * (190.7 s at sf10, cpu_s 4132 on linear bytes) and asks for two
+  * variants measured at sf3/sf10 against the shipped shape:
+  *
+  *  1. '''hash-space execution''' — the r12 [[PpJoin]] change: tokens
+  *     re-keyed to audited-injective 64-bit hashes, so the rarity sort,
+  *     prefix join, and band intersection all run on longs. Compared
+  *     here against the string-space path (`edgesOver` on the raw
+  *     frame) on identical inputs.
+  *  2. '''dedup-first''' — collapse documents with IDENTICAL shingle
+  *     sets to one representative before the pairwise join, star the
+  *     members to their representative afterwards (components are
+  *     preserved: same-set members are pairwise J=1, and a cross-group
+  *     edge holds for all members iff it holds for representatives).
+  *     Worth exactly the identical-set mass, which this diag measures
+  *     first — on the affine-copy corpora every text is distinct by
+  *     construction, so the expected result is a recorded negative.
+  *
+  * Usage: runMain graft.PpDiag <sfDir> [variant ...]
+  *   variants: stages hash strings dedupfirst (default: all)
+  */
+object PpDiag {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/scale/sf3")
+    val variants =
+      if (args.length > 1) args.drop(1).toSet
+      else Set("stages", "hash", "strings", "dedupfirst")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"stage $label%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // spill attribution: name every stage that spills (the sf10 hash
+    // run's 490 MB had no owner until this listener)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m.diskBytesSpilled > 0)
+            println(f"  SPILL ${m.diskBytesSpilled / 1e6}%.0f MB in stage " +
+              s"${s.stageInfo.stageId}: ${s.stageInfo.name}")
+        }
+      })
+
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordShingles(col("text"), 3)))
+          .as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("shingles")(println(s"  rows=${sh.count()}"))
+
+    if (variants("stages")) {
+      // order-independent set digest (xor of element hashes): the
+      // identical-set mass bounds what dedup-first can ever save
+      val setGroups = sh.groupBy(col("doc_id"))
+        .agg(expr("aggregate(collect_list(xxhash64(g)), 0L," +
+          " (a, x) -> a ^ x)").as("_sd"))
+      val nDocs = setGroups.count()
+      val nSets = timed("set_digests")(
+        setGroups.select(col("_sd")).distinct().count())
+      println(s"  docs=$nDocs distinct_sets=$nSets " +
+        f"collapse=${100.0 * (nDocs - nSets) / nDocs}%.2f%%")
+    }
+
+    def survivors(edges: DataFrame): Long =
+      Dedup.nearDupSurvivors(docs, "doc_id", edges)
+        .filter(col("is_survivor")).count()
+
+    if (variants("audit")) {
+      // isolates the injectivity audit (the one string-keyed pass hash
+      // mode retains) from the join itself — spill attribution
+      timed("audit_pass")(
+        println(s"  injective=${PpJoin.hashInjective(sh, "g")}"))
+      timed("hash_distinct")(
+        println(s"  nHash=${sh.select(xxhash64(col("g"))).distinct().count()}"))
+    }
+    if (variants("hash")) timed("hash_space") {
+      println(s"  survivors=${survivors(
+        PpJoin.jaccardEdges(sh, "doc_id", "g"))}")
+    }
+    if (variants("strings")) timed("string_space") {
+      println(s"  survivors=${survivors(
+        PpJoin.edgesOver(sh, "doc_id", "g", 1, 2))}")
+    }
+    if (variants("dedupfirst")) timed("dedup_first") {
+      val sd = sh.groupBy(col("doc_id"))
+        .agg(expr("aggregate(collect_list(xxhash64(g)), 0L," +
+          " (a, x) -> a ^ x)").as("_sd"))
+      val rep = sd.groupBy(col("_sd")).agg(min(col("doc_id")).as("_rep"))
+      val withRep = sd.join(rep, Seq("_sd"))
+        .select(col("doc_id"), col("_rep"))
+        .localCheckpoint(true)
+      val repSh = sh.join(
+        withRep.filter(col("doc_id") === col("_rep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val repEdges = PpJoin.jaccardEdges(repSh, "doc_id", "g")
+      val starEdges = withRep.filter(col("doc_id") =!= col("_rep"))
+        .select(col("doc_id").as("id_a"), col("_rep").as("id_b"))
+      println(s"  survivors=${survivors(
+        repEdges.unionByName(starEdges))}")
+    }
+    spark.stop()
+  }
+}

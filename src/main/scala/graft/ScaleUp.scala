@@ -86,6 +86,60 @@ object ScaleUp {
     if (i < dim) rotated else transform(rotated, x => -x)
   }
 
+  /** Orthogonal transform for embedding copy i — the fourth-decade
+    * extension (VERDICT r11 Next #4). Copies 0 until 2·dim are the
+    * original rotate/flip family (byte-identical builds at every SF
+    * that existed before); copy i ≥ 2·dim composes the base map
+    * i mod 2·dim with a Givens-90° PATTERN indexed by g = i div 2·dim:
+    * coordinate pairs (2m, 2m+1) whose bit m is set in a per-g mask
+    * map (x, y) → (−y, x). Each pattern is orthogonal (a signed
+    * within-pair permutation), so norms and intra-copy pairwise
+    * distances stay exact — the property every dedup/ANN anchor needs.
+    *
+    * Distinctness of the composed family: for equal g the base maps
+    * already differ; for g₁ ≠ g₂ the masks differ (g is the mask,
+    * scrambled by an odd multiplier to spread set bits), so
+    * G₂⁻¹·G₁ swaps coordinates WITHIN some pair while any
+    * rotate-flip quotient R₂·R₁⁻¹ moves every coordinate by the same
+    * cyclic offset (± a global sign) — the two can only agree when
+    * both are ±identity, which contradicts the differing masks. The
+    * build audit additionally verifies distinct-vector count = k ×
+    * source distinct, so the argument is CHECKED against the data,
+    * not trusted.
+    *
+    * HONEST BOUND: beyond 2·dim the family guarantees distinctness
+    * and isometry, but cross-copy DECORRELATION is weaker than the
+    * base family's (two copies sharing a base map differ only by a
+    * Givens pattern — expected cosine between their images of one
+    * vector is the agreeing-block fraction, ~0.5, not ~0). The
+    * fourth-decade sweep reads TEXT anchors only; embedding-similarity
+    * anchors (s03/s14) must not be scale-read beyond 2·dim copies
+    * without strengthening this family (e.g. composing a second
+    * rotation between Givens layers).
+    */
+  private[graft] def embTransform(emb: org.apache.spark.sql.Column,
+      i: Int, dim: Int): org.apache.spark.sql.Column = {
+    val base = rotateFlip(emb, i % (2 * dim), dim)
+    val g = i / (2 * dim)
+    if (g == 0) base
+    else {
+      require(dim >= 2, s"Givens extension needs dim >= 2, got $dim")
+      val nPairs = dim / 2
+      // odd multiplicative scrambling spreads the mask's set bits so
+      // even small g flips ~half the pairs; distinctness per g is
+      // enforced by the build audit, not assumed from the scramble
+      val mask = (g.toLong * 0x9E3779B97F4A7C15L) >>> (64 - nPairs)
+      val out = (0 until dim).map { j =>
+        val m = j / 2
+        val flip = ((mask >> m) & 1L) == 1L && (j / 2 * 2 + 1 < dim)
+        if (!flip) element_at(base, j + 1)
+        else if (j % 2 == 0) -element_at(base, j + 2) // (x,y) -> (-y,x)
+        else element_at(base, j)
+      }
+      array(out: _*)
+    }
+  }
+
   private def affine(alphabet: String, a: Int, b: Int): String =
     alphabet.indices.map(x => alphabet((a * x + b) % alphabet.length))
       .mkString
@@ -228,16 +282,17 @@ object ScaleUp {
     // a non-zero vector. Beyond 2×dim the family repeats — refuse.
     val dim = tbl("embeddings").select(size(col("embedding")))
       .head().getInt(0)
-    require(k <= 2 * dim,
-      s"k=$k > ${2 * dim}: the embedding rotation/sign family over " +
-        s"dim=$dim vectors is exhausted; copies would repeat transforms")
+    // base family 2·dim members; the Givens extension multiplies it by
+    // 2^(dim/2) patterns — the practical cap is the audit below, which
+    // verifies distinct-vector count = k × source distinct
     write(copies(tbl("embeddings")) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecS))
-        // rotate the vector by i positions (negated past one full
-        // period): preserves the norm and the pairwise-distance
+        // orthogonal per-copy transform (rotate/flip for i < 2·dim,
+        // composed with a Givens-90° pattern beyond — embTransform
+        // scaladoc): preserves the norm and the pairwise-distance
         // distribution within a copy, decorrelates cross-copy
-        // neighbors — same trick as the text bijection.
-        .withColumn("embedding", rotateFlip(col("embedding"), i, dim))
+        // neighbors (weaker beyond 2·dim — see the HONEST BOUND note).
+        .withColumn("embedding", embTransform(col("embedding"), i, dim))
     }, "embeddings")
 
     // Post-build audit: every copy's substituted texts must be disjoint
@@ -255,5 +310,19 @@ object ScaleUp {
         s"texts (k=$k × $srcDistinct), built $outDistinct")
     println(s"scaleup: audit ok — $outDistinct distinct texts = " +
       s"$k x $srcDistinct, zero cross-copy collisions")
+    // same audit for the embedding family: distinct vectors must be
+    // exactly k × the source's (any transform collision — family
+    // exhausted, mask collision, identity bug — shows as a shortfall).
+    // This is what lets the Givens extension rest on checked data
+    // rather than on the distinctness proof alone.
+    val srcVecDistinct = tbl("embeddings")
+      .select("embedding").distinct().count()
+    val outVecDistinct = Tables.load(spark, dst, "embeddings")
+      .select("embedding").distinct().count()
+    require(outVecDistinct == k * srcVecDistinct,
+      s"cross-copy embedding collision: expected ${k * srcVecDistinct} " +
+        s"distinct vectors (k=$k × $srcVecDistinct), built $outVecDistinct")
+    println(s"scaleup: audit ok — $outVecDistinct distinct vectors = " +
+      s"$k x $srcVecDistinct, zero cross-copy collisions")
   }
 }

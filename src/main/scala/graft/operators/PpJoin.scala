@@ -44,6 +44,45 @@ import org.apache.spark.sql.functions._
   */
 object PpJoin {
 
+  /** True iff xxhash64 is INJECTIVE on this corpus's token vocabulary:
+    * one aggregation comparing the distinct-token count with the
+    * distinct-hash count over the same vocabulary. The audit is what
+    * turns hash-space execution from "exact with probability 1 − 2⁻⁶⁴"
+    * into exact, period — Jaccard (set sizes, intersections, DF-order
+    * prefixes, the o-acceptance shortcut) is invariant under ANY
+    * injection of the element space, and the audit PROVES injectivity
+    * on the tokens actually present rather than appealing to collision
+    * odds. This matters specifically for PPJoin because its positional
+    * filter ACCEPTS pairs from prefix-overlap evidence alone, without a
+    * later string-verification step to absorb a collision (the reason
+    * d24 originally pinned raw shingle strings as join keys while
+    * EdJoin/winnowing could hash freely).
+    *
+    * Cost: one count-distinct pass over the vocabulary — the ONE
+    * remaining string-keyed exchange, shipping each distinct token once
+    * per map partition. It buys 8-byte keys through every hot stage:
+    * the per-set rarity sort compares (long, long) instead of
+    * (long, 40-char string), the prefix self-join probes longs, and
+    * band verification intersects long arrays instead of string arrays.
+    */
+  private[graft] def hashInjective(e: DataFrame, tokCol: String): Boolean = {
+    val r = e.select(col(tokCol)).distinct()
+      .agg(count(lit(1)), count_distinct(xxhash64(col(tokCol))))
+      .head()
+    r.getLong(0) == r.getLong(1)
+  }
+
+  /** Token frame re-keyed to 64-bit hashes when that is provably exact
+    * (string tokens, injective hash — see [[hashInjective]]); returned
+    * unchanged otherwise, so non-string tokens and the (never yet
+    * observed) colliding corpus run the original element space. */
+  private def maybeHashed(e: DataFrame, tokCol: String): DataFrame =
+    if (e.schema(tokCol).dataType ==
+          org.apache.spark.sql.types.StringType &&
+        hashInjective(e, tokCol))
+      e.withColumn(tokCol, xxhash64(col(tokCol)))
+    else e
+
   /** The keyed prefix-filter core shared by the self-join and bipartite
     * paths: sets are keyed by `setKeys` (id, or side+id), the total
     * token order comes from the provided `dfreq` frame — the lemma only
@@ -193,8 +232,19 @@ object PpJoin {
                    num: Int = 1, den: Int = 2): DataFrame = {
     // narrow immediately: wide callers' extra columns must not collide
     // with the internal tok_df/cand join names (the bipartite variant
-    // always guarded this way)
-    val e = elems.select(col(idCol), col(tokCol))
+    // always guarded this way); then re-key string tokens to audited
+    // 64-bit hashes ([[maybeHashed]] — exact by proven injectivity,
+    // falls back to strings on the corpus that would disprove it)
+    val e = maybeHashed(elems.select(col(idCol), col(tokCol)), tokCol)
+    edgesOver(e, idCol, tokCol, num, den)
+  }
+
+  /** [[jaccardEdges]] body over an ALREADY element-space-final token
+    * frame — split out so the spec can run the string path directly
+    * and pin hash-space ≡ string-space equality on real corpora. */
+  private[graft] def edgesOver(e: DataFrame, idCol: String,
+                               tokCol: String, num: Int, den: Int)
+      : DataFrame = {
     val cand = candidatePairs(
       prefixIndex(e, idCol, tokCol, num, den),
       idCol, tokCol, num, den)
@@ -231,8 +281,18 @@ object PpJoin {
   def jaccardEdgesBipartite(left: DataFrame, right: DataFrame,
                             idCol: String, tokCol: String,
                             num: Int = 1, den: Int = 2): DataFrame = {
-    val l = left.select(col(idCol), col(tokCol))
-    val r = right.select(col(idCol), col(tokCol))
+    val l0 = left.select(col(idCol), col(tokCol))
+    val r0 = right.select(col(idCol), col(tokCol))
+    // audited hash re-key over the UNION vocabulary — both sides must
+    // land in the same element space for the shared DF order and the
+    // cross-frame intersection counts to mean anything
+    val hash = l0.schema(tokCol).dataType ==
+        org.apache.spark.sql.types.StringType &&
+      hashInjective(l0.unionByName(r0), tokCol)
+    def rekey(df: DataFrame): DataFrame =
+      if (hash) df.withColumn(tokCol, xxhash64(col(tokCol))) else df
+    val l = rekey(l0)
+    val r = rekey(r0)
     val both = l.withColumn("_side", lit(0))
       .unionByName(r.withColumn("_side", lit(1)))
     val dfreq = both.groupBy(col(tokCol)).agg(count(lit(1)).as("tok_df"))

@@ -271,9 +271,13 @@ object TrainingOps extends QueryPack {
       // trust. The candidate prune is the shingle-index join (J ≥ 0.5
       // implies a shared shingle — never all-pairs); the threshold is
       // the integer form 3·|A∩B| ≥ |A|+|B| (⟺ J ≥ 0.5), so no float
-      // division can diverge between engines. Raw shingle strings are
-      // the join key here — an xxhash64 key (d23's trick) could merge
-      // two distinct shingles and perturb the exact counts. The
+      // division can diverge between engines. Shingle strings enter
+      // [[PpJoin]] as-is; internally it re-keys them to 64-bit hashes
+      // only after PROVING the hash injective on this corpus's
+      // vocabulary (r12 — the audit that makes hash-space execution
+      // exact rather than probabilistic, where a raw xxhash64 key
+      // could in principle merge two distinct shingles and perturb
+      // the exact counts). The
       // candidate prune is PPJoin prefix filtering ([[PpJoin]]): only
       // each doc's ⌊n/2⌋+1 rarest shingles are indexed, so a hot
       // boilerplate shingle never fans out quadratically — exactness

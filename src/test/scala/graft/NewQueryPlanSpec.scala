@@ -84,7 +84,9 @@ class NewQueryPlanSpec extends SparkSpec {
       "the gram-prefix candidate join must stay keyed")
     // the (lang, source) contract must ride the candidate join KEY —
     // blocked generation — not a post-hoc filter over meta joins
-    assert("gram#\\d+, lang#\\d+, source#\\d+".r.findFirstIn(p).isDefined,
+    // gram is the 64-bit hash since r12, so the attribute prints with
+    // LongType's L suffix
+    assert("gram#\\d+L?, lang#\\d+, source#\\d+".r.findFirstIn(p).isDefined,
       s"gram join must key on (gram, lang, source):\n${p.take(800)}")
   }
 

@@ -62,6 +62,23 @@ class PpJoinSpec extends SparkSpec {
     assert(ppEdges(e) == naiveEdges(e))
   }
 
+  test("audited hash-space execution equals the string-space path") {
+    // jaccardEdges re-keys string tokens to xxhash64 after proving the
+    // hash injective on the vocabulary; edgesOver on the raw frame is
+    // the string-space path the audit falls back to — same edges,
+    // by the Jaccard-under-injection argument the audit licenses
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val sets = (0L until 50L).map { id =>
+      id -> rnd.shuffle(vocab).take(2 + rnd.nextInt(12)).toSeq
+    }
+    val e = elems(sets: _*)
+    val viaStrings = PpJoin.edgesOver(e, "id", "tok", 1, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(ppEdges(e) == viaStrings)
+    assert(viaStrings == naiveEdges(e))
+  }
+
   test("prefix index holds at most ⌊n/2⌋+1 tokens per set") {
     val prefix = PpJoin.prefixIndex(corpus, "id", "tok", 1, 2)
     val perSet = prefix.groupBy(col("id"))
