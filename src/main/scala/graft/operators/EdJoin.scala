@@ -107,9 +107,14 @@ object EdJoin {
     // counts distinct grams; occurrences would inflate m and weaken
     // the k·q bound) — then immediately to 64-bit HASHES: every
     // downstream exchange (DF count, rarity window, candidate join)
-    // keys on the hash, so gram STRINGS never ride a shuffle (at sf10
-    // the string-keyed exchanges were d40's dominant byte component —
-    // 936 MB — for keys the verification never reads). The prefix
+    // keys on the hash, so gram STRINGS never ride a shuffle. Honest
+    // accounting (r12, measured): at the default q = 3..6 a gram
+    // string weighs about what a 64-bit hash does, so the BYTE saving
+    // is small (d40 sf10: 3044 → 2836 MB read) — the win is fixed-
+    // width key comparison in the rarity sort and join probes, and the
+    // keying future-proofs larger q, where strings would dominate. The
+    // sf10 cost that remains is a sort-width artifact, attributed at
+    // the candidate join below. The prefix
     // lemma holds verbatim in hash space: an edit changes ≤ q
     // positional grams, so it removes ≤ q members from the hash SET
     // (a hash leaves only if every gram mapping to it leaves), the
@@ -142,7 +147,17 @@ object EdJoin {
     val b = prefix
       .select((Seq(col("gram"), col("_id").as("id_b"),
         col("_str").as("sb"), col("_len").as("lb")) ++ blk): _*)
-    // candidates form on (blockCols…, gram): cross-block pairs never exist
+    // candidates form on (blockCols…, gram): cross-block pairs never
+    // exist. This join stays SORT-MERGE deliberately (r12 measured
+    // negatives): a shuffle_hash build on either prefix side OOMs at
+    // sf10/local[32] — unlike PpJoin's id-distinct sets frame, the
+    // build side here is the WHOLE prefix index and Spark cannot spill
+    // an SHJ build map. The ~1.8 GB sf10 sort spill from doc strings
+    // riding both sort buffers is a WIDTH artifact, not a plan defect:
+    // at 128 shuffle partitions it is exactly 0 (at +40% shuffle bytes
+    // and +17% wall from the extra AQE exchanges — 32-wide with spill
+    // is the faster configuration on this box, and cluster-grade
+    // per-task memory holds the 32-wide sort resident).
     val gramPairs = a.join(b, Seq("gram") ++ blockCols)
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("la") - col("lb")) <= k)
