@@ -91,9 +91,12 @@ object FamDiag {
             substring(col("text"), 1, 120).as("_str"))
           .filter(length(col("_str")) >= 6)
         val q6 = 6; val k = 6
+        // mirrors editPairs' r12 hash keying (grams live as xxhash64
+        // through every exchange) so the replica's candidate counts
+        // track the shipped plan's rarity-order tie-breaking
         val grams = s0.select(col("_id"), explode(array_distinct(
           expr(s"transform(sequence(1, length(_str) - ${q6 - 1})," +
-            s" i -> substring(_str, i, $q6))"))).as("gram"))
+            s" i -> xxhash64(substring(_str, i, $q6)))"))).as("gram"))
         val dfreq = grams.groupBy(col("gram"))
           .agg(count(lit(1)).as("gram_df"))
         timed("grams+dfreq")(noop(dfreq))

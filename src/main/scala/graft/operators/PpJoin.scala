@@ -72,6 +72,39 @@ object PpJoin {
     r.getLong(0) == r.getLong(1)
   }
 
+  /** Session-keyed memo of audit verdicts, matched by `sameResult` on
+    * the analyzed input plan — the FrameCache discipline applied to a
+    * boolean: d24/d36/d37/d39 all audit the SAME session-cached shingle
+    * frame, and the corpus's injectivity verdict is a fact about that
+    * frame, so re-running the count-distinct pass per query would bill
+    * the small-SF bench ~0.4 s × 4 for information it already has.
+    * Bounded per session (latest 16 plans), pruned with the session.
+    */
+  private val auditMemo = scala.collection.mutable.Map.empty[
+    org.apache.spark.sql.SparkSession,
+    List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Boolean)]]
+
+  private def injectiveMemo(e: DataFrame, tokCol: String): Boolean = {
+    val s = e.sparkSession
+    val plan = e.queryExecution.analyzed
+    val hit = auditMemo.synchronized {
+      auditMemo.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+      auditMemo.getOrElse(s, Nil).find(_._1.sameResult(plan)).map(_._2)
+    }
+    hit.getOrElse {
+      // the audit job runs OUTSIDE the monitor (cluster work never
+      // holds a lock); a racing duplicate is deterministic-idempotent
+      val v = hashInjective(e, tokCol)
+      auditMemo.synchronized {
+        auditMemo(s) = ((plan, v) ::
+          auditMemo.getOrElse(s, Nil).filterNot(_._1.sameResult(plan)))
+          .take(16)
+      }
+      v
+    }
+  }
+
   /** Token frame re-keyed to 64-bit hashes when that is provably exact
     * (string tokens, injective hash — see [[hashInjective]]); returned
     * unchanged otherwise, so non-string tokens and the (never yet
@@ -79,7 +112,7 @@ object PpJoin {
   private def maybeHashed(e: DataFrame, tokCol: String): DataFrame =
     if (e.schema(tokCol).dataType ==
           org.apache.spark.sql.types.StringType &&
-        hashInjective(e, tokCol))
+        injectiveMemo(e, tokCol))
       e.withColumn(tokCol, xxhash64(col(tokCol)))
     else e
 
@@ -288,7 +321,7 @@ object PpJoin {
     // cross-frame intersection counts to mean anything
     val hash = l0.schema(tokCol).dataType ==
         org.apache.spark.sql.types.StringType &&
-      hashInjective(l0.unionByName(r0), tokCol)
+      injectiveMemo(l0.unionByName(r0), tokCol)
     def rekey(df: DataFrame): DataFrame =
       if (hash) df.withColumn(tokCol, xxhash64(col(tokCol))) else df
     val l = rekey(l0)
