@@ -82,6 +82,26 @@ object FamDiag {
           dup.agg(count(lit(1)), sum(col("c")), max(col("c"))).head())
         println(s"total=$total dupHashes=${stats.getLong(0)} " +
           s"dupMass=${stats.getLong(1)} maxOcc=${stats.getLong(2)}")
+      case "d47parts" =>
+        // phase split of the bipartite gram scrub — attributing the
+        // sf30 3.78× byte step (r12 sweep watch item): index build
+        // (the one gram-string-keyed aggregate) vs probe vs verify
+        import graft.operators.SubstrDedup
+        val arrivals = docs.filter(col("source") === "src0")
+        val reference = docs.filter(col("source") =!= "src0")
+        val idx = timed("scrub_index") {
+          // DISK_ONLY: at sf30 the 326M-row index (~10+ GB) pinned in
+          // heap starves the probe stages into OOM (measured); disk
+          // blocks keep the phase isolation without the residency
+          val i = SubstrDedup.scrubIndex(reference, "doc_id", "text", 59)
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          println(s"  index_rows=${i.count()}")
+          i
+        }
+        timed("probe+verify")(noop(SubstrDedup.coveredByCorpus(
+          arrivals, "doc_id", "text", idx, reference, 59)))
+        timed("full d47")(noop(SubstrDedup.scrubAgainstCorpus(
+          arrivals, reference, "doc_id", "text", 59)))
       case "d40parts" =>
         // phase split of the EdJoin gram path (diagnostic replica of
         // editPairs' stages) — attributing the sf10 write growth
