@@ -356,8 +356,20 @@ object EdJoin {
         "staticKeys carries no k stamp on _key (metadata '" + KMetaKey +
           "') — build it with EdJoin.deletionKeys, which stamps it")
     }
-    val corpus = staticKeys.select(col("_key"),
-      col("_id").as("corpus_id"), col("_str").as("corpus_str"))
+    // STRING-FREE probe join (the d44-family invariant, applied r12):
+    // the variant join needs only (_key, corpus_id) — 16-byte rows —
+    // while corpus_str is needed for the FEW candidate hits. Carrying
+    // _str through the join deserialized 6M cached 120-char strings
+    // per batch (columnar cache prunes unrequested columns at SCAN
+    // time, but a requested column rides every join row). Candidates
+    // fetch their text afterwards from the ~corpus-doc-count distinct
+    // (id, str) relation, pinned once at stream construction — small
+    // enough to auto-broadcast per batch.
+    val corpus = staticKeys.select(col("_key"), col("_id").as("corpus_id"))
+    val corpusTexts = staticKeys
+      .select(col("_id").as("corpus_id"), col("_str").as("corpus_str"))
+      .distinct()
+      .localCheckpoint(true)
     // once, at stream construction: the index's string-length profile
     // (driver-side bounded — distinct lengths, not rows). A probe doc
     // can only match corpus strings within ±k of its length, and a
@@ -380,11 +392,15 @@ object EdJoin {
             col("_str").as("new_str"))
         val hits = corpus.join(probes.hint("shuffle_hash"), Seq("_key"))
           .filter(col("new_id") =!= col("corpus_id"))
+          // candidate pairs first (a pair can meet on many variants —
+          // dedup BEFORE fetching text and running the distance once)
+          .select(col("new_id"), col("new_str"), col("corpus_id"))
+          .distinct()
+          .join(corpusTexts, Seq("corpus_id"))
           .withColumn("dist",
             levenshtein(col("new_str"), col("corpus_str"), k))
           .filter(col("dist") >= 0)
-          .groupBy(col("new_id"), col("corpus_id"))
-          .agg(min(col("dist")).as("dist"))
+          .select(col("new_id"), col("corpus_id"), col("dist"))
         sink(hits, batchId)
       }
   }
