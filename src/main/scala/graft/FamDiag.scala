@@ -102,6 +102,15 @@ object FamDiag {
           arrivals, "doc_id", "text", idx, reference, 59)))
         timed("full d47")(noop(SubstrDedup.scrubAgainstCorpus(
           arrivals, reference, "doc_id", "text", 59)))
+      case "d41count" =>
+        // the r12 sweep attributes d41's super-linear sf30 bytes to
+        // OUTPUT quadraticity (cross-copy c_name suffixes are genuine
+        // ed≤k pairs, C(copies,2) per base name) — this counts the
+        // actual output so the attribution is measured, not argued
+        val pairs = timed("d41 output") {
+          SparkEntry.queries("d41_edit_pairs")(spark, dir).count()
+        }
+        println(s"  true_pairs=$pairs")
       case "d40parts" =>
         // phase split of the EdJoin gram path (diagnostic replica of
         // editPairs' stages) — attributing the sf10 write growth
