@@ -242,7 +242,17 @@ object EdJoin {
       .repartition(n, col("id_a"))
     val b = keyed.select(col("_key"), col("_id").as("id_b"),
       col("_str").as("sb"))
-    a.join(b, Seq("_key"))
+    // PINNED sort-merge (r12): the variant frame is CORPUS-SCALED
+    // (every ≤k-deletion variant of every string, strings aboard) but
+    // explode-based size estimates run low, so Catalyst auto-broadcast
+    // it well past the real 10 MB line — ~1.3 GB through the driver at
+    // 100×, the d46/d47 driver-kill mode, latent in local mode until
+    // the sf30 sweep watched the estimate finally cross (stages 3→5)
+    // and asked why. SMJ exchanges by the near-unique _key and sorts
+    // 8-byte keys — spillable, never driver-resident; shuffle_hash is
+    // NOT safe here (a build map of the whole variant side, unlike the
+    // probe stream's batch-sized build, OOMs — the gramPairs negative).
+    a.join(b.hint("merge"), Seq("_key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("sa"), col("sb"), k))
       .filter(col("dist") >= 0)

@@ -98,6 +98,12 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the hashed-variant equi-join")
+    // the variant frame is corpus-scaled with a low explode estimate:
+    // Catalyst auto-broadcast ~1.3 GB of it through the driver at 100×
+    // (found by the r12 sf30 stage-count step) — the join is pinned
+    // sort-merge and must stay that way
+    assert(!p.contains("BroadcastExchange"),
+      s"corpus-scaled variant frame must never broadcast:\n${p.take(600)}")
   }
 
   test("d42 scans documents once per role with only doc_id/text") {
