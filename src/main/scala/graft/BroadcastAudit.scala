@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import scala.util.control.NonFatal
+
+/** Surface-wide audit for the d41 bug class ([[Diag]] family — not
+  * driver contract): a BroadcastExchange whose subtree contains a
+  * Generate (explode). Explode output carries its INPUT's size
+  * estimate, so a corpus-scaled generated frame (all shingles, all
+  * deletion variants, all chunks) can sit under the 10 MB
+  * auto-broadcast line while weighing gigabytes — the driver-kill mode
+  * that stayed latent in d41 through three scale decades of local runs
+  * (driver = executor JVM) until the sf30 sweep's stage-count step
+  * exposed it.
+  *
+  * Every flagged site needs adjudication, not automatic rejection: a
+  * generated frame that is AGGREGATED to bounded size (top-20
+  * boilerplate lists, per-source rates) is a legitimate broadcast.
+  * The audit prints the broadcast subtree's head so the reviewer can
+  * tell which case each flag is.
+  *
+  * Usage: runMain graft.BroadcastAudit [sfDir] [query ...]
+  * Defaults to every query except the trainer set (driver-side
+  * iterations at CONSTRUCTION — the Bench.scala exemption list).
+  */
+object BroadcastAudit {
+  private val Trainers =
+    Set("s05_ivf_topk", "s07_pq_topk", "s08_ivfpq_topk", "s09_opq_topk",
+      "s10_ivfpq_residual_topk", "s11_opq_learned_topk",
+      "s12_pq_refine_topk", "s14_semdedup_survivors",
+      "s16_semantic_decontam_pairs", "d11_dedup_survivors",
+      "i01_ivf_list_stats")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(Trainers)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def hasGenerate(p: SparkPlan): Boolean =
+      p.exists {
+        case _: org.apache.spark.sql.execution.GenerateExec => true
+        case a: AdaptiveSparkPlanExec => hasGenerate(a.inputPlan)
+        case _ => false
+      }
+
+    // AQE's inputPlan carries broadcast JOINS without materialized
+    // BroadcastExchange nodes (exchanges are inserted per query stage
+    // at runtime), so the detector keys on the join's BUILD side —
+    // validated against the known-bad pre-pin d41 plan, which a
+    // BroadcastExchange-only matcher missed entirely.
+    def buildSides(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case _ => b.right
+        }
+      case b: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec =>
+        b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case _ => b.right
+        }
+      case e: BroadcastExchangeLike => e.child
+    }
+
+    var flagged = 0
+    names.foreach { name =>
+      try {
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan
+        val inner = plan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+        val hits = buildSides(inner).filter(hasGenerate)
+        hits.foreach { b =>
+          flagged += 1
+          println(s"FLAG $name: broadcast over generated subtree:")
+          println(b.toString.linesIterator.take(6)
+            .map("    " + _).mkString("\n"))
+        }
+      } catch {
+        case NonFatal(e) =>
+          println(s"SKIP $name: ${e.getClass.getSimpleName}")
+      }
+    }
+    println(s"audit complete: $flagged flagged broadcast(s) over " +
+      s"${names.size} plans")
+    spark.stop()
+  }
+}

@@ -132,10 +132,22 @@ object EdJoin {
     // strings ride along the prefix index ONLY from here — one join on
     // _id after the prefix filter has cut to ≤ k·q + 1 rows per string
     // — so candidates verify inline without a separate text fetch
-    val prefix = grams.join(dfreq, Seq("gram"))
+    // PINNED sort-merge on both index joins (r12 broadcast audit —
+    // the d41 lesson generalized): the gram frame and the prefix
+    // frame are CORPUS-SCALED explode-derived sides whose Catalyst
+    // estimate comes from the COMPRESSED parquet scan — low by the
+    // decompression × explode multiplicity product (100–1000×), so
+    // there is a mid-scale window where the estimate sits under the
+    // 10 MB auto-broadcast line while the true frame is gigabytes
+    // through the driver. BroadcastAudit flagged both build sides at
+    // sf0.1; the deletion path's identical defect measurably
+    // materialized at 100× (1.3 GB driver broadcast). SMJ exchanges
+    // 8-byte keys and spills — never driver-resident.
+    val prefix = grams.hint("merge").join(dfreq, Seq("gram"))
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= k * q + 1)
       .select(col("_id"), col("gram"))
+      .hint("merge")
       .join(s.withColumn("_len", length(col("_str"))), Seq("_id"))
     val n = strs.sparkSession.sparkContext.defaultParallelism
     val blk = blockCols.map(col)
@@ -192,7 +204,11 @@ object EdJoin {
       col("_base").as("bb")) ++ blk): _*)
     // band key is (blockCols…, bkt) — blocked the same way as the gram
     // path, so neither candidate structure ever crosses a block
-    val shortPairs = sa.join(sb, Seq("_bkt") ++ blockCols)
+    // merge-pinned for the same reason as the index joins above: the
+    // band frames are an explode-derived corpus slice (length-bounded,
+    // but a slice of the corpus nonetheless) with the same
+    // under-the-line estimate window
+    val shortPairs = sa.join(sb.hint("merge"), Seq("_bkt") ++ blockCols)
       .filter(col("id_a") < col("id_b")
           && abs(col("la") - col("lb")) <= k
           // keep only the match on the larger base: the {base, base+1}
