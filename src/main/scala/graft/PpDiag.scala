@@ -25,14 +25,15 @@ import org.apache.spark.sql.functions._
   *     construction, so the expected result is a recorded negative.
   *
   * Usage: runMain graft.PpDiag <sfDir> [variant ...]
-  *   variants: stages hash strings dedupfirst (default: all)
+  *   variants: stages audit hash strings dedupfirst
+  *   (default: all of the above)
   */
 object PpDiag {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale/sf3")
     val variants =
       if (args.length > 1) args.drop(1).toSet
-      else Set("stages", "hash", "strings", "dedupfirst")
+      else Set("stages", "audit", "hash", "strings", "dedupfirst")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,11 +73,14 @@ object PpDiag {
     timed("shingles")(println(s"  rows=${sh.count()}"))
 
     if (variants("stages")) {
-      // order-independent set digest (xor of element hashes): the
-      // identical-set mass bounds what dedup-first can ever save
+      // order-independent set digest: one xxhash64 over the SORTED
+      // distinct element hashes — canonical order makes it
+      // order-independent without XOR's cancellation class (any
+      // symmetric difference whose hashes XOR to 0 would merge two
+      // genuinely different sets). The identical-set mass bounds what
+      // dedup-first can ever save
       val setGroups = sh.groupBy(col("doc_id"))
-        .agg(expr("aggregate(collect_list(xxhash64(g)), 0L," +
-          " (a, x) -> a ^ x)").as("_sd"))
+        .agg(expr("xxhash64(array_sort(collect_set(xxhash64(g))))").as("_sd"))
       val nDocs = setGroups.count()
       val nSets = timed("set_digests")(
         setGroups.select(col("_sd")).distinct().count())
@@ -106,8 +110,7 @@ object PpDiag {
     }
     if (variants("dedupfirst")) timed("dedup_first") {
       val sd = sh.groupBy(col("doc_id"))
-        .agg(expr("aggregate(collect_list(xxhash64(g)), 0L," +
-          " (a, x) -> a ^ x)").as("_sd"))
+        .agg(expr("xxhash64(array_sort(collect_set(xxhash64(g))))").as("_sd"))
       val rep = sd.groupBy(col("_sd")).agg(min(col("doc_id")).as("_rep"))
       val withRep = sd.join(rep, Seq("_sd"))
         .select(col("doc_id"), col("_rep"))

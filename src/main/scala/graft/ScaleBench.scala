@@ -83,16 +83,30 @@ object ScaleBench {
       .split("\\s+")(0).toDouble
     catch { case NonFatal(_) => Double.NaN }
 
+  private val Usage =
+    "usage: ScaleBench <sfDir> [--min-of N] [--calm-below L] [query ...]"
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/scale/sf1")
+    // a flag in the sfDir position would be silently consumed as the
+    // directory and its value run as a query name — reject it here
+    require(!sfDir.startsWith("--"), s"first argument must be the sf " +
+      s"directory, got flag '$sfDir'\n$Usage")
     var minOf = 1
     var calmBelow = Double.PositiveInfinity
     val rest = scala.collection.mutable.Buffer.empty[String]
+    def flagValue(i: Int, flag: String): String = {
+      require(i + 1 < args.length, s"$flag needs a value\n$Usage")
+      args(i + 1)
+    }
     var i = 1
     while (i < args.length) {
       args(i) match {
-        case "--min-of" => minOf = args(i + 1).toInt; i += 2
-        case "--calm-below" => calmBelow = args(i + 1).toDouble; i += 2
+        case f @ "--min-of" => minOf = flagValue(i, f).toInt; i += 2
+        case f @ "--calm-below" =>
+          calmBelow = flagValue(i, f).toDouble; i += 2
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag $f\n$Usage")
         case q => rest += q; i += 1
       }
     }

@@ -124,6 +124,16 @@ object ScaleUp {
     if (g == 0) base
     else {
       require(dim >= 2, s"Givens extension needs dim >= 2, got $dim")
+      // the mask is one Long, so the pattern space is 2^min(dim/2, 64);
+      // past dim = 128 the shift amounts in `>>> (64 - nPairs)` and
+      // `mask >> m` would wrap mod 64 (JVM shift semantics) and
+      // silently alias distinct g values onto identical flip patterns /
+      // reuse low mask bits across pairs. Fail loudly at build time
+      // instead of delivering a smaller family than claimed (the build
+      // audit would also catch the aliasing, but only after the write).
+      require(dim <= 128,
+        s"Givens extension supports dim <= 128 (64-bit flip mask, " +
+          s"pattern space 2^(dim/2)); got dim = $dim")
       val nPairs = dim / 2
       // odd multiplicative scrambling spreads the mask's set bits so
       // even small g flips ~half the pairs; distinctness per g is

@@ -66,7 +66,12 @@ object PpJoin {
     * band verification intersects long arrays instead of string arrays.
     */
   private[graft] def hashInjective(e: DataFrame, tokCol: String): Boolean = {
-    val r = e.select(col(tokCol)).distinct()
+    // null tokens are excluded from the audit because they are excluded
+    // from the join itself (see the entry-point filters): counting the
+    // null vocabulary row would let a null corpus pass the audit while
+    // xxhash64(null) — which yields the non-null seed, not null —
+    // silently turned never-matching tokens into joinable values
+    val r = e.select(col(tokCol)).filter(col(tokCol).isNotNull).distinct()
       .agg(count(lit(1)), count_distinct(xxhash64(col(tokCol))))
       .head()
     r.getLong(0) == r.getLong(1)
@@ -265,10 +270,19 @@ object PpJoin {
                    num: Int = 1, den: Int = 2): DataFrame = {
     // narrow immediately: wide callers' extra columns must not collide
     // with the internal tok_df/cand join names (the bipartite variant
-    // always guarded this way); then re-key string tokens to audited
-    // 64-bit hashes ([[maybeHashed]] — exact by proven injectivity,
-    // falls back to strings on the corpus that would disprove it)
-    val e = maybeHashed(elems.select(col(idCol), col(tokCol)), tokCol)
+    // always guarded this way); drop null tokens BEFORE the rekey —
+    // string-space equi-joins already exclude them (null ≠ null drops
+    // the row at the dfreq join, collect_list skips them at verify),
+    // but xxhash64(null) is the non-null seed, so an unfiltered rekey
+    // would turn never-matching tokens into one shared joinable value
+    // and the injectivity audit could not see the divergence; then
+    // re-key string tokens to audited 64-bit hashes ([[maybeHashed]] —
+    // exact by proven injectivity, falls back to strings on the corpus
+    // that would disprove it)
+    val e = maybeHashed(
+      elems.select(col(idCol), col(tokCol))
+        .filter(col(tokCol).isNotNull),
+      tokCol)
     edgesOver(e, idCol, tokCol, num, den)
   }
 
@@ -314,8 +328,13 @@ object PpJoin {
   def jaccardEdgesBipartite(left: DataFrame, right: DataFrame,
                             idCol: String, tokCol: String,
                             num: Int = 1, den: Int = 2): DataFrame = {
+    // same null-token exclusion as [[jaccardEdges]], applied before the
+    // union-vocabulary audit so hash space and string space agree on
+    // corpora containing null tokens
     val l0 = left.select(col(idCol), col(tokCol))
+      .filter(col(tokCol).isNotNull)
     val r0 = right.select(col(idCol), col(tokCol))
+      .filter(col(tokCol).isNotNull)
     // audited hash re-key over the UNION vocabulary — both sides must
     // land in the same element space for the shared DF order and the
     // cross-frame intersection counts to mean anything

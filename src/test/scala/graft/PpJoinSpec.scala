@@ -79,6 +79,29 @@ class PpJoinSpec extends SparkSpec {
     assert(viaStrings == naiveEdges(e))
   }
 
+  test("null tokens are excluded, and never become joinable via the rekey") {
+    // string-space equi-joins drop null tokens (null ≠ null at the
+    // dfreq join, collect_list skips them at verify) — so a null is
+    // not a set member. The hash rekey must preserve that: without the
+    // entry-point null filter, xxhash64(null) is the non-null SEED, so
+    // docs sharing only a null token would acquire one shared joinable
+    // value, and the injectivity audit (which counts the null row on
+    // both sides) could not detect the divergence.
+    val e = elems(
+      1L -> Seq(null, "a", "b"),
+      2L -> Seq(null, "a", "b"), // J over non-null sets = 1
+      3L -> Seq(null, "x"), // shares ONLY the null with 1 and 2
+      4L -> Seq(null)) // all-null set: no non-null members at all
+    val got = ppEdges(e)
+    assert(got == Set((1L, 2L)))
+    // string-space path on the same frame agrees (nulls drop there by
+    // join semantics rather than by the explicit filter)
+    val viaStrings = PpJoin
+      .edgesOver(e.filter(col("tok").isNotNull), "id", "tok", 1, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == viaStrings)
+  }
+
   test("prefix index holds at most ⌊n/2⌋+1 tokens per set") {
     val prefix = PpJoin.prefixIndex(corpus, "id", "tok", 1, 2)
     val perSet = prefix.groupBy(col("id"))
