@@ -72,6 +72,70 @@ import org.apache.spark.sql.functions._
   */
 object EdJoin {
 
+  /** Cap for a MEASURED-bound broadcast: a corpus-derived join side may
+    * broadcast only when an upper bound on its TRUE in-memory bytes —
+    * computed from exact corpus length statistics, never from
+    * Catalyst's compressed-scan estimate — fits under this cap. This
+    * replaces the r12 blanket sort-merge pins on the explode-derived
+    * sides: the pins closed the d41 kill window (Catalyst
+    * auto-broadcast a ~1.3 GB variant frame whose explode estimate sat
+    * under the 10 MB line) but priced every small corpus with
+    * exchange+sort it didn't need. The measured bound restores the
+    * broadcast plan exactly where it is PROVEN safe and keeps the
+    * merge pin everywhere else — the broadcast decision becomes ours,
+    * made from true statistics, the same discipline as PpJoin's
+    * injectivity audit. 64 MB is far under any sane driver/executor
+    * memory at cluster scale while covering the whole small-SF regime.
+    */
+  private[graft] val MeasuredBroadcastCap: Long = 64L << 20
+
+  /** Per-row overhead (bytes) charged on top of string payload when
+    * bounding a broadcast hash relation: UnsafeRow header + fields +
+    * BytesToBytesMap slot. Deliberately generous — the bound must err
+    * toward sort-merge, never toward an unsafe broadcast. */
+  private val RowOverhead = 64.0
+
+  /** Length moments (n, ΣL, ΣL², ΣL³) of `strCol` over `strs`, the
+    * inputs every generated-frame size bound is a polynomial of. One
+    * aggregate job, memoized per (session, analyzed projection plan) —
+    * d41/d42-style query families re-derive frames from the same
+    * relation, and the moments are a fact about that relation
+    * (the PpJoin auditMemo discipline). Doubles, not longs: the
+    * moments feed an upper BOUND, where 1-ulp relative error is
+    * irrelevant and ΣL³ can overflow a long on a large corpus.
+    */
+  private val momentsMemo = scala.collection.mutable.Map.empty[
+    org.apache.spark.sql.SparkSession,
+    List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Array[Double])]]
+
+  private def lenMoments(strs: DataFrame, strCol: String): Array[Double] = {
+    val proj = strs.select(length(col(strCol)).cast("double").as("_l"))
+    val s = proj.sparkSession
+    val plan = proj.queryExecution.analyzed
+    val hit = momentsMemo.synchronized {
+      momentsMemo.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+      momentsMemo.getOrElse(s, Nil).find(_._1.sameResult(plan)).map(_._2)
+    }
+    hit.getOrElse {
+      // the job runs OUTSIDE the monitor; a racing duplicate is
+      // deterministic-idempotent
+      val r = proj.agg(
+        count(lit(1)).cast("double"),
+        coalesce(sum(col("_l")), lit(0.0)),
+        coalesce(sum(col("_l") * col("_l")), lit(0.0)),
+        coalesce(sum(col("_l") * col("_l") * col("_l")), lit(0.0))).head()
+      val m = Array(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))
+      momentsMemo.synchronized {
+        momentsMemo(s) = ((plan, m) ::
+          momentsMemo.getOrElse(s, Nil).filterNot(_._1.sameResult(plan)))
+          .take(16)
+      }
+      m
+    }
+  }
+
   /** EXACT {(id_a, id_b, dist) | id_a < id_b, ed ≤ k} over
     * (id, string) rows, strings of length ≥ q. dist is the true edit
     * distance (IntegerType).
@@ -92,7 +156,8 @@ object EdJoin {
     */
   def editPairs(strs: DataFrame, idCol: String, strCol: String,
                 k: Int, q: Int = 3,
-                blockCols: Seq[String] = Nil): DataFrame = {
+                blockCols: Seq[String] = Nil,
+                broadcastCap: Long = MeasuredBroadcastCap): DataFrame = {
     require(k >= 1, s"edit-distance threshold k must be >= 1, got $k")
     require(q >= 1, s"gram width q must be >= 1, got $q")
     val reserved = Set("_id", "_str", "_len", "_m", "_base", "_bkt",
@@ -131,24 +196,40 @@ object EdJoin {
       .orderBy(col("gram_df"), col("gram"))
     // strings ride along the prefix index ONLY from here — one join on
     // _id after the prefix filter has cut to ≤ k·q + 1 rows per string
-    // — so candidates verify inline without a separate text fetch
-    // PINNED sort-merge on both index joins (r12 broadcast audit —
-    // the d41 lesson generalized): the gram frame and the prefix
-    // frame are CORPUS-SCALED explode-derived sides whose Catalyst
-    // estimate comes from the COMPRESSED parquet scan — low by the
-    // decompression × explode multiplicity product (100–1000×), so
-    // there is a mid-scale window where the estimate sits under the
-    // 10 MB auto-broadcast line while the true frame is gigabytes
-    // through the driver. BroadcastAudit flagged both build sides at
-    // sf0.1; the deletion path's identical defect measurably
-    // materialized at 100× (1.3 GB driver broadcast). SMJ exchanges
-    // 8-byte keys and spills — never driver-resident.
-    val prefix = grams.hint("merge").join(dfreq, Seq("gram"))
+    // — so candidates verify inline without a separate text fetch.
+    //
+    // MEASURED-bound strategy on both index joins (the d41 lesson,
+    // r13 form): the gram frame and the prefix frame are CORPUS-SCALED
+    // explode-derived sides whose Catalyst estimate comes from the
+    // COMPRESSED parquet scan — low by the decompression × explode
+    // multiplicity product (100–1000×), so there is a mid-scale window
+    // where the estimate sits under the 10 MB auto-broadcast line
+    // while the true frame is gigabytes through the driver (the
+    // deletion path's identical defect measurably materialized at
+    // 100×: 1.3 GB driver broadcast). The r12 fix was a blanket SMJ
+    // pin; this version instead bounds the TRUE bytes of the SMALL
+    // side of each join from exact length moments and broadcasts that
+    // side only under the proven cap — the right build side (dfreq /
+    // the strings, never the exploded frame Catalyst would pick) at
+    // small scale, spillable 8-byte-key SMJ everywhere else.
+    val Array(nStr, sumLen, _, _) = lenMoments(s, "_str")
+    // dfreq rows ≤ total gram occurrences = Σ(L − q + 1); 16-byte rows
+    val dfreqBytes = (sumLen - (q - 1) * nStr) * (16 + RowOverhead)
+    // strings side: payload ΣL plus id/len fields per row (blockCols
+    // ride along — charge a generous fixed width each)
+    val strsBytes = sumLen +
+      nStr * (16 + RowOverhead + 32.0 * blockCols.size)
+    val indexed = if (dfreqBytes <= broadcastCap)
+        grams.join(broadcast(dfreq), Seq("gram"))
+      else grams.hint("merge").join(dfreq, Seq("gram"))
+    val sLen = s.withColumn("_len", length(col("_str")))
+    val prefixBare = indexed
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= k * q + 1)
       .select(col("_id"), col("gram"))
-      .hint("merge")
-      .join(s.withColumn("_len", length(col("_str"))), Seq("_id"))
+    val prefix = if (strsBytes <= broadcastCap)
+        prefixBare.join(broadcast(sLen), Seq("_id"))
+      else prefixBare.hint("merge").join(sLen, Seq("_id"))
     val n = strs.sparkSession.sparkContext.defaultParallelism
     val blk = blockCols.map(col)
     val a = prefix
@@ -160,17 +241,22 @@ object EdJoin {
       .select((Seq(col("gram"), col("_id").as("id_b"),
         col("_str").as("sb"), col("_len").as("lb")) ++ blk): _*)
     // candidates form on (blockCols…, gram): cross-block pairs never
-    // exist. This join stays SORT-MERGE deliberately (r12 measured
-    // negatives): a shuffle_hash build on either prefix side OOMs at
-    // sf10/local[32] — unlike PpJoin's id-distinct sets frame, the
-    // build side here is the WHOLE prefix index and Spark cannot spill
-    // an SHJ build map. The ~1.8 GB sf10 sort spill from doc strings
-    // riding both sort buffers is a WIDTH artifact, not a plan defect:
-    // at 128 shuffle partitions it is exactly 0 (at +40% shuffle bytes
-    // and +17% wall from the extra AQE exchanges — 32-wide with spill
-    // is the faster configuration on this box, and cluster-grade
-    // per-task memory holds the 32-wide sort resident).
-    val gramPairs = a.join(b, Seq("gram") ++ blockCols)
+    // exist. This join stays SORT-MERGE unconditionally — both r12 and
+    // r13 measured negatives: a shuffle_hash build on either prefix
+    // side OOMs at sf10/local[32] (a build map of the WHOLE prefix
+    // index — unlike PpJoin's id-distinct sets frame — cannot spill),
+    // and broadcasting the bounded b side at small SF measurably LOSES
+    // (d40 sf0.1: 2.6 → 9.9 s wall, cpu-parallelism 8 → 2.7): the
+    // broadcast chain removes the exchanges that spread the CPU-dense
+    // k·q-gram verification across cores, leaving it on the scan's few
+    // input splits. Pinned merge keeps Catalyst out of the estimate
+    // window AND keeps verification wide. The ~1.8 GB sf10 sort spill
+    // from doc strings riding both sort buffers is a WIDTH artifact,
+    // not a plan defect: at 128 shuffle partitions it is exactly 0 (at
+    // +40% shuffle bytes and +17% wall from the extra AQE exchanges —
+    // 32-wide with spill is the faster configuration on this box, and
+    // cluster-grade per-task memory holds the 32-wide sort resident).
+    val gramPairs = a.join(b.hint("merge"), Seq("gram") ++ blockCols)
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("la") - col("lb")) <= k)
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
@@ -203,11 +289,12 @@ object EdJoin {
       col("_str").as("sb"), col("_len").as("lb"),
       col("_base").as("bb")) ++ blk): _*)
     // band key is (blockCols…, bkt) — blocked the same way as the gram
-    // path, so neither candidate structure ever crosses a block
-    // merge-pinned for the same reason as the index joins above: the
-    // band frames are an explode-derived corpus slice (length-bounded,
-    // but a slice of the corpus nonetheless) with the same
-    // under-the-line estimate window
+    // path, so neither candidate structure ever crosses a block.
+    // Merge-pinned like the candidate join: the band frames are an
+    // explode-derived corpus slice (length-bounded, but a slice of the
+    // corpus nonetheless) with the same under-the-line estimate
+    // window, and band verification is the same CPU-dense work the
+    // broadcast chain serializes (the d40 r13 negative above)
     val shortPairs = sa.join(sb.hint("merge"), Seq("_bkt") ++ blockCols)
       .filter(col("id_a") < col("id_b")
           && abs(col("la") - col("lb")) <= k
@@ -249,7 +336,9 @@ object EdJoin {
     * prefixes stay small relative to the gram count.
     */
   def editPairsByDeletion(strs: DataFrame, idCol: String, strCol: String,
-                          k: Int): DataFrame = {
+                          k: Int,
+                          broadcastCap: Long = MeasuredBroadcastCap)
+      : DataFrame = {
     val keyed = deletionKeys(strs, idCol, strCol, k)
     val n = strs.sparkSession.sparkContext.defaultParallelism
     val a = keyed.select(col("_key"), col("_id").as("id_a"),
@@ -258,17 +347,31 @@ object EdJoin {
       .repartition(n, col("id_a"))
     val b = keyed.select(col("_key"), col("_id").as("id_b"),
       col("_str").as("sb"))
-    // PINNED sort-merge (r12): the variant frame is CORPUS-SCALED
-    // (every ≤k-deletion variant of every string, strings aboard) but
-    // explode-based size estimates run low, so Catalyst auto-broadcast
-    // it well past the real 10 MB line — ~1.3 GB through the driver at
-    // 100×, the d46/d47 driver-kill mode, latent in local mode until
-    // the sf30 sweep watched the estimate finally cross (stages 3→5)
-    // and asked why. SMJ exchanges by the near-unique _key and sorts
-    // 8-byte keys — spillable, never driver-resident; shuffle_hash is
-    // NOT safe here (a build map of the whole variant side, unlike the
-    // probe stream's batch-sized build, OOMs — the gramPairs negative).
-    a.join(b.hint("merge"), Seq("_key"))
+    // MEASURED-bound strategy (r13; the r12 form was a blanket SMJ
+    // pin): the variant frame is CORPUS-SCALED (every ≤k-deletion
+    // variant of every string, strings aboard) but explode-based size
+    // estimates run low, so Catalyst auto-broadcast it well past the
+    // real 10 MB line — ~1.3 GB through the driver at 100×, the
+    // driver-kill mode, latent in local mode until the sf30 sweep
+    // watched the estimate finally cross (stages 3→5) and asked why.
+    // The exact variant count per string is Σ_{j≤k} C(L, j) and
+    // array_distinct only shrinks it, so Σ V(L)·(L + overhead) — a
+    // polynomial of the corpus length moments — is a TRUE upper bound
+    // on the frame's bytes: under the cap the broadcast plan is proven
+    // safe and taken (it is ~2× faster on small corpora), above it
+    // SMJ exchanges the near-unique 8-byte _key and sorts spillable —
+    // never driver-resident. shuffle_hash is NOT safe in either case
+    // (a build map of the whole variant side, unlike the probe
+    // stream's batch-sized build, OOMs — the gramPairs negative).
+    val Array(nRows, m1, m2, m3) = lenMoments(strs, strCol)
+    val c = 16 + RowOverhead // _key + id fields beyond the string
+    val variantBytes =
+      if (k == 1) m2 + (c + 1) * m1 + c * nRows // Σ (L+1)(L+c)
+      else 0.5 * m3 + (0.5 * c + 0.5) * m2 +
+        (0.5 * c + 1) * m1 + c * nRows // Σ (1+L+C(L,2))(L+c), k = 2
+    val bSide = if (variantBytes <= broadcastCap) broadcast(b)
+      else b.hint("merge")
+    a.join(bSide, Seq("_key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("sa"), col("sb"), k))
       .filter(col("dist") >= 0)

@@ -201,6 +201,30 @@ class EdJoinSpec extends SparkSpec {
         s"k=$k")
   }
 
+  test("measured-bound strategy branches produce identical pairs") {
+    // broadcastCap = 0 forces every measured decision to the
+    // sort-merge branch; the default cap takes the broadcast branch on
+    // these tiny corpora — both must be pure physical-strategy choices
+    // with byte-identical results, on both the gram and deletion paths
+    val dfD = prefixCorpus
+    for (k <- 1 to 2) {
+      val bc = EdJoin.editPairsByDeletion(dfD, "id", "s", k)
+        .as[(Long, Long, Int)].collect().toSet
+      val smj = EdJoin.editPairsByDeletion(dfD, "id", "s", k,
+          broadcastCap = 0L)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(bc == smj, s"deletion path k=$k")
+    }
+    for (k <- 1 to 2) {
+      val bc = EdJoin.editPairs(dfD, "id", "s", k, 3)
+        .as[(Long, Long, Int)].collect().toSet
+      val smj = EdJoin.editPairs(dfD, "id", "s", k, 3,
+          broadcastCap = 0L)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(bc == smj, s"gram path k=$k")
+    }
+  }
+
   test("periodic long strings stay exact outside the short path") {
     // "ababab…" of ANY length holds ≤ 4 distinct 3-grams, so a
     // gram-count-only short-class test would drag arbitrarily long

@@ -100,10 +100,31 @@ class NewQueryPlanSpec extends SparkSpec {
       "candidates must come from the hashed-variant equi-join")
     // the variant frame is corpus-scaled with a low explode estimate:
     // Catalyst auto-broadcast ~1.3 GB of it through the driver at 100×
-    // (found by the r12 sf30 stage-count step) — the join is pinned
-    // sort-merge and must stay that way
-    assert(!p.contains("BroadcastExchange"),
-      s"corpus-scaled variant frame must never broadcast:\n${p.take(600)}")
+    // (found by the r12 sf30 stage-count step). r13: the strategy is a
+    // MEASURED decision — EdJoin bounds the variant frame's true bytes
+    // from exact length moments; at sf0.001 the bound is far under the
+    // cap, so the broadcast plan is the PROVEN-safe fast shape here
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"tiny corpus should take the measured-safe broadcast plan:\n" +
+        p.take(600))
+  }
+
+  test("d41's join falls back to sort-merge when the measured bound " +
+      "exceeds the cap") {
+    // cap 0 models the at-scale verdict: the SAME operator must pin
+    // sort-merge — Catalyst's under-the-line explode estimate must
+    // never get to decide (the r12 driver-kill window)
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val p = graft.operators.EdJoin
+      .editPairsByDeletion(cust, "c_custkey", "c_name", k = 1,
+        broadcastCap = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastExchange") &&
+      !p.contains("BroadcastHashJoin"),
+      s"above-cap corpus must never broadcast the variant frame:\n" +
+        p.take(600))
+    assert(p.contains("SortMergeJoin"),
+      s"expected the pinned sort-merge shape:\n${p.take(600)}")
   }
 
   test("d42 scans documents once per role with only doc_id/text") {
