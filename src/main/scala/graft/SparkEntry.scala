@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.TrainingOps2,
     graft.queries.Analytics,
     graft.queries.SubstrOps,
-    graft.queries.Curation)
+    graft.queries.Curation,
+    graft.queries.QualityOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computed fixtures for the Gopher-style quality battery
+  * (d52 top-n-gram char fraction, d53 duplicated-n-gram coverage,
+  * d54 quality gate) — every expected number derived on paper in the
+  * comments, including the documented >1.0 overlap case and the
+  * empty-document edge.
+  */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files
+      .createTempDirectory("quality_fixture").toString
+    Seq(
+      // doc 0: "a b a b a b" — 6 words, text length 11
+      //   2-grams: [a b, b a, a b, b a, a b] → top ("a b", 3),
+      //     frac = 3·3/11; every 2-gram occurs ≥ 2 → full coverage
+      //   3-grams: [a b a, b a b, a b a, b a b] → tie at 2, smallest
+      //     "a b a", frac = 2·5/11
+      //   4-grams: [a b a b, b a b a, a b a b] → ("a b a b", 2),
+      //     frac = 2·7/11 > 1.0 (overlapping occurrences both count)
+      (0L, "a b a b a b", "en", "src1"),
+      // doc 1: "the quick brown fox" × 15 — 60 words, length 299;
+      //   top 2-gram ties at 15 (the quick / quick brown / brown fox;
+      //   fox the is 14) → smallest "brown fox", frac = 15·9/299;
+      //   gate: n_words 60 ∈ [50,1e5], mean_wlen (3+5+5+3)/4 = 4.0,
+      //   n_stop = 15 ("the"), alpha 1.0 → passes
+      (1L, Seq.fill(15)("the quick brown fox").mkString(" "), "en", "src1"),
+      // doc 2: empty text — all-zero row, gram '' everywhere
+      (2L, "", "en", "src2"),
+      // doc 3: two words, no repeats, no stopwords
+      (3L, "hello world", "en", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String): Map[Long, org.apache.spark.sql.Row] =
+    SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("d52: top n-gram char fractions, ties to the smallest gram") {
+    val m = run("d52_top_ngram_char_frac")
+    val r0 = m(0L)
+    assert(r0.getAs[String]("top2_gram") == "a b")
+    assert(r0.getAs[Long]("top2_cnt") == 3L)
+    assert(r0.getAs[Double]("top2_frac") == 3.0 * 3 / 11)
+    assert(r0.getAs[String]("top3_gram") == "a b a")
+    assert(r0.getAs[Double]("top3_frac") == 2.0 * 5 / 11)
+    assert(r0.getAs[String]("top4_gram") == "a b a b")
+    // overlap makes coverage exceed 1.0 — the periodicity signal
+    assert(r0.getAs[Double]("top4_frac") == 2.0 * 7 / 11)
+    assert(r0.getAs[Double]("top4_frac") > 1.0)
+    val r1 = m(1L)
+    assert(r1.getAs[String]("top2_gram") == "brown fox")
+    assert(r1.getAs[Long]("top2_cnt") == 15L)
+    assert(r1.getAs[Double]("top2_frac") == 15.0 * 9 / 299)
+    val r2 = m(2L)
+    assert(r2.getAs[String]("top2_gram") == "")
+    assert(r2.getAs[Long]("top2_cnt") == 0L)
+    assert(r2.getAs[Double]("top2_frac") == 0.0)
+    val r3 = m(3L)
+    assert(r3.getAs[String]("top2_gram") == "hello world")
+    assert(r3.getAs[Double]("top2_frac") == 1.0)
+  }
+
+  test("d53: duplicated-gram coverage counts each word once") {
+    val m = run("d53_dup_ngram_cover")
+    val r0 = m(0L)
+    // every 2-gram and 3-gram of doc 0 repeats → all 6 words covered
+    assert(r0.getAs[Int]("dup2_grams") == 5)
+    assert(r0.getAs[Int]("dup2_words") == 6)
+    assert(r0.getAs[Double]("dup2_frac") == 1.0)
+    assert(r0.getAs[Int]("dup3_grams") == 4)
+    assert(r0.getAs[Double]("dup3_frac") == 1.0)
+    // doc 1: every 2-gram occurs ≥ 14 times → full coverage too
+    assert(m(1L).getAs[Double]("dup2_frac") == 1.0)
+    // docs 2 and 3: no duplicated grams at all
+    assert(m(2L).getAs[Int]("dup2_grams") == 0)
+    assert(m(2L).getAs[Double]("dup2_frac") == 0.0)
+    assert(m(3L).getAs[Int]("dup2_grams") == 0)
+    assert(m(3L).getAs[Double]("dup3_frac") == 0.0)
+  }
+
+  test("d54: gate flags and the conjunction") {
+    val m = run("d54_quality_gate")
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("n_words") == 60L)
+    assert(r1.getAs[Double]("mean_wlen") == 4.0)
+    assert(r1.getAs[Long]("n_stop") == 15L)
+    assert(r1.getAs[Double]("alpha_frac") == 1.0)
+    assert(r1.getAs[Boolean]("passes"))
+    val r0 = m(0L)
+    assert(!r0.getAs[Boolean]("ok_words")) // 6 < 50
+    assert(!r0.getAs[Boolean]("ok_mwl")) // mean 1.0 < 3
+    assert(r0.getAs[Boolean]("ok_stop")) // "a" × 3
+    assert(!r0.getAs[Boolean]("passes"))
+    val r2 = m(2L)
+    assert(r2.getAs[Long]("n_words") == 0L)
+    assert(!r2.getAs[Boolean]("passes"))
+    val r3 = m(3L)
+    assert(r3.getAs[Boolean]("ok_mwl")) // mean 5.0
+    assert(!r3.getAs[Boolean]("ok_stop")) // zero stopwords
+    assert(!r3.getAs[Boolean]("passes"))
+  }
+
+  test("all three are shuffle-free map-side projections") {
+    for (q <- Seq("d52_top_ngram_char_frac", "d53_dup_ngram_cover",
+        "d54_quality_gate")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).isEmpty,
+        s"$q must not shuffle:\n${p.take(500)}")
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+  }
+}
