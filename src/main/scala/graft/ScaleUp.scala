@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   *     agreement set — copies are disjoint corpora by construction, and
   *     the map family supports 312 letter × 40 digit bijections where
   *     the earlier 10-letter rotation scheme exhausted at k = 10.
+  *     Beyond 312 letter maps (the fifth decade, k = 1000) the family
+  *     continues with deterministic rejection-sampled permutations
+  *     whose pairwise agreement with EVERY other shipped map is
+  *     acceptance-tested at ≤ 4 letters ([[letterMaps]]) — the
+  *     guarantee becomes a checked finite property rather than an
+  *     algebraic one, at the same ≤4-character standard.
   *  3. '''Deterministic.''' No RNG anywhere; re-running produces
   *     byte-identical rows (modulo parquet file split), so scale-bench
   *     numbers are reproducible across sessions.
@@ -60,12 +66,101 @@ object ScaleUp {
   // units mod 26 and mod 10 (coprime multipliers)
   private val A26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
   private val A10 = Seq(1, 3, 7, 9)
-  /** Distinct LETTER bijections: the full affine family over Z26
-    * (12 units × 26 offsets). Any two distinct members agree on ≤ 2
-    * letters (both multipliers are odd, so a₁−a₂ is even and not
-    * divisible by 26 ⟹ gcd(a₁−a₂, 26) = 2), so the pairwise-disjoint
-    * guarantee holds across the whole family, not just the first 40. */
+  /** Distinct LETTER bijections with the ALGEBRAIC ≤2-agreement proof:
+    * the full affine family over Z26 (12 units × 26 offsets). Any two
+    * distinct members agree on ≤ 2 letters (both multipliers are odd,
+    * so a₁−a₂ is even and not divisible by 26 ⟹ gcd(a₁−a₂, 26) = 2),
+    * so the pairwise-disjoint guarantee holds across the whole family,
+    * not just the first 40. Beyond 312 copies the letter family
+    * continues with CHECKED permutations — see [[letterMaps]]. */
   private[graft] val MaxCopies = A26.length * Lower.length // 312
+
+  /** Pairwise agreement ceiling for the sampled extension of the
+    * letter family (copies ≥ 312): any two maps in the WHOLE family —
+    * affine×affine, affine×sampled, sampled×sampled — agree on at most
+    * this many letters. 4 matches the previous end-to-end standard
+    * (≤ 2 letters + ≤ 2 digits on a digit-bearing corpus); a
+    * cross-copy word shingle would need every letter of ≥ 3 words
+    * drawn from one ≤ 4-letter agreement set, and the build's
+    * distinct-text audit plus the dedup anchors (d24/d36 candidate
+    * counts) watch the property on the actual data. */
+  private[graft] val MaxAgreement = 4
+
+  /** Hard cap for the rejection-sampled family: acceptance probability
+    * per candidate at n kept maps is ≈ P[Poisson(1) ≤ 4]ⁿ ≈ 0.9963ⁿ
+    * (two uniform random permutations of 26 letters agree on
+    * Poisson(1)-many positions), so 2000 maps cost on the order of
+    * 10⁵ driver-side candidate tests — trivial — while 10× more would
+    * start to strain the bound. */
+  private[graft] val MaxSampledCopies = 2000
+
+  /** splitmix64 output function (Steele, Lea & Flood, "Fast Splittable
+    * Pseudorandom Number Generators", OOPSLA 2014) — the deterministic
+    * stream driving the sampled permutations. Pure arithmetic, no RNG
+    * state: re-running any build reproduces byte-identical maps. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Fisher–Yates permutation of 0..25 from the mix64 stream seeded by
+    * `seed`. Modulo bias over 26 buckets from 63 random bits is
+    * ≤ 2⁻⁵⁷ — irrelevant to an acceptance-tested family. */
+  private def sampledPerm(seed: Long): Array[Int] = {
+    val p = Array.tabulate(26)(identity)
+    var s = mix64(seed)
+    var i = 25
+    while (i >= 1) {
+      s = mix64(s)
+      val j = ((s >>> 1) % (i + 1)).toInt
+      val t = p(i); p(i) = p(j); p(j) = t
+      i -= 1
+    }
+    p
+  }
+
+  private def agreementOf(a: Array[Int], b: Array[Int]): Int = {
+    var n = 0; var i = 0
+    while (i < 26) { if (a(i) == b(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** The letter-map family for a k-copy build — the fifth-decade
+    * extension. Copies 0 until 312 are the affine family, UNCHANGED
+    * (prior builds at every SF rebuild byte-identically). Copies
+    * 312 until k are deterministic rejection-sampled permutations:
+    * candidate seeds 0, 1, 2, … are tried in order and a candidate is
+    * kept iff it agrees with EVERY kept map (affine and sampled) on
+    * ≤ [[MaxAgreement]] letters. The disjointness guarantee thus moves
+    * from an algebraic proof (exhausted at 312) to a CHECKED finite
+    * property: the acceptance test run here at build time IS the
+    * proof, for exactly the maps shipped.
+    */
+  private[graft] def letterMaps(k: Int): IndexedSeq[Array[Int]] = {
+    require(k >= 1 && k <= MaxSampledCopies,
+      s"k=$k outside [1, $MaxSampledCopies]")
+    val affine = (0 until math.min(k, MaxCopies)).map { i =>
+      val aL = A26(i % A26.length); val bL = (i / A26.length) % 26
+      Array.tabulate(26)(x => (aL * x + bL) % 26)
+    }
+    if (k <= MaxCopies) affine
+    else {
+      val kept = scala.collection.mutable.ArrayBuffer(affine: _*)
+      var seed = 0L
+      while (kept.size < k) {
+        require(seed < 100000000L,
+          s"letter-map rejection sampling did not converge at " +
+            s"${kept.size} maps")
+        val cand = sampledPerm(seed)
+        if (kept.forall(m => agreementOf(m, cand) <= MaxAgreement))
+          kept += cand
+        seed += 1
+      }
+      kept.toIndexedSeq
+    }
+  }
   /** Distinct DIGIT bijections before (aD, bD) pairs repeat. Beyond
     * this, two copies can share a digit map, so all-digit shingles
     * would collide cross-copy — [[run]] therefore refuses k >
@@ -163,6 +258,21 @@ object ScaleUp {
     (from, to)
   }
 
+  /** Copy i's translate pair from an explicit letter map (the
+    * [[letterMaps]] family): the map applies to BOTH cases in parallel
+    * (case-preserving, like the affine family), digits keep cycling
+    * the affine digit family (sound only on digit-free corpora past 40
+    * copies — [[run]]'s existing guard). For i < [[MaxCopies]] with
+    * the family's affine prefix this reproduces [[substitution]](i)
+    * byte-for-byte, so pre-fifth-decade builds are unchanged. */
+  private[graft] def substitutionFor(map: Array[Int], i: Int)
+      : (String, String) = {
+    val aD = A10(i % A10.length); val bD = (i / A10.length) % 10
+    val lower = map.map(Lower(_)).mkString
+    val from = Lower + Lower.toUpperCase + Digits
+    (from, lower + lower.toUpperCase + affine(Digits, aD, bD))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "target/scale/sf1"
@@ -185,10 +295,17 @@ object ScaleUp {
     // with a sign flip). The digit and embedding constraints are
     // checked against the actual data below — the static cap here is
     // the letter family's.
-    require(k >= 1 && k <= MaxCopies,
-      s"k=$k outside [1, $MaxCopies]: only $MaxCopies distinct letter " +
-        "substitutions exist before the affine pairs repeat and copies " +
-        "stop being disjoint")
+    require(k >= 1 && k <= MaxSampledCopies,
+      s"k=$k outside [1, $MaxSampledCopies]: the checked letter-map " +
+        "family (affine + rejection-sampled permutations) is capped " +
+        "there — see letterMaps")
+    // the whole-family maps, acceptance-tested at construction: affine
+    // for the first 312 copies (pre-fifth-decade builds byte-stable),
+    // sampled with checked pairwise agreement ≤ MaxAgreement beyond
+    val maps = letterMaps(k)
+    if (k > MaxCopies)
+      println(s"scaleup: letter family extended to $k maps " +
+        s"(${k - MaxCopies} sampled, pairwise agreement <= $MaxAgreement)")
     def tbl(name: String): DataFrame = Tables.load(spark, src, name)
     if (k > MaxDigitCopies) {
       // beyond 40 copies two digit maps can coincide; that is only
@@ -279,7 +396,7 @@ object ScaleUp {
         .withColumn("text",
           if (i == 0) col("text")
           else {
-            val (from, to) = substitution(i)
+            val (from, to) = substitutionFor(maps(i), i)
             translate(col("text"), from, to)
           })
     }, "documents")

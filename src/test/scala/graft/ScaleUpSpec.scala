@@ -100,6 +100,34 @@ class ScaleUpSpec extends SparkSpec {
     assert(letterMaps.distinct.size === ScaleUp.MaxCopies)
   }
 
+  test("extended letter family: affine prefix byte-stable, sampled tail " +
+      "bijective with checked pairwise agreement <= 4") {
+    val k = 400 // past the 312 affine maps into the sampled extension
+    val fam = ScaleUp.letterMaps(k)
+    assert(fam.size == k)
+    // prefix must reproduce the affine family exactly — prior builds
+    // at every SF rebuild byte-identically
+    for (i <- 0 until ScaleUp.MaxCopies) {
+      val affineLetters = ScaleUp.substitution(i)._2.take(26)
+      assert(fam(i).map(x => ('a' + x).toChar).mkString == affineLetters,
+        s"copy $i diverged from the affine family")
+      // and substitutionFor must agree with substitution end-to-end
+      assert(ScaleUp.substitutionFor(fam(i), i) == ScaleUp.substitution(i),
+        s"substitutionFor($i) != substitution($i)")
+    }
+    // every member is a bijection; every PAIR (affine x sampled and
+    // sampled x sampled included) meets the checked agreement bound
+    fam.foreach(m => assert(m.toSet.size == 26))
+    for (i <- fam.indices; j <- (i + 1) until fam.size) {
+      val agree = (0 until 26).count(x => fam(i)(x) == fam(j)(x))
+      assert(agree <= ScaleUp.MaxAgreement,
+        s"maps $i,$j agree on $agree letters")
+    }
+    // determinism: recomputing yields the same family
+    val fam2 = ScaleUp.letterMaps(k)
+    assert(fam.zip(fam2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("rotateFlip: identity at 0, orthogonal and pairwise distinct to 2*dim") {
     import spark.implicits._
     val dim = 8
