@@ -239,12 +239,35 @@ object Dedup {
     *   large-star: every neighbor v>u reconnects to min(N(u)∪{u});
     *   small-star: every neighbor v≤u plus u reconnect to min(N(u)∪{u}).
     * Fixpoint ⇔ the edge set is a parent-function star forest (each
-    * child exactly one parent, no parent has a parent) — checked
-    * structurally per round with two short-circuiting isEmpty probes,
-    * not an edge-set diff. Roots are then component minima (each phase
-    * only ever reconnects toward neighborhood minima, and minima only
-    * merge downward), giving the same (id, component=smallest id)
-    * contract the label-propagation form had.
+    * child exactly one parent, no parent has a parent). Roots are then
+    * component minima (each phase only ever reconnects toward
+    * neighborhood minima, and minima only merge downward), giving the
+    * same (id, component=smallest id) contract the label-propagation
+    * form had.
+    *
+    * FROZEN FRONTIER (the at-scale fix for round mass): each round —
+    * including a round 0 on the raw pairs — CLOSED STARS are frozen out
+    * of the active edge set before the next contraction. A star rooted
+    * at r is closed iff r has no parent and every child of r has
+    * exactly one parent and no children of its own. Such a star is a
+    * complete component of the CURRENT graph (any link to further
+    * structure would give some child a second parent or a child of its
+    * own, breaking the test), and because the phases preserve
+    * connectivity (paper Lemmas 1-2) it is a complete component of the
+    * ORIGINAL graph; its root is the component minimum (the minimum is
+    * smaller than every neighbor, so it can never appear as a src under
+    * the src>dst invariant and never loses its dst edges to a rewrite —
+    * it is always a root, and a closed star has exactly one). So frozen
+    * labels are final and exact, and frozen nodes can never be touched
+    * again (no active edge reaches them). Without this, every round
+    * re-shuffles the FULL edge table even though most dedup mass —
+    * isolated duplicate pairs, small clusters — is star-shaped after
+    * round 0/1 (measured at sf30: the d42 family's bytes grew 4.14× per
+    * 3.33× data purely from round count × full-edge re-shuffles).
+    * Freezing also subsumes the old two-probe star-forest convergence
+    * check: fixpoint ⇔ every component is a closed star ⇔ the active
+    * set is empty after the freeze, one isEmpty probe on an
+    * already-checkpointed leaf.
     *
     * Each phase output is LINEAGE-TRUNCATED (eager localCheckpoint):
     * phases reference their input twice (the min-aggregate and the
@@ -265,8 +288,9 @@ object Dedup {
     * is the smallest id in the cluster. Isolated ids don't appear.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15,
-                          onRound: (Int, Double) => Unit = (_, _) => ())
-      : DataFrame = {
+                          onRound: (Int, Double) => Unit = (_, _) => (),
+                          onFreeze: Option[(Int, Long, Long) => Unit] =
+                            None): DataFrame = {
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
@@ -301,20 +325,67 @@ object Dedup {
         .distinct()
     }
 
-    // Star-forest test: every child has exactly one parent AND no
-    // parent is itself a child. (The first clause is not redundant — a
-    // child with edges into two roots passes the second clause but its
-    // stars still need a merging round.) Both violation families union
-    // into ONE short-circuiting probe job per round.
-    def isStarForest(e: DataFrame): Boolean =
-      e.groupBy("src").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select(lit(1).as("viol"))
-        .unionByName(
-          e.join(e.select(col("src").as("dst")).distinct(),
-            Seq("dst"), "left_semi").select(lit(1).as("viol")))
-        .isEmpty
+    // Closed-star freeze (scaladoc above): split the active edge set
+    // into finished star components — whose (child, root) rows are
+    // final labels — and the frontier that still needs contraction.
+    // Per-node parent/child counts come from ONE aggregate over the
+    // tagged symmetrized edge list; the semi/anti joins are all
+    // merge-pinned because every side is corpus-scaled in the worst
+    // round (leaves ≈ |V|) — a generated-frame broadcast here is the
+    // d41 kill class (BroadcastAudit) and the frames' size estimates
+    // are aggregate guesses Catalyst cannot be trusted with.
+    val frozenLabels = scala.collection.mutable.Buffer.empty[DataFrame]
+    // round index for the onFreeze observer (0 = the pre-contraction
+    // freeze on the raw pairs); counts run only when observed — they
+    // are two extra count jobs on checkpointed leaves
+    var freezeRound = 0
+    def freezeClosedStars(): Boolean = {
+      val e = edges
+      val stats = e.select(col("src").as("n"), lit(1L).as("p"))
+        .unionByName(e.select(col("dst").as("n"), lit(0L).as("p")))
+        .groupBy("n")
+        .agg(sum(col("p")).as("pc"), sum(lit(1L) - col("p")).as("cc"))
+      val leaves = stats.filter(col("pc") === 1 && col("cc") === 0)
+        .select(col("n").as("src"))
+      val roots = stats.filter(col("pc") === 0)
+        .select(col("n").as("dst"))
+      // edges whose child is a leaf AND whose parent is a root…
+      val cand = e.join(leaves.hint("merge"), Seq("src"), "left_semi")
+        .join(roots.hint("merge"), Seq("dst"), "left_semi")
+      // …minus stars where ANY sibling fails the test (the root is then
+      // still connected to unresolved structure through that sibling)
+      val dirtyRoots = e.join(cand.hint("merge"), Seq("src", "dst"),
+          "left_anti")
+        .select(col("dst")).distinct()
+      val frozen = cand.join(dirtyRoots.hint("merge"), Seq("dst"),
+        "left_anti")
+      // labels are final: children → root, root → itself (roots repeat
+      // once per child edge, hence the distinct on the root rows)
+      val lab = frozen
+        .select(col("src").as("id"), col("dst").as("component"))
+        .unionByName(frozen
+          .select(col("dst").as("id"), col("dst").as("component"))
+          .distinct())
+        .localCheckpoint(true)
+      frozenLabels += lab
+      // a frozen star owns ALL edges under its root, so the frontier is
+      // exactly the edges whose dst is not a frozen root — read the
+      // roots off the CHECKPOINTED labels (id = component rows) so the
+      // freeze lineage is not executed a second time
+      edges = e.join(
+          lab.filter(col("id") === col("component"))
+            .select(col("id").as("dst")).hint("merge"),
+          Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      onFreeze.foreach(f => f(freezeRound, lab.count(), edges.count()))
+      freezeRound += 1
+      edges.isEmpty
+    }
 
-    var converged = isStarForest(edges)
+    // round 0: isolated duplicate pairs and pre-existing stars — the
+    // bulk of a real dedup graph — exit before the first contraction
+    var converged = freezeClosedStars()
     var i = 0
     while (!converged && i < maxIters) {
       val roundT0 = System.nanoTime()
@@ -323,7 +394,7 @@ object Dedup {
       // of the input — fine when that input is the previous round's
       // checkpointed leaf (the depth does not compound across rounds).
       edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = isStarForest(edges)
+      converged = freezeClosedStars()
       i += 1
       onRound(i, (System.nanoTime() - roundT0) / 1e9)
     }
@@ -332,18 +403,20 @@ object Dedup {
         s"connectedComponents hit maxIters=$maxIters before the star-" +
           "forest fixpoint; components may carry non-minimal labels — " +
           "raise maxIters (rounds needed ~log(n), O(log² n) worst-case)")
-    // Labels read directly off the star forest: children map to their
-    // root, roots map to themselves. Checkpointed leaves throughout, so
-    // the result is detached from the iteration's lineage. On the
-    // maxIters-capped path a child can still hold edges into two roots;
-    // collapse to the smaller so the contract stays one row per id
-    // (labels then may be non-minimal — warned above — but never
-    // duplicated, which would row-multiply survivor joins downstream).
-    val raw = edges.select(col("src").as("id"), col("dst").as("component"))
+    // Converged ⇒ the active set is empty and every label is frozen.
+    // On the maxIters-capped path the leftover edges still yield labels
+    // the old way: children map to their root, roots to themselves; a
+    // child with edges into two roots collapses to the smaller so the
+    // contract stays one row per id (labels then may be non-minimal —
+    // warned above — but never duplicated, which would row-multiply
+    // survivor joins downstream). Frozen and leftover node sets are
+    // disjoint by construction, so the union never duplicates an id.
+    val leftover = edges
+      .select(col("src").as("id"), col("dst").as("component"))
       .unionByName(
         edges.select(col("dst").as("id"), col("dst").as("component")))
-    if (converged) raw.distinct()
-    else raw.groupBy(col("id")).agg(min(col("component")).as("component"))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+    frozenLabels.foldLeft(leftover)(_ unionByName _)
   }
 
   /** Survivors after near-dup clustering: the smallest id per component

@@ -256,6 +256,40 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1000L) == 1000L && m(1002L) == 1000L && m(2001L) == 2000L)
   }
 
+  test("closed-star freeze retires pair mass at round 0 and shrinks the " +
+       "frontier each round") {
+    // 200 isolated duplicate pairs (the dominant shape of a real dedup
+    // graph) + one 40-hop chain. The pairs are closed stars already, so
+    // the round-0 freeze must retire all 200 of them BEFORE the first
+    // contraction ever shuffles an edge — that is the at-scale point:
+    // rounds re-shuffle only the unresolved frontier, not the full
+    // edge table. Labels must still be exact for both families.
+    val pairs = ((0 until 200).map(i => (5000L + 2 * i, 5001L + 2 * i)) ++
+      (0L until 40L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val freezes = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
+    val comps = Dedup.connectedComponents(pairs,
+        onFreeze = Some((r, frozen, active) =>
+          freezes += ((r, frozen, active))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 0: exactly the 200 pairs freeze (400 label rows), leaving
+    // only the 40 chain edges active
+    assert(freezes.head._1 == 0)
+    assert(freezes.head._2 == 400L,
+      s"round-0 frozen label rows: ${freezes.head._2}")
+    assert(freezes.head._3 == 40L,
+      s"round-0 active frontier: ${freezes.head._3}")
+    // the frontier never grows round-over-round once freezing starts
+    // from the chain-only remainder, and the last freeze empties it
+    assert(freezes.last._3 == 0L)
+    // labels exact: each pair maps to its even endpoint, chain to 0
+    assert((0 until 200).forall { i =>
+      comps(5000L + 2 * i) == 5000L + 2 * i &&
+        comps(5001L + 2 * i) == 5000L + 2 * i
+    })
+    assert((0L to 40L).forall(comps(_) == 0L))
+    assert(comps.size == 441)
+  }
+
   test("connected components equal a reference union-find on randomized " +
        "graph families") {
     // deterministic LCG so the families are reproducible; shapes chosen
