@@ -27,12 +27,52 @@ import scala.util.control.NonFatal
   * iterations at CONSTRUCTION — the Bench.scala exemption list).
   */
 object BroadcastAudit {
-  private val Trainers =
+  private[graft] val Trainers =
     Set("s05_ivf_topk", "s07_pq_topk", "s08_ivfpq_topk", "s09_opq_topk",
       "s10_ivfpq_residual_topk", "s11_opq_learned_topk",
       "s12_pq_refine_topk", "s14_semdedup_survivors",
       "s16_semantic_decontam_pairs", "d11_dedup_survivors",
       "i01_ivf_list_stats")
+
+  private def hasGenerate(p: SparkPlan): Boolean =
+    p.exists {
+      case _: org.apache.spark.sql.execution.GenerateExec => true
+      case a: AdaptiveSparkPlanExec => hasGenerate(a.inputPlan)
+      case _ => false
+    }
+
+  // AQE's inputPlan carries broadcast JOINS without materialized
+  // BroadcastExchange nodes (exchanges are inserted per query stage
+  // at runtime), so the detector keys on the join's BUILD side —
+  // validated against the known-bad pre-pin d41 plan, which a
+  // BroadcastExchange-only matcher missed entirely.
+  private def buildSides(p: SparkPlan): Seq[SparkPlan] = p.collect {
+    case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+      b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case _ => b.right
+      }
+    case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec =>
+      b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case _ => b.right
+      }
+    case e: BroadcastExchangeLike => e.child
+  }
+
+  /** Broadcast build sides whose subtree contains a Generate — the
+    * d41 kill-class signature. Shared by the diagnostic main and the
+    * [[BroadcastGateSpec]] regression gate so both judge the same
+    * evidence.
+    */
+  def generatedBroadcasts(plan: SparkPlan): Seq[SparkPlan] = {
+    val inner = plan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    buildSides(inner).filter(hasGenerate)
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -47,33 +87,6 @@ object BroadcastAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def hasGenerate(p: SparkPlan): Boolean =
-      p.exists {
-        case _: org.apache.spark.sql.execution.GenerateExec => true
-        case a: AdaptiveSparkPlanExec => hasGenerate(a.inputPlan)
-        case _ => false
-      }
-
-    // AQE's inputPlan carries broadcast JOINS without materialized
-    // BroadcastExchange nodes (exchanges are inserted per query stage
-    // at runtime), so the detector keys on the join's BUILD side —
-    // validated against the known-bad pre-pin d41 plan, which a
-    // BroadcastExchange-only matcher missed entirely.
-    def buildSides(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
-        b.buildSide match {
-          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
-          case _ => b.right
-        }
-      case b: org.apache.spark.sql.execution.joins
-          .BroadcastNestedLoopJoinExec =>
-        b.buildSide match {
-          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
-          case _ => b.right
-        }
-      case e: BroadcastExchangeLike => e.child
-    }
-
     // Queries whose generated-frame broadcasts are MEASURED decisions
     // (r13): EdJoin bounds the frame's true bytes from exact corpus
     // length moments and broadcasts only under MeasuredBroadcastCap —
@@ -87,13 +100,8 @@ object BroadcastAudit {
     var authorized = 0
     names.foreach { name =>
       try {
-        val plan = SparkEntry.queries(name)(spark, dir)
-          .queryExecution.executedPlan
-        val inner = plan match {
-          case a: AdaptiveSparkPlanExec => a.inputPlan
-          case p => p
-        }
-        val hits = buildSides(inner).filter(hasGenerate)
+        val hits = generatedBroadcasts(
+          SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
         hits.foreach { b =>
           val label = if (measuredBound(name)) {
             authorized += 1; "AUTHORIZED(measured-bound)"
