@@ -87,7 +87,17 @@ object Decontam {
         col("pos").as("pos"), col("h8").as("h8"))).as("best"))
       .filter(col("best.df") > 0)
       .select(col("eval_id"), col("best.h8").as("h8"))
-    val cands = probes.join(index.trainIdx, Seq("h8"))
+    // trainIdx is one row per distinct train gram — corpus-scaled and
+    // explode-derived, so its Catalyst estimate inherits the compressed
+    // text scan's bytes (the d41 kill class: a mid-scale window where
+    // the estimate sits under the auto-broadcast line while the true
+    // frame is gigabytes through the driver). Pinned sort-merge rather
+    // than left to AQE — taken pre-emptively per the r12 adjudication
+    // ("if a fifth-decade read shows a d51 stage step, pin probe's
+    // trainIdx join"), because at any SF where the broadcast would be
+    // correct the join is cheap anyway, and at every SF where it
+    // matters the merge shape is the only survivable one.
+    val cands = probes.join(index.trainIdx.hint("merge"), Seq("h8"))
       .select(col("eval_id"), col("train_id"))
       .distinct()
     cands

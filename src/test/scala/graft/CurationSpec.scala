@@ -130,6 +130,13 @@ class CurationSpec extends SparkSpec {
     // nested-loop is the broadcast 1-row grand frame, never data×data
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
     assert(!p.contains("CartesianProduct"), p)
+    // the decontam candidate join against trainIdx (one row per train
+    // gram — corpus-scaled, explode-derived: the d41 broadcast kill
+    // class) is merge-pinned in Decontam.probe. At this fixture SF
+    // every UNPINNED join auto-broadcasts, so a SortMergeJoin in the
+    // plan can only be the pin holding.
+    assert(p.contains("SortMergeJoin"),
+      s"trainIdx merge pin missing from the decontam stage:\n${p.take(800)}")
   }
 
   test("uniform corpus keeps mixture rate at 100% and drops nothing " +
