@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions.{col, expr}
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val corpusDir = args.headOption.getOrElse("target/scale/sf1")
+    // Default 3, not 1: the r12 close replay measured filesPerTrigger
+    // 1→3 lifting EVERY modality ~2× (per-batch fixed costs — trigger
+    // bookkeeping, state lookups, the probe join's build — amortize
+    // over 3× the rows) at byte-identical hit sets (trigger size only
+    // batches the stream, it never changes what joins what —
+    // spec-pinned by the trigger-invariance test in DedupStreamSpec).
+    // Still overridable per run for the trigger-size sensitivity sweep.
     val filesPerTrigger =
-      if (args.length > 1) args(1).toInt else 1
+      if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -112,6 +112,60 @@ class DedupStreamSpec extends SparkSpec {
       s"idempotent sink must land the exactly-once result, got $landed")
   }
 
+  test("hit set is invariant to maxFilesPerTrigger — the throughput " +
+      "knob batches the replay, it never changes what joins what") {
+    // StreamBench defaults filesPerTrigger to 3 on the measured ~2×
+    // throughput win; this pins the safety side of that default: the
+    // same file-stream replay at trigger sizes 1 and 3 must produce
+    // byte-identical hit sets, differing only in batch count.
+    val sigs = Dedup.minhashSignatures(
+      corpusDocs.toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trigger_inv").toString
+    // six probe docs, one parquet file each (separate append jobs):
+    // near-dups of corpus docs 1/2/3 plus three clean arrivals
+    val probeDocs = Seq(
+      (100L, nearDup), (101L, clean), (102L, corpusDocs(1)._2),
+      (103L, base),
+      (104L, "another clean arrival concerning entirely fresh topics " +
+        "like parquet footers and vectorized readers in modern engines"),
+      (105L, corpusDocs(2)._2))
+    probeDocs.foreach { d =>
+      Seq(d).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    def run(fpt: Int): (Set[(Long, Long)], Int) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_trigger_inv_ckpt$fpt").toString
+      val hits =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stream = spark.readStream
+        .schema(probeDocs.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", fpt)
+        .parquet(dir)
+      val q = Dedup.nearDupProbeStream(stream, "doc_id", "text", sigs,
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        ckpt) { (batchHits, _) =>
+        batches.incrementAndGet()
+        batchHits.collect().foreach(r =>
+          hits.add((r.getLong(0), r.getLong(1))))
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      (hits.toArray(Array.empty[(Long, Long)]).toSet, batches.get())
+    }
+    val (hits1, batches1) = run(1)
+    val (hits3, batches3) = run(3)
+    assert(hits1 == hits3,
+      s"trigger size changed the hit set: $hits1 vs $hits3")
+    assert(hits1 ==
+      Set((100L, 1L), (102L, 2L), (103L, 1L), (105L, 3L)))
+    assert(batches1 > batches3,
+      s"trigger sizes must actually batch differently " +
+        s"($batches1 vs $batches3 batches)")
+  }
+
   test("streaming verdicts agree with the batch pair miner") {
     // union corpus + stream docs and run the batch LSH pass: every
     // (new, corpus) streaming hit must appear among the batch pairs
