@@ -412,15 +412,35 @@ object ScaleUp {
     // base family 2·dim members; the Givens extension multiplies it by
     // 2^(dim/2) patterns — the practical cap is the audit below, which
     // verifies distinct-vector count = k × source distinct
-    write(copies(tbl("embeddings")) { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * vecS))
-        // orthogonal per-copy transform (rotate/flip for i < 2·dim,
-        // composed with a Givens-90° pattern beyond — embTransform
-        // scaladoc): preserves the norm and the pairwise-distance
-        // distribution within a copy, decorrelates cross-copy
-        // neighbors (weaker beyond 2·dim — see the HONEST BOUND note).
-        .withColumn("embedding", embTransform(col("embedding"), i, dim))
-    }, "embeddings")
+    // embeddings write in CHUNKS of ≤ 125 copies: each copy's
+    // embTransform is a dim-wide expression tree (64 element_at
+    // branches under the Givens mask), so a single k-branch union
+    // ships a task binary ∝ k·dim — measured 16.6 MiB at k = 300 and
+    // an executor OOM at k = 1000 (stage-48 heap exhaustion on this
+    // box). Bounded chunks keep the per-task plan constant-size at ANY
+    // k — the same reason a real cluster never ships a
+    // corpus-proportional closure — at the cost of a handful of
+    // sequential append jobs (generation is offline).
+    locally {
+      val emb = tbl("embeddings")
+      val chunks = (0 until k).grouped(125).toSeq
+      chunks.zipWithIndex.foreach { case (idxs, ci) =>
+        val part = idxs.map { i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * vecS))
+            // orthogonal per-copy transform (rotate/flip for
+            // i < 2·dim, composed with a Givens-90° pattern beyond —
+            // embTransform scaladoc): preserves the norm and the
+            // pairwise-distance distribution within a copy,
+            // decorrelates cross-copy neighbors (weaker beyond 2·dim —
+            // see the HONEST BOUND note).
+            .withColumn("embedding", embTransform(col("embedding"), i, dim))
+        }.reduce(_ unionAll _)
+        part.write
+          .mode(if (ci == 0) "overwrite" else "append")
+          .parquet(s"$dst/embeddings.parquet")
+      }
+      println(s"scaleup: wrote embeddings (${chunks.size} chunk(s))")
+    }
 
     // Post-build audit: every copy's substituted texts must be disjoint
     // from every other copy's (the no-cross-copy-duplicates contract
