@@ -51,7 +51,9 @@ object ScaleDiag {
     }
     val comps = timed("components") {
       Dedup.connectedComponents(pairs, onRound = (i, sec) =>
-        println(f"  round $i ${sec}%6.2f s"))
+        println(f"  round $i ${sec}%6.2f s"),
+        onFreeze = Some((r, fr, act) =>
+          println(s"  freeze $r: frozen_labels=$fr active_edges=$act")))
     }
     timed("survivors") {
       val surv = docs.select(col("doc_id").as("id"))
@@ -112,7 +114,9 @@ object ScaleDiag {
           rowsPerBand = 4, threshold = 0.5)
           .select(col("id_a"), col("id_b"))
         val c = Dedup.connectedComponents(p, onRound = (i, sec) =>
-          println(f"  round $i ${sec}%6.2f s"))
+          println(f"  round $i ${sec}%6.2f s"),
+          onFreeze = Some((r, fr, act) =>
+            println(s"  freeze $r: frozen_labels=$fr active_edges=$act")))
         docs.select(col("doc_id").as("id"))
           .join(c, Seq("id"), "left")
           .select(col("id"),
