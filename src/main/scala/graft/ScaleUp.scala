@@ -181,36 +181,72 @@ object ScaleUp {
     if (i < dim) rotated else transform(rotated, x => -x)
   }
 
-  /** Orthogonal transform for embedding copy i — the fourth-decade
-    * extension (VERDICT r11 Next #4). Copies 0 until 2·dim are the
-    * original rotate/flip family (byte-identical builds at every SF
-    * that existed before); copy i ≥ 2·dim composes the base map
-    * i mod 2·dim with a Givens-90° PATTERN indexed by g = i div 2·dim:
-    * coordinate pairs (2m, 2m+1) whose bit m is set in a per-g mask
-    * map (x, y) → (−y, x). Each pattern is orthogonal (a signed
-    * within-pair permutation), so norms and intra-copy pairwise
-    * distances stay exact — the property every dedup/ANN anchor needs.
+  /** Deterministic orthonormal dim×dim matrix for copy-class g:
+    * modified Gram–Schmidt over a splitmix64-filled matrix (the
+    * "seeded QR of a fixed pattern matrix" construction). Exactly
+    * orthonormal in double precision; deterministic per (g, dim);
+    * near-singular fill is guarded (never observed — a random dim×dim
+    * is singular with probability ~0).
+    */
+  private[graft] def orthoMatrix(g: Int, dim: Int)
+      : Array[Array[Double]] = {
+    var s = g.toLong * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+    def next(): Double = { // splitmix64 → uniform(-1, 1)
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val m = Array.fill(dim, dim)(next())
+    for (r <- 0 until dim) {
+      for (p <- 0 until r) {
+        val d = (0 until dim).map(c => m(r)(c) * m(p)(c)).sum
+        for (c <- 0 until dim) m(r)(c) -= d * m(p)(c)
+      }
+      val n = math.sqrt((0 until dim).map(c => m(r)(c) * m(r)(c)).sum)
+      require(n > 1e-8, s"degenerate Gram-Schmidt row $r for g=$g")
+      for (c <- 0 until dim) m(r)(c) /= n
+    }
+    m
+  }
+
+  /** Orthogonal transform for embedding copy i. Copies 0 until 2·dim
+    * are the original rotate/flip family (byte-identical builds at
+    * every SF that existed before); copy i ≥ 2·dim composes the base
+    * map i mod 2·dim with a DENSE seeded-QR rotation indexed by
+    * g = i div 2·dim ([[orthoMatrix]]), applied as one
+    * transform-over-sequence dot product against a single nested-array
+    * literal — the expression tree stays O(1) nodes per copy (the
+    * 32 KB matrix rides in one Literal), unlike a Givens/butterfly
+    * expression whose tree grows with dim.
     *
-    * Distinctness of the composed family: for equal g the base maps
-    * already differ; for g₁ ≠ g₂ the masks differ (g is the mask,
-    * scrambled by an odd multiplier to spread set bits), so
-    * G₂⁻¹·G₁ swaps coordinates WITHIN some pair while any
-    * rotate-flip quotient R₂·R₁⁻¹ moves every coordinate by the same
-    * cyclic offset (± a global sign) — the two can only agree when
-    * both are ±identity, which contradicts the differing masks. The
-    * build audit additionally verifies distinct-vector count = k ×
-    * source distinct, so the argument is CHECKED against the data,
-    * not trusted.
+    * Why dense rotations replaced the r12 Givens-pattern extension:
+    * any BLOCK-STRUCTURED orthogonal family has fixed agreement
+    * subspaces — two copies sharing a base map agree on every
+    * coordinate pair whose pattern bits match, so a vector whose mass
+    * concentrates there maps to cross-copy cosine ≈ 1 (and the
+    * EXPECTED cross-sibling cosine was already ~0.5). A seeded-QR
+    * rotation mixes globally: Q_h^T·Q_g is itself a random-like
+    * rotation, so for ANY unit v the cross-copy cosine concentrates
+    * around 0 with sd ≈ 1/√dim (~0.125 at dim 64) — no concentration
+    * attack survives. Isometry is exact in double precision (norms and
+    * intra-copy pairwise distances preserved — the property every
+    * dedup/ANN anchor needs), then rounded once to float on write.
     *
-    * HONEST BOUND: beyond 2·dim the family guarantees distinctness
-    * and isometry, but cross-copy DECORRELATION is weaker than the
-    * base family's (two copies sharing a base map differ only by a
-    * Givens pattern — expected cosine between their images of one
-    * vector is the agreeing-block fraction, ~0.5, not ~0). The
-    * fourth-decade sweep reads TEXT anchors only; embedding-similarity
-    * anchors (s03/s14) must not be scale-read beyond 2·dim copies
-    * without strengthening this family (e.g. composing a second
-    * rotation between Givens layers).
+    * Distinctness: for equal g the base maps differ; for g₁ ≠ g₂ the
+    * rotations differ (independent Gram–Schmidt fills). Both facts are
+    * CHECKED by the build audit (distinct-vector count = k × source
+    * distinct), not trusted.
+    *
+    * HONEST BOUND (replaces the r12 Givens caveat): cross-copy
+    * cosines are not exactly zero — over millions of sampled pairs
+    * the max reaches several sd (≈ 0.5–0.7). The build's cross-copy
+    * cosine audit MEASURES the distribution (max and the fraction
+    * above the SemDeDup threshold) and prints it with the build, so an
+    * embedding-anchor scale read carries its leakage bound instead of
+    * a blanket "text anchors only" exclusion.
     */
   private[graft] def embTransform(emb: org.apache.spark.sql.Column,
       i: Int, dim: Int): org.apache.spark.sql.Column = {
@@ -218,30 +254,12 @@ object ScaleUp {
     val g = i / (2 * dim)
     if (g == 0) base
     else {
-      require(dim >= 2, s"Givens extension needs dim >= 2, got $dim")
-      // the mask is one Long, so the pattern space is 2^min(dim/2, 64);
-      // past dim = 128 the shift amounts in `>>> (64 - nPairs)` and
-      // `mask >> m` would wrap mod 64 (JVM shift semantics) and
-      // silently alias distinct g values onto identical flip patterns /
-      // reuse low mask bits across pairs. Fail loudly at build time
-      // instead of delivering a smaller family than claimed (the build
-      // audit would also catch the aliasing, but only after the write).
-      require(dim <= 128,
-        s"Givens extension supports dim <= 128 (64-bit flip mask, " +
-          s"pattern space 2^(dim/2)); got dim = $dim")
-      val nPairs = dim / 2
-      // odd multiplicative scrambling spreads the mask's set bits so
-      // even small g flips ~half the pairs; distinctness per g is
-      // enforced by the build audit, not assumed from the scramble
-      val mask = (g.toLong * 0x9E3779B97F4A7C15L) >>> (64 - nPairs)
-      val out = (0 until dim).map { j =>
-        val m = j / 2
-        val flip = ((mask >> m) & 1L) == 1L && (j / 2 * 2 + 1 < dim)
-        if (!flip) element_at(base, j + 1)
-        else if (j % 2 == 0) -element_at(base, j + 2) // (x,y) -> (-y,x)
-        else element_at(base, j)
-      }
-      array(out: _*)
+      val q = orthoMatrix(g, dim)
+      val m = typedLit(q.map(_.toSeq).toSeq)
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        aggregate(
+          zip_with(element_at(m, j + 1), base, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).cast("float"))
     }
   }
 
@@ -406,20 +424,21 @@ object ScaleUp {
     // intra-copy pairwise distances preserved exactly), and the 2×dim
     // members are pairwise distinct: two rotations differ unless the
     // offsets match, and a rotation never equals a negated rotation on
-    // a non-zero vector. Beyond 2×dim the family repeats — refuse.
+    // a non-zero vector.
     val dim = tbl("embeddings").select(size(col("embedding")))
       .head().getInt(0)
-    // base family 2·dim members; the Givens extension multiplies it by
-    // 2^(dim/2) patterns — the practical cap is the audit below, which
-    // verifies distinct-vector count = k × source distinct
-    // embeddings write in CHUNKS of ≤ 125 copies: each copy's
-    // embTransform is a dim-wide expression tree (64 element_at
-    // branches under the Givens mask), so a single k-branch union
-    // ships a task binary ∝ k·dim — measured 16.6 MiB at k = 300 and
-    // an executor OOM at k = 1000 (stage-48 heap exhaustion on this
-    // box). Bounded chunks keep the per-task plan constant-size at ANY
-    // k — the same reason a real cluster never ships a
-    // corpus-proportional closure — at the cost of a handful of
+    // base family 2·dim members; beyond that each base map composes
+    // with a per-class seeded-QR dense rotation (embTransform) — the
+    // practical guarantee is the audits below: distinct-vector count =
+    // k × source distinct, plus the sampled cross-copy cosine bound
+    // embeddings write in CHUNKS of ≤ 125 copies: a single k-branch
+    // union ships a task binary ∝ k × per-copy payload (the dim-wide
+    // rotate/flip tree plus, past 2·dim, the 32 KB rotation literal) —
+    // measured 16.6 MiB at k = 300 and an executor OOM at k = 1000
+    // (stage-48 heap exhaustion on this box). Bounded chunks keep the
+    // per-task plan constant-size at ANY k — the same reason a real
+    // cluster never ships a corpus-proportional closure — at the cost
+    // of a handful of
     // sequential append jobs (generation is offline).
     locally {
       val emb = tbl("embeddings")
@@ -471,5 +490,52 @@ object ScaleUp {
         s"distinct vectors (k=$k × $srcVecDistinct), built $outVecDistinct")
     println(s"scaleup: audit ok — $outVecDistinct distinct vectors = " +
       s"$k x $srcVecDistinct, zero cross-copy collisions")
+    // Cross-copy cosine audit (only meaningful past the exactly-
+    // decorrelated 2·dim rotate/flip family): for a sample of source
+    // vectors, pull every copy's image and measure the cosine
+    // distribution over same-source cross-copy pairs on a sampled copy
+    // subset. This is the leakage bound an embedding-anchor scale read
+    // carries (embTransform scaladoc): max should sit at a few
+    // ×(1/√dim), and the fraction above the SemDeDup threshold (0.4)
+    // tells how many cross-copy edges a similarity anchor could see.
+    val embSrc = tbl("embeddings")
+    if (k > 2 * dim) {
+      val srcIds = embSrc.select(col("vec_id")).limit(40)
+        .collect().map(_.getLong(0))
+      val copySample = (0 until k).filter(i =>
+        i % math.max(1, k / 150) == 0)
+      val wantIds = (for (s0 <- srcIds; i <- copySample)
+        yield s0 + i * vecS).toSet
+      val rows = Tables.load(spark, dst, "embeddings")
+        .filter(col("vec_id").isin(wantIds.toSeq: _*))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .toMap
+      var maxAbs = 0.0; var above = 0L; var total = 0L
+      for (s0 <- srcIds) {
+        val vs = copySample.flatMap(i => rows.get(s0 + i * vecS))
+          .map { v =>
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n == 0) v else v.map(_ / n)
+          }
+        for (a <- vs.indices; b <- a + 1 until vs.size) {
+          var d = 0.0
+          var c = 0
+          while (c < dim) { d += vs(a)(c) * vs(b)(c); c += 1 }
+          val ad = math.abs(d)
+          if (ad > maxAbs) maxAbs = ad
+          if (ad >= 0.4) above += 1
+          total += 1
+        }
+      }
+      println(f"scaleup: cross-copy cosine audit — $total%d sampled " +
+        f"pairs, max |cos| = $maxAbs%.3f, ${above.toDouble / total}%.2e " +
+        f"fraction >= 0.4 (SemDeDup threshold)")
+      require(maxAbs < 0.95,
+        f"cross-copy cosine audit failed: max |cos| = $maxAbs%.3f — " +
+          "a copy pair is near-collinear; the rotation family is broken")
+    }
   }
 }

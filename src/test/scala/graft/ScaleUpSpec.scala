@@ -148,6 +148,59 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("orthoMatrix is orthonormal, deterministic, and distinct per g") {
+    val dim = 16
+    for (g <- Seq(1, 2, 7)) {
+      val q = ScaleUp.orthoMatrix(g, dim)
+      // Q·Qᵀ = I within double round-off
+      for (r <- 0 until dim; p <- 0 until dim) {
+        val d = (0 until dim).map(c => q(r)(c) * q(p)(c)).sum
+        val want = if (r == p) 1.0 else 0.0
+        assert(math.abs(d - want) < 1e-9, s"g=$g row $r · row $p = $d")
+      }
+      // deterministic: a second call reproduces byte-identical rows
+      val q2 = ScaleUp.orthoMatrix(g, dim)
+      assert(q.flatten.toSeq == q2.flatten.toSeq)
+    }
+    assert(ScaleUp.orthoMatrix(1, dim).flatten.toSeq !=
+      ScaleUp.orthoMatrix(2, dim).flatten.toSeq)
+  }
+
+  test("dense-rotation copies defeat the concentrated-vector attack " +
+       "the Givens patterns allowed") {
+    import spark.implicits._
+    val dim = 8
+    // a vector whose mass concentrates on one coordinate — under the
+    // old block-structured (Givens-pattern) extension, two copies
+    // sharing a base map agreed exactly on every coordinate pair whose
+    // pattern bits matched, so this vector could map to cross-copy
+    // cosine ≈ 1; a dense seeded-QR rotation mixes globally and the
+    // cosine must fall well under the SemDeDup threshold
+    val v = 1.0 +: Seq.fill(dim - 1)(0.0)
+    val base = Seq(Tuple1(v)).toDF("embedding")
+    def image(i: Int): Seq[Double] =
+      base.select(ScaleUp.embTransform(col("embedding"), i, dim)
+        .cast("array<double>")).head().getSeq[Double](0)
+    // copies 2·dim and 4·dim share base map 0, differ only by g = 1,2
+    val a = image(2 * dim)
+    val b = image(4 * dim)
+    def norm(x: Seq[Double]) = math.sqrt(x.map(t => t * t).sum)
+    // isometry survives the float round-trip
+    assert(math.abs(norm(a) - 1.0) < 1e-3)
+    assert(math.abs(norm(b) - 1.0) < 1e-3)
+    val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+      (norm(a) * norm(b))
+    assert(math.abs(cos) < 0.5,
+      f"cross-copy cosine $cos%.3f — rotation family failed to mix")
+    // and against its own base copy
+    val b0 = image(0)
+    val cos0 = a.zip(b0).map { case (x, y) => x * y }.sum /
+      (norm(a) * norm(b0))
+    assert(math.abs(cos0) < 0.5, f"vs base copy: $cos0%.3f")
+    // distinctness across g for the same base
+    assert(a != b)
+  }
+
   test("embedding rotation preserves the norm") {
     val vecs = Tables.load(spark, out, "embeddings")
     val srcNorms = Tables.load(spark, src, "embeddings")
