@@ -169,17 +169,23 @@ object ScaleUp {
     * guarantee honest for any future digit-bearing corpus). */
   private[graft] val MaxDigitCopies = A10.length * Digits.length // 40
 
-  /** Copy i's embedding transform: rotate by (i mod dim) positions,
-    * elementwise-negated for i ≥ dim. Orthogonal either way, identity
-    * at i = 0, pairwise distinct for i < 2·dim. */
-  private[graft] def rotateFlip(emb: org.apache.spark.sql.Column, i: Int,
-      dim: Int): org.apache.spark.sql.Column = {
-    val r = i % dim
-    val rotated =
-      if (r == 0) emb
-      else concat(slice(emb, r + 1, 100000), slice(emb, 1, r))
-    if (i < dim) rotated else transform(rotated, x => -x)
-  }
+  /** Copy i's base embedding transform: rotate by (r mod dim)
+    * positions. Orthogonal, identity at r = 0, pairwise distinct for
+    * r < dim on any vector that is not shift-invariant.
+    *
+    * The family used to carry a second, negated half (rotate + flip,
+    * 2·dim members) — REMOVED after the sf30 build audit caught its
+    * structural defect: copies r and dim+r apply the SAME rotation
+    * with and without negation, so their images of every source are
+    * exactly antipodal (|cos| = 1). Antipodal pairs are invisible to
+    * every positive-threshold cosine anchor on the surface, but they
+    * violate the family's own |cos| bound and would silently poison
+    * any future absolute-similarity or distance-ratio anchor. Halving
+    * the class costs one extra QR class per dim copies — nothing. */
+  private[graft] def rotate(emb: org.apache.spark.sql.Column, r: Int)
+      : org.apache.spark.sql.Column =
+    if (r == 0) emb
+    else concat(slice(emb, r + 1, 100000), slice(emb, 1, r))
 
   /** Deterministic orthonormal dim×dim matrix for copy-class g:
     * modified Gram–Schmidt over a splitmix64-filled matrix (the
@@ -212,11 +218,11 @@ object ScaleUp {
     m
   }
 
-  /** Orthogonal transform for embedding copy i. Copies 0 until 2·dim
-    * are the original rotate/flip family (byte-identical builds at
-    * every SF that existed before); copy i ≥ 2·dim composes the base
-    * map i mod 2·dim with a DENSE seeded-QR rotation indexed by
-    * g = i div 2·dim ([[orthoMatrix]]), applied as one
+  /** Orthogonal transform for embedding copy i. Copies 0 until dim
+    * are the pure-rotation family (byte-identical to the first dim
+    * members of every build that existed before); copy i ≥ dim
+    * composes the base rotation i mod dim with a DENSE seeded-QR
+    * rotation indexed by g = i div dim ([[orthoMatrix]]), applied as one
     * transform-over-sequence dot product against a single nested-array
     * literal — the expression tree stays O(1) nodes per copy (the
     * 32 KB matrix rides in one Literal), unlike a Givens/butterfly
@@ -235,23 +241,29 @@ object ScaleUp {
     * intra-copy pairwise distances preserved — the property every
     * dedup/ANN anchor needs), then rounded once to float on write.
     *
-    * Distinctness: for equal g the base maps differ; for g₁ ≠ g₂ the
-    * rotations differ (independent Gram–Schmidt fills). Both facts are
-    * CHECKED by the build audit (distinct-vector count = k × source
+    * Distinctness: for equal g the base rotations differ; for g₁ ≠ g₂
+    * the rotations differ (independent Gram–Schmidt fills). Both facts
+    * are CHECKED by the build audit (distinct-vector count = k × source
     * distinct), not trusted.
     *
-    * HONEST BOUND (replaces the r12 Givens caveat): cross-copy
-    * cosines are not exactly zero — over millions of sampled pairs
-    * the max reaches several sd (≈ 0.5–0.7). The build's cross-copy
-    * cosine audit MEASURES the distribution (max and the fraction
-    * above the SemDeDup threshold) and prints it with the build, so an
+    * HONEST BOUND (tightened after the sf30 audit failure): same-class
+    * pairs (g equal, rotations a ≠ b) have cosine EXACTLY the source's
+    * circular autocorrelation at shift a−b (Q_g cancels), so the
+    * family's true cross-copy bound is max |autocorr| over the source
+    * corpus — measured 0.54 on the sf0.1 embeddings — not the
+    * 1/√dim concentration, which only governs cross-CLASS pairs (max
+    * ≈ several sd ≈ 0.5–0.7 over millions of samples). The r13 flip
+    * half briefly made this bound 1.0 exactly (antipodal partners, see
+    * [[rotate]]) — the build's cross-copy cosine audit caught it, and
+    * now MEASURES the distribution (max and the fraction above the
+    * SemDeDup threshold) and prints it with every build, so an
     * embedding-anchor scale read carries its leakage bound instead of
     * a blanket "text anchors only" exclusion.
     */
   private[graft] def embTransform(emb: org.apache.spark.sql.Column,
       i: Int, dim: Int): org.apache.spark.sql.Column = {
-    val base = rotateFlip(emb, i % (2 * dim), dim)
-    val g = i / (2 * dim)
+    val base = rotate(emb, i % dim)
+    val g = i / dim
     if (g == 0) base
     else {
       val q = orthoMatrix(g, dim)
@@ -309,8 +321,8 @@ object ScaleUp {
 
   def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     // the letter affine family lasts to 312 distinct maps; the digit
-    // family to 40; the embedding family to 2×dim (rotation composed
-    // with a sign flip). The digit and embedding constraints are
+    // family to 40; the embedding family to dim rotations per seeded-QR
+    // class (unbounded classes). The digit and embedding constraints are
     // checked against the actual data below — the static cap here is
     // the letter family's.
     require(k >= 1 && k <= MaxSampledCopies,
@@ -420,20 +432,19 @@ object ScaleUp {
     }, "documents")
 
     // embedding transform family: rotate by (i mod dim) positions,
-    // negated for i >= dim — both are orthogonal maps (norms and
-    // intra-copy pairwise distances preserved exactly), and the 2×dim
-    // members are pairwise distinct: two rotations differ unless the
-    // offsets match, and a rotation never equals a negated rotation on
-    // a non-zero vector.
+    // composed past the first class with a per-class seeded-QR dense
+    // rotation (embTransform) — orthogonal maps (norms and intra-copy
+    // pairwise distances preserved exactly). No sign-flip half: it made
+    // copies r and dim+r exactly antipodal (caught by the cosine audit
+    // at the first k > 2·dim build — see the rotate scaladoc).
     val dim = tbl("embeddings").select(size(col("embedding")))
       .head().getInt(0)
-    // base family 2·dim members; beyond that each base map composes
-    // with a per-class seeded-QR dense rotation (embTransform) — the
-    // practical guarantee is the audits below: distinct-vector count =
-    // k × source distinct, plus the sampled cross-copy cosine bound
+    // base family dim members per class; the practical guarantee is
+    // the audits below: distinct-vector count = k × source distinct,
+    // plus the sampled cross-copy cosine bound.
     // embeddings write in CHUNKS of ≤ 125 copies: a single k-branch
     // union ships a task binary ∝ k × per-copy payload (the dim-wide
-    // rotate/flip tree plus, past 2·dim, the 32 KB rotation literal) —
+    // rotation tree plus, past dim, the 32 KB rotation literal) —
     // measured 16.6 MiB at k = 300 and an executor OOM at k = 1000
     // (stage-48 heap exhaustion on this box). Bounded chunks keep the
     // per-task plan constant-size at ANY k — the same reason a real
@@ -446,12 +457,12 @@ object ScaleUp {
       chunks.zipWithIndex.foreach { case (idxs, ci) =>
         val part = idxs.map { i =>
           emb.withColumn("vec_id", col("vec_id") + lit(i * vecS))
-            // orthogonal per-copy transform (rotate/flip for
-            // i < 2·dim, composed with a Givens-90° pattern beyond —
-            // embTransform scaladoc): preserves the norm and the
-            // pairwise-distance distribution within a copy,
-            // decorrelates cross-copy neighbors (weaker beyond 2·dim —
-            // see the HONEST BOUND note).
+            // orthogonal per-copy transform (pure rotation for
+            // i < dim, composed with a seeded-QR dense rotation
+            // beyond — embTransform scaladoc): preserves the norm and
+            // the pairwise-distance distribution within a copy,
+            // decorrelates cross-copy neighbors to the measured
+            // autocorrelation bound (HONEST BOUND note).
             .withColumn("embedding", embTransform(col("embedding"), i, dim))
         }.reduce(_ unionAll _)
         part.write
@@ -490,16 +501,20 @@ object ScaleUp {
         s"distinct vectors (k=$k × $srcVecDistinct), built $outVecDistinct")
     println(s"scaleup: audit ok — $outVecDistinct distinct vectors = " +
       s"$k x $srcVecDistinct, zero cross-copy collisions")
-    // Cross-copy cosine audit (only meaningful past the exactly-
-    // decorrelated 2·dim rotate/flip family): for a sample of source
-    // vectors, pull every copy's image and measure the cosine
-    // distribution over same-source cross-copy pairs on a sampled copy
-    // subset. This is the leakage bound an embedding-anchor scale read
-    // carries (embTransform scaladoc): max should sit at a few
-    // ×(1/√dim), and the fraction above the SemDeDup threshold (0.4)
-    // tells how many cross-copy edges a similarity anchor could see.
+    // Cross-copy cosine audit: for a sample of source vectors, pull
+    // every copy's image and measure the cosine distribution over
+    // same-source cross-copy pairs on a sampled copy subset. This is
+    // the leakage bound an embedding-anchor scale read carries
+    // (embTransform scaladoc): same-class pairs realize the source's
+    // circular autocorrelation (measured max 0.54 on the sf0.1
+    // corpus), cross-class pairs a few ×(1/√dim); the fraction above
+    // the SemDeDup threshold (0.4) tells how many cross-copy edges a
+    // similarity anchor could see. Runs whenever more than one
+    // rotation is in play — it is the check that caught the antipodal
+    // flip defect, which the k > 2·dim gate of that era let slip at
+    // every smaller build.
     val embSrc = tbl("embeddings")
-    if (k > 2 * dim) {
+    if (k > 1) {
       val srcIds = embSrc.select(col("vec_id")).limit(40)
         .collect().map(_.getLong(0))
       val copySample = (0 until k).filter(i =>

@@ -128,23 +128,45 @@ class ScaleUpSpec extends SparkSpec {
     assert(fam.zip(fam2).forall { case (a, b) => a.sameElements(b) })
   }
 
-  test("rotateFlip: identity at 0, orthogonal and pairwise distinct to 2*dim") {
+  test("rotate: identity at 0, orthogonal and pairwise distinct to dim") {
     import spark.implicits._
     val dim = 8
     val v = (1 to dim).map(_.toDouble)
     val base = Seq(Tuple1(v)).toDF("embedding")
-    val images = (0 until 2 * dim).map { i =>
-      base.select(ScaleUp.rotateFlip(col("embedding"), i, dim))
+    val images = (0 until dim).map { r =>
+      base.select(ScaleUp.rotate(col("embedding"), r))
         .head().getSeq[Double](0).toList
     }
     assert(images(0) === v.toList, "copy 0 must be the identity")
-    // all 2*dim transforms of a generic vector are distinct
-    assert(images.distinct.size === 2 * dim)
-    // each preserves the norm and the multiset of magnitudes
+    // all dim rotations of a generic vector are distinct
+    assert(images.distinct.size === dim)
+    // each preserves the multiset of magnitudes (permutation)
     val mags = v.map(math.abs).sorted
-    for ((img, i) <- images.zipWithIndex) {
+    for ((img, i) <- images.zipWithIndex)
       assert(img.map(math.abs).sorted === mags, s"copy $i")
-      if (i >= dim) assert(img.forall(_ < 0), s"copy $i must be negated")
+  }
+
+  test("no copy pair is antipodal: the flip defect stays dead") {
+    import spark.implicits._
+    // regression for the sf30 build-audit failure: the retired
+    // rotate+flip family made copies r and dim+r exact antipodal
+    // partners (|cos| = 1 on every source). With rotation-only classes,
+    // copy dim+r composes the SAME rotation with the g=1 QR rotation,
+    // so the pair's cosine is <u, Q1·u> — bounded by the rotation
+    // family's mixing, never structurally ±1.
+    val dim = 8
+    val v = Seq(0.9, -0.3, 0.1, 0.7, -0.5, 0.2, -0.8, 0.4)
+    val base = Seq(Tuple1(v)).toDF("embedding")
+    def image(i: Int): Seq[Double] =
+      base.select(ScaleUp.embTransform(col("embedding"), i, dim)
+        .cast("array<double>")).head().getSeq[Double](0)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def n(x: Seq[Double]) = math.sqrt(x.map(t => t * t).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (n(a) * n(b))
+    }
+    for (r <- 0 until dim) {
+      val c = cos(image(r), image(dim + r))
+      assert(math.abs(c) < 0.95, f"pair ($r, ${dim + r}): |cos|=$c%.3f")
     }
   }
 
@@ -181,9 +203,9 @@ class ScaleUpSpec extends SparkSpec {
     def image(i: Int): Seq[Double] =
       base.select(ScaleUp.embTransform(col("embedding"), i, dim)
         .cast("array<double>")).head().getSeq[Double](0)
-    // copies 2·dim and 4·dim share base map 0, differ only by g = 1,2
-    val a = image(2 * dim)
-    val b = image(4 * dim)
+    // copies dim and 2·dim share base rotation 0, differ only by g = 1,2
+    val a = image(dim)
+    val b = image(2 * dim)
     def norm(x: Seq[Double]) = math.sqrt(x.map(t => t * t).sum)
     // isometry survives the float round-trip
     assert(math.abs(norm(a) - 1.0) < 1e-3)
