@@ -102,6 +102,30 @@ object FamDiag {
           arrivals, "doc_id", "text", idx, reference, 59)))
         timed("full d47")(noop(SubstrDedup.scrubAgainstCorpus(
           arrivals, reference, "doc_id", "text", 59)))
+      case "d42cc" =>
+        // freeze telemetry for the closed-star CC (r13): runs d42's
+        // exact edge build, then connectedComponents with the
+        // onRound/onFreeze observers, printing per-round frozen-label
+        // and surviving-frontier counts — the evidence behind the
+        // claim that most dedup mass leaves the frontier at round 0/1
+        // instead of riding every large-star/small-star re-shuffle.
+        val heads = docs.select(col("doc_id"),
+          substring(col("text"), 1, 120).as("head"))
+        val edges = timed("d42 edges") {
+          val e = graft.operators.EdJoin
+            .editPairs(heads, "doc_id", "head", k = 2, q = 5)
+            .select(col("id_a"), col("id_b"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println(s"  edges=${e.count()}")
+          e
+        }
+        timed("d42 components") {
+          val c = graft.operators.Dedup.connectedComponents(edges,
+            onRound = (i, sec) => println(f"  round $i ${sec}%6.2f s"),
+            onFreeze = Some((r, fr, act) => println(
+              s"  freeze $r: frozen_labels=$fr active_edges=$act")))
+          println(s"  labeled=${c.count()}")
+        }
       case "d41count" =>
         // the r12 sweep attributes d41's super-linear sf30 bytes to
         // OUTPUT quadraticity (cross-copy c_name suffixes are genuine
