@@ -193,10 +193,28 @@ object ScaleUp {
     * orthonormal in double precision; deterministic per (g, dim);
     * near-singular fill is guarded (never observed — a random dim×dim
     * is singular with probability ~0).
+    *
+    * The per-class seed is the splitmix64 FINALIZER of g, not a plain
+    * g·γ offset — the build audit caught the plain version leaking
+    * structure across classes: with start state g·γ + c and a +γ step,
+    * class g+1's fill stream is class g's shifted by ONE draw, so
+    * fill_{g+1} ≈ fill_g·P for the cyclic column permutation P
+    * (63/64 of each row identical, shifted one slot). Gram–Schmidt
+    * commutes with any orthogonal right factor, so Q_{g+1} ≈ Q_g·P —
+    * a coordinate rotation — and copy (g+1, r+1) was near-collinear
+    * with (g, r) on EVERY source (measured |cos| up to 0.996 at the
+    * first 5-class build). Scrambling g through the finalizer puts
+    * consecutive classes' streams ~2⁶⁴ apart; overlap within the
+    * dim² draws has probability ~k·dim²/2⁶⁴.
     */
   private[graft] def orthoMatrix(g: Int, dim: Int)
       : Array[Array[Double]] = {
-    var s = g.toLong * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+    var s = {
+      var z = g.toLong * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     def next(): Double = { // splitmix64 → uniform(-1, 1)
       s += 0x9E3779B97F4A7C15L
       var z = s

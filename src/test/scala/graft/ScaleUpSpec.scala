@@ -170,6 +170,38 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("consecutive classes are not shifted-stream twins: " +
+       "(g, r) vs (g+1, r+1) stays well off collinear") {
+    // regression for the SECOND sf30 build-audit catch: with plain
+    // g·γ + c seeding, class g+1's splitmix64 fill was class g's fill
+    // shifted ONE draw, so fill_{g+1} ≈ fill_g·P (cyclic column
+    // permutation, 63/64 of each row shared) — and Gram–Schmidt
+    // commutes with an orthogonal right factor, so Q_{g+1} ≈ Q_g·P and
+    // copy (g+1, r+1) was near-collinear with (g, r) on EVERY source
+    // (measured |cos| up to 0.996). The finalizer-scrambled seed kills
+    // the stream overlap; this pins the exact pair shape that failed.
+    import spark.implicits._
+    val dim = 16
+    val vs = Seq(
+      Seq.tabulate(dim)(i => math.sin(i * 1.3) + 0.2 * i),
+      Seq.tabulate(dim)(i => if (i % 3 == 0) 1.0 else -0.5))
+    for (v <- vs) {
+      val base = Seq(Tuple1(v)).toDF("embedding")
+      def image(i: Int): Seq[Double] =
+        base.select(ScaleUp.embTransform(col("embedding"), i, dim)
+          .cast("array<double>")).head().getSeq[Double](0)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        def n(x: Seq[Double]) = math.sqrt(x.map(t => t * t).sum)
+        a.zip(b).map { case (x, y) => x * y }.sum / (n(a) * n(b))
+      }
+      for (g <- 1 to 3; r <- Seq(0, 5)) {
+        val c = cos(image(g * dim + r), image((g + 1) * dim + r + 1))
+        assert(math.abs(c) < 0.9,
+          f"(g=$g,r=$r) vs (g=${g + 1},r=${r + 1}): |cos|=$c%.3f")
+      }
+    }
+  }
+
   test("orthoMatrix is orthonormal, deterministic, and distinct per g") {
     val dim = 16
     for (g <- Seq(1, 2, 7)) {
@@ -191,7 +223,10 @@ class ScaleUpSpec extends SparkSpec {
   test("dense-rotation copies defeat the concentrated-vector attack " +
        "the Givens patterns allowed") {
     import spark.implicits._
-    val dim = 8
+    // dim 16 so the 0.5 bound is ~2 sd of the 1/√dim concentration —
+    // at dim 8 the bound sat 1.5 sd out and a reseeded family tripped
+    // it on pure draw luck (0.525, no structure)
+    val dim = 16
     // a vector whose mass concentrates on one coordinate — under the
     // old block-structured (Givens-pattern) extension, two copies
     // sharing a base map agreed exactly on every coordinate pair whose
