@@ -40,6 +40,19 @@ private[operators] object Sampling {
     val ordered =
       if (byHash) base.orderBy(xxhash64(col("id")), col("id"))
       else base.orderBy(col("id"))
-    ordered.limit(cap).collect().map(_.getSeq[Double](1).toArray)
+    // The repartition(1) is load-bearing: a bare orderBy.limit(cap)
+    // .collect() plans as TakeOrderedAndProject in DRIVER-COLLECT mode,
+    // which ships every input partition's local top-cap to the driver
+    // at once — cap × numPartitions rows, and numPartitions rides the
+    // corpus (measured: 33 scan splits × 65,536 rows = 1,049 MiB >
+    // spark.driver.maxResultSize at the 1000-copy scale corpus — the
+    // sf100 sweep's catch). With a non-collect parent, the same node
+    // runs its merge ON AN EXECUTOR: per-partition top-cap, a shuffle
+    // of only the pruned candidates into one spillable task, and the
+    // driver receives exactly cap rows at any corpus size or split
+    // count. Same operator, same rows, byte-identical sample — only
+    // the merge site moves off the driver.
+    ordered.limit(cap).repartition(1)
+      .collect().map(_.getSeq[Double](1).toArray)
   }
 }
