@@ -20,16 +20,39 @@
 set -u
 
 if [ "${1:-}" = "--close" ]; then
-  echo "== close 1/3 full unit suite (authoritative test count)"
+  echo "== close 1/4 full unit suite (authoritative test count)"
   sbt -batch test 2>&1 | tail -6 | tee /tmp/preflight_close_test.log
   grep -q "All tests passed" /tmp/preflight_close_test.log || exit 1
-  echo "== close 2/3 full oracle gate at sf0.01"
+  echo "== close 2/4 full oracle gate at sf0.01"
   SPARK_GRAFT_CPUS=8 sbt -batch \
     "runMain graft.Verify /root/testdata/sf0.01 target/close_verify" \
     > /tmp/preflight_close_verify.log 2>&1 || { tail -20 /tmp/preflight_close_verify.log; exit 1; }
   python3 scripts/check.py /root/testdata/sf0.01 target/close_verify \
     | tail -3 || exit 1
-  echo "== close 3/3 headline numbers"
+  echo "== close 3/4 full sf0.1 bench with per-query wall ceiling"
+  # VERDICT r13 Next #2: d53 passed every gate the close ran (unit
+  # fixtures + sf0.01 oracle, both tiny) and then hung the driver's
+  # sf0.1 bench for 56 minutes. The close now runs the FULL bench at
+  # bench scale and fails if any single query exceeds 30 s (~300x the
+  # per-query median) or reports a failure — a per-row-CPU pathology
+  # must die here, not in the driver's artifact.
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    timeout 3600 sbt -batch "runMain graft.Bench" \
+    > /tmp/preflight_close_bench.log 2>&1 \
+    || { tail -20 /tmp/preflight_close_bench.log; exit 1; }
+  python3 - <<'EOF' || exit 1
+import json
+b = json.load(open("target/bench_full.json"))
+slow = {k: v["sec"] for k, v in b["queries"].items() if v["sec"] > 30.0}
+failed = [k for k, v in b["queries"].items() if v["sec"] < 0]
+if slow or failed:
+    print(f"CLOSE RED: queries over the 30 s sf0.1 ceiling: {slow}; "
+          f"failed: {failed}")
+    raise SystemExit(1)
+print(f"bench ceiling OK: {b['n_queries']} queries, total {b['total']} s, "
+      f"slowest under 30 s")
+EOF
+  echo "== close 4/4 headline numbers"
   python3 - <<'EOF' || exit 1
 import json, re
 suite = open("/tmp/preflight_close_test.log").read()

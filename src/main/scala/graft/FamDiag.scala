@@ -109,6 +109,11 @@ object FamDiag {
         // and surviving-frontier counts — the evidence behind the
         // claim that most dedup mass leaves the frontier at round 0/1
         // instead of riding every large-star/small-star re-shuffle.
+        // Optional third arg = freezeEvery for the r14 cadence A/B
+        // (default 1 = the shipped freeze-every-round behavior).
+        val freezeEvery =
+          if (args.length > 2) args(2).toInt else 1
+        println(s"d42cc freezeEvery=$freezeEvery")
         val heads = docs.select(col("doc_id"),
           substring(col("text"), 1, 120).as("head"))
         val edges = timed("d42 edges") {
@@ -123,9 +128,14 @@ object FamDiag {
           val c = graft.operators.Dedup.connectedComponents(edges,
             onRound = (i, sec) => println(f"  round $i ${sec}%6.2f s"),
             onFreeze = Some((r, fr, act) => println(
-              s"  freeze $r: frozen_labels=$fr active_edges=$act")))
+              s"  freeze $r: frozen_labels=$fr active_edges=$act")),
+            freezeEvery = freezeEvery)
           println(s"  labeled=${c.count()}")
         }
+        // release the cached edge blocks like the other timed cases:
+        // harmless in the one-shot CLI, but a leak if this case is
+        // ever driven in-session alongside other diagnostics
+        edges.unpersist()
       case "d41count" =>
         // the r12 sweep attributes d41's super-linear sf30 bytes to
         // OUTPUT quadraticity (cross-copy c_name suffixes are genuine

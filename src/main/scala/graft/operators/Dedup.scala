@@ -287,10 +287,26 @@ object Dedup {
     * Input: (id_a, id_b) pairs. Output: (id, component) where component
     * is the smallest id in the cluster. Isolated ids don't appear.
     */
+  /** `freezeEvery`: run the closed-star freeze after every k-th
+    * contraction round (k = 1, the default, freezes after every round
+    * — the shipped r13 behavior). The freeze buys byte-linear scaling
+    * at a fixed per-round stage cost (one stats aggregate + three
+    * merge joins: sf30 stages 36 → 50, wall 63 → 105 s), so a sparser
+    * cadence MIGHT keep most of the byte win at a fraction of the
+    * stage count — the r14 A/B measures exactly that (STATUS r14;
+    * verdict r13 Next #6). Round 0 (raw-pair retirement, where the
+    * bulk of real dedup mass exits) and the final round (convergence
+    * is only detectable at a freeze) always freeze regardless of k.
+    * Labels are cadence-invariant: the freeze only decides WHEN a
+    * closed star leaves the frontier, never what its labels are
+    * (spec-pinned in DedupSpec).
+    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15,
                           onRound: (Int, Double) => Unit = (_, _) => (),
                           onFreeze: Option[(Int, Long, Long) => Unit] =
-                            None): DataFrame = {
+                            None,
+                          freezeEvery: Int = 1): DataFrame = {
+    require(freezeEvery >= 1, s"freezeEvery must be >= 1, got $freezeEvery")
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
@@ -394,8 +410,14 @@ object Dedup {
       // of the input — fine when that input is the previous round's
       // checkpointed leaf (the depth does not compound across rounds).
       edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = freezeClosedStars()
       i += 1
+      // a skipped freeze just leaves the round's closed stars on the
+      // frontier for the next freeze round to retire; convergence on a
+      // skipped round costs one extra (tiny-frontier) contraction and
+      // is caught at the next freeze — the final allowed round always
+      // freezes so maxIters can never skip the convergence probe
+      if (i % freezeEvery == 0 || i >= maxIters)
+        converged = freezeClosedStars()
       onRound(i, (System.nanoTime() - roundT0) / 1e9)
     }
     if (!converged)

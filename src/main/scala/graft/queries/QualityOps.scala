@@ -22,17 +22,25 @@ import org.apache.spark.sql.functions._
   *    duplicated grams counts once — the interval-union semantics the
   *    Gopher appendix specifies for n ≥ 5; this corpus's documents are
   *    10–99 words of a small vocabulary, so n = 2,3 are the
-  *    informative widths here where 5-grams never repeat).
+  *    informative widths here where 5-grams rarely repeat).
+  *  - d55: the same coverage at the appendix's literal dup-gram
+  *    widths, n ∈ {5..10} — mostly-zero fractions on THIS corpus by
+  *    design (the widths are the contract; the short-doc corpus is
+  *    what makes them quiet), sharing every line of machinery with
+  *    d53 so the two cannot diverge.
   *  - d54: the quality gate itself — word-count bounds, mean word
   *    length bounds, minimum stopword hits, minimum alphabetic-word
   *    fraction, and the conjunction — C4/Gopher rule flags per doc.
   *
   * 100 TB shape: all three are PURE MAP-SIDE projections — per-row
   * higher-order-function work bounded by the document length (the d53
-  * duplicate test is O(m²) per row with m ≤ words-per-doc, a constant
-  * per corpus contract, never corpus-scaled), zero shuffles, zero
-  * joins: free riders on whatever scan materializes them
-  * ([[graft.NewQueryPlanSpec]] pins the no-exchange plans). Every
+  * duplicate test is O(m log m) per row with m ≤ words-per-doc, a
+  * constant per corpus contract, never corpus-scaled — see
+  * [[dupStarts]] for the r13 O(m³) interpreted-HOF defect this shape
+  * replaces), zero shuffles, zero joins: free riders on whatever scan
+  * materializes them ([[graft.NewQueryPlanSpec]] pins the no-exchange
+  * plans, and [[graft.MapSideFloorSpec]] pins a per-row THROUGHPUT
+  * floor — shuffle-freedom alone said nothing about CPU). Every
   * ratio is one IEEE division of two exact integers, bit-identical on
   * any engine.
   */
@@ -65,17 +73,103 @@ object QualityOps extends QueryPack {
   }
 
   /** 1-based start positions (into the gram array, equivalently into
-    * the token array) of grams occurring ≥ 2 times in `gs`. O(m²) per
-    * row by construction — m is words-per-document, a corpus contract,
-    * not a corpus size. */
-  private def dupStarts(gs: Column): Column =
-    filter(
-      when(size(gs) >= 1, sequence(lit(1), size(gs)))
-        .otherwise(array().cast("array<int>")),
-      i => size(filter(gs, x => x === element_at(gs, i))) >= 2)
+    * the token array) of grams occurring ≥ 2 times in `gs`, ascending.
+    *
+    * Shape matters more than the formula here. The retired r13 version
+    * (`filter(sequence(1, size(gs)), i => size(filter(gs, x => x ===
+    * element_at(gs, i))) >= 2)`) referenced `gs` INSIDE the lambdas,
+    * and interpreted higher-order functions re-evaluate a non-lambda
+    * subexpression on every element visit — when `gs` is the full
+    * shingle tree (regex tokenize + k−1 zip_with passes) that is ~m²
+    * whole-document re-tokenizations per row, effectively O(m³) work
+    * and garbage: it hung the r13 sf0.1 bench for 56 minutes
+    * (BENCH_r13 rc=124) and could not finish 50 documents in 9
+    * minutes. This version is the d52 [[modeOf]] pattern: `gs`
+    * appears exactly once, as the argument of the outermost chain —
+    * tag each gram with its 1-based position, `array_sort` the
+    * `(gram, pos)` structs (equal grams become adjacent runs), then
+    * ONE fold buffers the current run and flushes it to the output
+    * whenever it ends with length ≥ 2. O(m log m) comparisons plus
+    * O(m) flush copies per row, every lambda touching only lambda
+    * variables and the accumulator. The [[graft.MapSideFloorSpec]]
+    * throughput gate pins this class of defect out of the family.
+    */
+  private def dupStarts(gs: Column): Column = {
+    val indexed = array_sort(
+      transform(gs, (x, i) => struct(x.as("g"), (i + 1).as("p"))))
+    val z = struct(
+      lit(null).cast("string").as("prev"),
+      array().cast("array<int>").as("buf"),
+      array().cast("array<int>").as("out"))
+    // null-safe prev compare: the zero's null prev can never equal a
+    // gram (wordShingles filters nulls), so the first element always
+    // starts a fresh run — no sentinel string that a pathological
+    // token could collide with
+    def flushed(s: Column): Column =
+      when(size(s.getField("buf")) >= 2,
+        concat(s.getField("out"), s.getField("buf")))
+        .otherwise(s.getField("out"))
+    val folded = aggregate(
+      indexed, z,
+      (s, e) => {
+        val same = e.getField("g") <=> s.getField("prev")
+        struct(
+          e.getField("g").as("prev"),
+          when(same, concat(s.getField("buf"), array(e.getField("p"))))
+            .otherwise(array(e.getField("p"))).as("buf"),
+          when(same, s.getField("out")).otherwise(flushed(s)).as("out"))
+      },
+      s => array_sort(flushed(s)))
+    folded
+  }
 
   private def sumLens(arr: Column): Column =
     aggregate(arr, lit(0L), (a, w) => a + length(w))
+
+  /** The duplicated-n-gram coverage battery over the widths `ns` —
+    * d53's n ∈ {2,3} (the informative widths on this corpus's 10–99
+    * word documents) and d55's n ∈ {5..10} (the Gopher appendix's
+    * literal dup-gram contract) share this one builder.
+    *
+    * Staged projections, not one nested tree: each expensive array
+    * (tokens, per-n duplicate starts, covered positions) becomes a
+    * real attribute before any lambda touches it, so interpreted HOF
+    * lambdas only ever read lambda variables and O(1) row slots.
+    * Every staged non-cheap column is referenced >= 2 times
+    * downstream, which is exactly the condition under which
+    * CollapseProject keeps the producer projection materialized
+    * instead of re-inlining the expression into the lambdas.
+    */
+  private def dupCoverQuery(ns: Seq[Int])(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val staged = docs.select(
+      col("doc_id") +:
+        TextFunctions.tokens(col("text")).as("ts") +:
+        ns.map(n => dupStarts(
+          TextFunctions.wordShingles(col("text"), n)).as(s"st$n")): _*)
+    // token positions covered by >= 1 duplicated n-gram (1-based,
+    // distinct — a word inside several duplicated grams counts once)
+    def cov(n: Int): Column = array_distinct(flatten(
+      transform(col(s"st$n"), i => sequence(i, i + (n - 1)))))
+    val covd = staged.select(
+      Seq(col("doc_id"), col("ts")) ++
+        ns.map(n => size(col(s"st$n")).as(s"dup${n}_grams")) ++
+        ns.map(n => cov(n).as(s"cov$n")) :+
+        sumLens(col("ts")).as("tot"): _*)
+    def fracCol(n: Int): Column = {
+      val covChars = aggregate(col(s"cov$n"), lit(0L),
+        (a, j) => a + length(element_at(col("ts"), j)))
+      when(col("tot") > 0,
+        covChars.cast("double") / col("tot").cast("double"))
+        .otherwise(lit(0.0)).as(s"dup${n}_frac")
+    }
+    covd.select(
+      col("doc_id") +: ns.flatMap(n => Seq(
+        col(s"dup${n}_grams"),
+        size(col(s"cov$n")).as(s"dup${n}_words"),
+        fracCol(n))): _*)
+  }
 
   override def queries: Map[String, QueryFn] = Map(
 
@@ -94,24 +188,9 @@ object QualityOps extends QueryPack {
         (cols(2, "top2") ++ cols(3, "top3") ++ cols(4, "top4")): _*)
     },
 
-    "d53_dup_ngram_cover" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val ts = TextFunctions.tokens(col("text"))
-      def cols(n: Int, p: String): Seq[Column] = {
-        val gs = TextFunctions.wordShingles(col("text"), n)
-        val starts = dupStarts(gs)
-        val covered = array_distinct(flatten(
-          transform(starts, i => sequence(i, i + (n - 1)))))
-        val covChars = aggregate(covered, lit(0L),
-          (a, j) => a + length(element_at(ts, j)))
-        val tot = sumLens(ts)
-        Seq(size(starts).as(s"${p}_grams"),
-          size(covered).as(s"${p}_words"),
-          when(tot > 0, covChars.cast("double") / tot.cast("double"))
-            .otherwise(lit(0.0)).as(s"${p}_frac"))
-      }
-      docs.select(col("doc_id") +: (cols(2, "dup2") ++ cols(3, "dup3")): _*)
-    },
+    "d53_dup_ngram_cover" -> dupCoverQuery(Seq(2, 3)) _,
+
+    "d55_dup_ngram_cover_wide" -> dupCoverQuery(5 to 10) _,
 
     "d54_quality_gate" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -155,6 +234,51 @@ object QualityOps extends QueryPack {
               ts[CAST(i AS INT):CAST(i + $n - 1 AS INT)], ' '))
         ELSE [] END"""
 
+  /** DuckDB oracle for [[dupCoverQuery]], generated for the same
+    * widths so d53 and d55 cannot drift from each other. The oracle
+    * keeps the naive quadratic duplicate test (list_filter inside
+    * list_filter) ON PURPOSE: it is an independent formulation of the
+    * same semantics, native-code fast at the oracle SF, and it would
+    * not inherit a bug in the engine's sort+fold rewrite.
+    */
+  private def dupCoverSql(ns: Seq[Int]): String = {
+    val gs = ns.map(n => s"${gramsSql(n)} AS gs$n")
+      .mkString(",\n             ")
+    val sts = ns.map(n =>
+      s"""list_filter(range(1, len(gs$n) + 1),
+               i -> len(list_filter(gs$n,
+                 x -> x = gs$n[CAST(i AS INT)])) >= 2) AS st$n""")
+      .mkString(",\n             ")
+    val stPass = ns.map(n => s"st$n").mkString(", ")
+    val covs = ns.map(n =>
+      s"""list_distinct(flatten(list_transform(st$n,
+               i -> list_transform(range(0, $n),
+                 d -> CAST(i + d AS INT))))) AS cov$n""")
+      .mkString(",\n             ")
+    val outs = ns.map(n =>
+      s"""CAST(len(st$n) AS INT) AS dup${n}_grams,
+           CAST(len(cov$n) AS INT) AS dup${n}_words,
+           CASE WHEN tot = 0 THEN 0.0 ELSE
+             CAST(coalesce(list_sum(list_transform(cov$n,
+               j -> length(ts[j]))), 0) AS DOUBLE)
+               / CAST(tot AS DOUBLE) END AS dup${n}_frac""")
+      .mkString(",\n           ")
+    s"""$ToksCte,
+         g AS (
+           SELECT doc_id, ts, $gs
+           FROM toks),
+         d AS (
+           SELECT doc_id, ts, $sts
+           FROM g),
+         cov AS (
+           SELECT doc_id, ts, $stPass, $covs,
+             coalesce(list_sum(list_transform(ts, w -> length(w))), 0)
+               AS tot
+           FROM d)
+         SELECT doc_id, $outs
+         FROM cov"""
+  }
+
   override def oracleSql: Map[String, String] = Map(
 
     "d52_top_ngram_char_frac" ->
@@ -192,44 +316,9 @@ object QualityOps extends QueryPack {
          LEFT JOIN piv p3 ON p3.doc_id = d.doc_id AND p3.n = 3
          LEFT JOIN piv p4 ON p4.doc_id = d.doc_id AND p4.n = 4""",
 
-    "d53_dup_ngram_cover" ->
-      s"""$ToksCte,
-         g AS (
-           SELECT doc_id, ts, ${gramsSql(2)} AS gs2, ${gramsSql(3)} AS gs3
-           FROM toks),
-         d AS (
-           SELECT doc_id, ts,
-             list_filter(range(1, len(gs2) + 1),
-               i -> len(list_filter(gs2,
-                 x -> x = gs2[CAST(i AS INT)])) >= 2) AS st2,
-             list_filter(range(1, len(gs3) + 1),
-               i -> len(list_filter(gs3,
-                 x -> x = gs3[CAST(i AS INT)])) >= 2) AS st3
-           FROM g),
-         cov AS (
-           SELECT doc_id, ts, st2, st3,
-             list_distinct(flatten(list_transform(st2,
-               i -> [CAST(i AS INT), CAST(i + 1 AS INT)]))) AS cov2,
-             list_distinct(flatten(list_transform(st3,
-               i -> [CAST(i AS INT), CAST(i + 1 AS INT),
-                     CAST(i + 2 AS INT)]))) AS cov3,
-             coalesce(list_sum(list_transform(ts, w -> length(w))), 0)
-               AS tot
-           FROM d)
-         SELECT doc_id,
-           CAST(len(st2) AS INT) AS dup2_grams,
-           CAST(len(cov2) AS INT) AS dup2_words,
-           CASE WHEN tot = 0 THEN 0.0 ELSE
-             CAST(coalesce(list_sum(list_transform(cov2,
-               j -> length(ts[j]))), 0) AS DOUBLE)
-               / CAST(tot AS DOUBLE) END AS dup2_frac,
-           CAST(len(st3) AS INT) AS dup3_grams,
-           CAST(len(cov3) AS INT) AS dup3_words,
-           CASE WHEN tot = 0 THEN 0.0 ELSE
-             CAST(coalesce(list_sum(list_transform(cov3,
-               j -> length(ts[j]))), 0) AS DOUBLE)
-               / CAST(tot AS DOUBLE) END AS dup3_frac
-         FROM cov""",
+    "d53_dup_ngram_cover" -> dupCoverSql(Seq(2, 3)),
+
+    "d55_dup_ngram_cover_wide" -> dupCoverSql(5 to 10),
 
     "d54_quality_gate" ->
       s"""$ToksCte,

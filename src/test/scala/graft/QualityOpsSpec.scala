@@ -111,9 +111,34 @@ class QualityOpsSpec extends SparkSpec {
     assert(!r3.getAs[Boolean]("passes"))
   }
 
-  test("all three are shuffle-free map-side projections") {
+  test("d55: wide Gopher widths — periodic doc fully covered, short " +
+      "docs all-zero") {
+    val m = run("d55_dup_ngram_cover_wide")
+    // doc 1 repeats a 4-word phrase 15×: every n-gram for n ≤ 56 has a
+    // twin 4 positions away, so all six widths reach full coverage
+    val r1 = m(1L)
+    for (n <- 5 to 10) {
+      assert(r1.getAs[Double](s"dup${n}_frac") == 1.0, s"doc1 n=$n")
+      // period 4 ⇒ grams sharing a start residue mod 4 are equal, and
+      // every residue class has ≥ 12 members here, so ALL 60-n+1
+      // grams are duplicated
+      assert(r1.getAs[Int](s"dup${n}_grams") == 60 - n + 1,
+        s"doc1 n=$n grams")
+    }
+    // doc 0 has 6 words: 5-grams are the two distinct halves (no dup),
+    // 6-gram unique, 7..10 empty — all zero
+    val r0 = m(0L)
+    for (n <- 5 to 10) {
+      assert(r0.getAs[Int](s"dup${n}_grams") == 0, s"doc0 n=$n")
+      assert(r0.getAs[Double](s"dup${n}_frac") == 0.0)
+    }
+    assert(m(2L).getAs[Double]("dup10_frac") == 0.0)
+    assert(m(3L).getAs[Int]("dup5_grams") == 0)
+  }
+
+  test("all four are shuffle-free map-side projections") {
     for (q <- Seq("d52_top_ngram_char_frac", "d53_dup_ngram_cover",
-        "d54_quality_gate")) {
+        "d54_quality_gate", "d55_dup_ngram_cover_wide")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
