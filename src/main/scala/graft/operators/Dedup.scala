@@ -299,20 +299,57 @@ object Dedup {
     * is only detectable at a freeze) always freeze regardless of k.
     * Labels are cadence-invariant: the freeze only decides WHEN a
     * closed star leaves the frontier, never what its labels are
-    * (spec-pinned in DedupSpec).
+    * (spec-pinned in DedupSpec). Measured r14 A/B (FamDiag d42cc,
+    * sf10 + sf30): sparser cadences left CC-phase shuffle byte-equal
+    * (7.9 vs 8.3 MB at sf30) and cost extra contraction rounds before
+    * convergence was detected — k = 1 stays.
+    *
+    * `localFinishEdges`: once a freeze leaves at most this many
+    * frontier edges, stop contracting and finish the remainder with a
+    * driver-side union-find over ONE bounded collect. Frozen stars are
+    * complete components, so the frontier subgraph is
+    * component-disjoint from everything frozen and its exact labels
+    * are its own per-component minima — the local pass computes
+    * precisely that, and the randomized union-find reference spec pins
+    * equality with the distributed path. Why this is not the banned
+    * driver-collect class: the collect is CAPPED at localFinishEdges
+    * rows (~16 B each, ≈1 MB at the default 65,536) regardless of
+    * corpus size — the cap is the collectSample/centroid "bounded
+    * driver metadata" contract, not a corpus-scaled fetch. Why it
+    * matters: after the round-0/1 freezes retire the star-shaped dedup
+    * mass, the surviving frontier is tiny at EVERY measured decade
+    * (2,700 edges at sf10, 8,100 at sf30 for d42) while each further
+    * distributed round still costs a fixed ~6 scheduled jobs (stats
+    * aggregate, three merge joins, two checkpoints) — pure latency at
+    * any SF, the dominant CC cost at bench scale. A frontier that
+    * never shrinks below the cap (adversarial long chains at cluster
+    * scale) simply keeps the distributed loop — behavior, labels, and
+    * the byte-linear freeze story are unchanged. 0 disables.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15,
                           onRound: (Int, Double) => Unit = (_, _) => (),
                           onFreeze: Option[(Int, Long, Long) => Unit] =
                             None,
-                          freezeEvery: Int = 1): DataFrame = {
+                          freezeEvery: Int = 1,
+                          localFinishEdges: Int = 1 << 16): DataFrame = {
     require(freezeEvery >= 1, s"freezeEvery must be >= 1, got $freezeEvery")
+    require(localFinishEdges >= 0,
+      s"localFinishEdges must be >= 0, got $localFinishEdges")
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    // the local finish round-trips ids through long; restrict it to
+    // integral id types (every production caller — doc_id/vec_id) and
+    // silently keep the distributed loop for anything else
+    val idType = edges.schema("src").dataType
+    val integralIds = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType).contains(idType)
 
     // (v, min(N(u)∪{u})) for every neighbor v > u. m ≤ u < v keeps the
     // child>parent invariant and forbids self-loops by construction.
@@ -355,7 +392,7 @@ object Dedup {
     // freeze on the raw pairs); counts run only when observed — they
     // are two extra count jobs on checkpointed leaves
     var freezeRound = 0
-    def freezeClosedStars(): Boolean = {
+    def freezeClosedStars(): Long = {
       val e = edges
       val stats = e.select(col("src").as("n"), lit(1L).as("p"))
         .unionByName(e.select(col("dst").as("n"), lit(0L).as("p")))
@@ -394,14 +431,65 @@ object Dedup {
           Seq("dst"), "left_anti")
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
-      onFreeze.foreach(f => f(freezeRound, lab.count(), edges.count()))
+      // the frontier count doubles as the convergence probe (== 0) and
+      // the local-finish gate (<= cap): one in-memory job on the
+      // just-checkpointed leaf, same cost class as the old isEmpty
+      val remaining = edges.count()
+      onFreeze.foreach(f => f(freezeRound, lab.count(), remaining))
       freezeRound += 1
-      edges.isEmpty
+      remaining
+    }
+
+    /** Bounded driver-side union-find over the surviving frontier
+      * (scaladoc above: capped collect, exact labels, disjoint from
+      * every frozen component). Union attaches the larger root under
+      * the smaller, so each tree's root IS its minimum — the same
+      * label contract as the distributed path.
+      */
+    def finishLocally(): Unit = {
+      val rows = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keysIterator.map(x => (x, find(x))).toSeq
+      val sess = edges.sparkSession
+      val lab = sess.createDataFrame(labels).toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+      frozenLabels += lab
+      edges = edges.limit(0)
+      onFreeze.foreach(f => f(freezeRound, labels.size.toLong, 0L))
+      freezeRound += 1
+    }
+
+    /** Freeze, then either converge (empty frontier), finish the
+      * remainder locally (frontier within the cap), or keep
+      * contracting. */
+    def freezeAndMaybeFinish(): Boolean = {
+      val remaining = freezeClosedStars()
+      if (remaining == 0L) true
+      else if (integralIds && localFinishEdges > 0 &&
+          remaining <= localFinishEdges) {
+        finishLocally(); true
+      } else false
     }
 
     // round 0: isolated duplicate pairs and pre-existing stars — the
     // bulk of a real dedup graph — exit before the first contraction
-    var converged = freezeClosedStars()
+    var converged = freezeAndMaybeFinish()
     var i = 0
     while (!converged && i < maxIters) {
       val roundT0 = System.nanoTime()
@@ -417,7 +505,7 @@ object Dedup {
       // is caught at the next freeze — the final allowed round always
       // freezes so maxIters can never skip the convergence probe
       if (i % freezeEvery == 0 || i >= maxIters)
-        converged = freezeClosedStars()
+        converged = freezeAndMaybeFinish()
       onRound(i, (System.nanoTime() - roundT0) / 1e9)
     }
     if (!converged)

@@ -344,17 +344,55 @@ class TextOpsSpec extends SparkSpec {
         val b = if (n == 300) nextLong() % 20 else nextLong() % n
         (a, b)
       }.filter(e => e._1 != e._2)
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val want = unionFind(n, edges)
-      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-      assert(got.keySet == touched,
-        s"label rows must cover exactly the paired nodes (n=$n m=$m)")
-      touched.foreach { v =>
-        assert(got(v) == want(v),
-          s"node $v: got ${got(v)}, want ${want(v)} (n=$n m=$m)")
+      // both execution paths against the reference: the default (these
+      // graphs are under the cap, so the round-0 freeze hands the
+      // remainder to the driver union-find) and the pure distributed
+      // loop (localFinishEdges = 0) the cap would otherwise shadow
+      for (cap <- Seq(1 << 16, 0)) {
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            localFinishEdges = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = unionFind(n, edges)
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(got.keySet == touched,
+          s"label rows must cover exactly the paired nodes " +
+            s"(n=$n m=$m cap=$cap)")
+        touched.foreach { v =>
+          assert(got(v) == want(v),
+            s"node $v: got ${got(v)}, want ${want(v)} (n=$n m=$m cap=$cap)")
+        }
       }
     }
+  }
+
+  test("local finish fires only under the cap, and labels are " +
+      "path-invariant on a frontier that straddles it") {
+    // one 120-hop chain survives the round-0 freeze as a 120-edge
+    // frontier: cap 200 finishes it driver-side (observer sees a
+    // final freeze with active=0 and NO contraction round), cap 50
+    // keeps the distributed loop (contraction rounds observed);
+    // labels must be byte-identical either way
+    val pairs = ((0 until 30).map(i => (9000L + 2 * i, 9001L + 2 * i)) ++
+      (0L until 120L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    def run(cap: Int): (Set[(Long, Long)], Int, Long) = {
+      var rounds = 0
+      var lastActive = -1L
+      val labels = Dedup.connectedComponents(pairs,
+          onRound = (i, _) => rounds = i,
+          onFreeze = Some((_, _, act) => lastActive = act),
+          localFinishEdges = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (labels, rounds, lastActive)
+    }
+    val (labLocal, roundsLocal, activeLocal) = run(200)
+    val (labDist, roundsDist, activeDist) = run(50)
+    assert(labLocal == labDist, "local finish changed the labels")
+    assert(roundsLocal == 0,
+      s"cap=200 must finish before any contraction, ran $roundsLocal")
+    assert(roundsDist > 0, "cap=50 must keep the distributed loop")
+    assert(activeLocal == 0L && activeDist == 0L)
+    assert(labLocal.filter(_._1 < 200L).forall(_._2 == 0L),
+      "chain must collapse to node 0 on both paths")
   }
 
   test("rollingHashMod folds left with mod-prime arithmetic") {
