@@ -39,6 +39,39 @@ object SemDiag {
       println(s"  pairs=${p.count()}")
       p
     }
+    // Optional second arg `breakdown`: split the pair mass into the
+    // scale-up family's cross-copy LEAKAGE (two transformed copies of
+    // the SAME source vector: id_a ≡ id_b mod the source stride) vs
+    // genuine source-level neighbors. The leakage term is quadratic in
+    // copies BY CONSTRUCTION — C(k,2) copy pairs per source × the tail
+    // of the cross-class cosine distribution above the SemDeDup τ (and
+    // k > dim copies of a unit vector in R^dim CANNOT all stay below a
+    // fixed τ: packing bounds make some tail mass unavoidable for any
+    // orthogonal-transform family) — so an s14 scale read must quote
+    // edge-mass growth separately from the plan's per-edge bytes.
+    if (args.length > 1 && args(1) == "breakdown") {
+      val srcMax = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .agg(max(col("vec_id"))).head().getLong(0)
+      val vecS = srcMax + 1
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      timed("breakdown") {
+        // same_copy (i == j): the source pair's cosine is PRESERVED by
+        // the shared orthogonal map — this mass is (source pairs ≥ τ)
+        // × k, linear by construction. cross_copy (i ≠ j): two
+        // DIFFERENT transforms — decorrelated cosines whose tail above
+        // τ rides C(k,2) pair slots, the quadratic term (same_src
+        // isolates the same-source-vector subset of it).
+        val tagged = pairs.select(
+          (col("id_a") / vecS === col("id_b") / vecS).as("same_copy"),
+          (col("id_a") % vecS === col("id_b") % vecS).as("same_src"))
+        val agg = tagged.groupBy("same_copy", "same_src").count()
+          .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+            r.getLong(2)).toMap.withDefaultValue(0L)
+        println(s"  within_copy=${agg((true, false))} " +
+          s"cross_copy_diff_src=${agg((false, false))} " +
+          s"cross_copy_same_src=${agg((false, true))} (vecS=$vecS dim=$dim)")
+      }
+    }
     val comps = timed("components") {
       val c = operators.Dedup.connectedComponents(pairs, maxIters = 30,
         onRound = (i, sec) => println(f"  round $i ${sec}%6.2f s"))
