@@ -475,16 +475,24 @@ object Dedup {
       freezeRound += 1
     }
 
-    /** Freeze, then either converge (empty frontier), finish the
-      * remainder locally (frontier within the cap), or keep
-      * contracting. */
+    /** Convergence/retirement step. The frontier count is checked
+      * BEFORE the freeze: a frontier already within the local-finish
+      * cap goes straight to the driver union-find — the freeze's
+      * stats aggregate and four joins exist to retire closed stars
+      * from a frontier too big to collect, and running them on a
+      * sub-cap graph (every gate-SF corpus, round 0 included) is pure
+      * overhead for a result the local pass computes in one job. Above
+      * the cap: freeze (retiring closed stars), then re-check — the
+      * shrunken frontier may now fit. Both counts are single in-memory
+      * jobs on checkpointed leaves. */
     def freezeAndMaybeFinish(): Boolean = {
-      val remaining = freezeClosedStars()
-      if (remaining == 0L) true
-      else if (integralIds && localFinishEdges > 0 &&
-          remaining <= localFinishEdges) {
-        finishLocally(); true
-      } else false
+      def tryLocal(n: Long): Boolean =
+        if (n == 0L) true
+        else if (integralIds && localFinishEdges > 0 &&
+            n <= localFinishEdges) {
+          finishLocally(); true
+        } else false
+      tryLocal(edges.count()) || tryLocal(freezeClosedStars())
     }
 
     // round 0: isolated duplicate pairs and pre-existing stars — the

@@ -267,9 +267,14 @@ class TextOpsSpec extends SparkSpec {
     val pairs = ((0 until 200).map(i => (5000L + 2 * i, 5001L + 2 * i)) ++
       (0L until 40L).map(i => (i, i + 1))).toDF("id_a", "id_b")
     val freezes = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
+    // localFinishEdges = 0: this spec pins the DISTRIBUTED freeze
+    // semantics (the at-scale path a sub-cap fixture would otherwise
+    // shadow by going straight to the driver union-find); the local
+    // path is pinned by the straddle spec below
     val comps = Dedup.connectedComponents(pairs,
         onFreeze = Some((r, frozen, active) =>
-          freezes += ((r, frozen, active))))
+          freezes += ((r, frozen, active))),
+        localFinishEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // round 0: exactly the 200 pairs freeze (400 label rows), leaving
     // only the 40 chain edges active
