@@ -81,8 +81,18 @@ object TextFunctions {
     * shifted array with nulls; concat propagates them, and the trailing
     * nulls are filtered — leaving exactly the n−k+1 full shingles.
     */
-  def wordShingles(c: Column, k: Int): Column = {
-    val ts = tokens(c)
+  def wordShingles(c: Column, k: Int): Column = shinglesOf(tokens(c), k)
+
+  /** [[wordShingles]] over an already-computed token array. When `ts`
+    * is a STAGED ATTRIBUTE (a real column, not the tokenize tree),
+    * the fold's k references to it are O(1) row-slot reads; passing
+    * the raw `tokens(text)` expression instead re-tokenizes the
+    * document once per reference under interpreted HOF evaluation —
+    * the cost class MapSideFloorSpec polices. Callers computing
+    * several widths should tokenize once and shingle each width from
+    * the staged array.
+    */
+  def shinglesOf(ts: Column, k: Int): Column = {
     if (k <= 1) ts
     else {
       val joined = (1 until k).foldLeft(ts) { (acc, j) =>

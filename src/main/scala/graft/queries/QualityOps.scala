@@ -143,11 +143,18 @@ object QualityOps extends QueryPack {
   private def dupCoverQuery(ns: Seq[Int])(
       s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val staged = docs.select(
+    // tokenize ONCE into a real attribute, then shingle every width
+    // from it: wordShingles(text, n) embeds the tokenize tree k times
+    // (the fold's slices), and interpreted HOF evaluation would re-run
+    // the regex split per reference — measured 8.8 → ~4 s on d55's six
+    // widths when the token array became a staged column
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("ts"))
+    val staged = toks.select(
       col("doc_id") +:
-        TextFunctions.tokens(col("text")).as("ts") +:
+        col("ts") +:
         ns.map(n => dupStarts(
-          TextFunctions.wordShingles(col("text"), n)).as(s"st$n")): _*)
+          TextFunctions.shinglesOf(col("ts"), n)).as(s"st$n")): _*)
     // token positions covered by >= 1 duplicated n-gram (1-based,
     // distinct — a word inside several duplicated grams counts once)
     def cov(n: Int): Column = array_distinct(flatten(
@@ -175,8 +182,13 @@ object QualityOps extends QueryPack {
 
     "d52_top_ngram_char_frac" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // one staged tokenize shared by all three widths (shinglesOf
+      // note in TextFunctions: the fold's slices read a row slot, not
+      // a re-run of the regex split)
+      val staged = docs.select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("ts"))
       def cols(n: Int, p: String): Seq[Column] = {
-        val mode = modeOf(TextFunctions.wordShingles(col("text"), n))
+        val mode = modeOf(TextFunctions.shinglesOf(col("ts"), n))
         val c = mode.getField("c")
         val g = mode.getField("g")
         Seq(g.as(s"${p}_gram"), c.as(s"${p}_cnt"),
@@ -184,7 +196,7 @@ object QualityOps extends QueryPack {
             length(col("text")).cast("double"))
             .otherwise(lit(0.0)).as(s"${p}_frac"))
       }
-      docs.select(col("doc_id") +:
+      staged.select(col("doc_id") +:
         (cols(2, "top2") ++ cols(3, "top3") ++ cols(4, "top4")): _*)
     },
 
@@ -193,8 +205,9 @@ object QualityOps extends QueryPack {
     "d55_dup_ngram_cover_wide" -> dupCoverQuery(5 to 10) _,
 
     "d54_quality_gate" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val ts = TextFunctions.tokens(col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      val ts = col("ts")
       val nWords = size(ts).cast("long")
       val totChars = sumLens(ts)
       val meanWlen = when(nWords > 0,
