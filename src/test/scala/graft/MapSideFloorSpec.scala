@@ -91,8 +91,14 @@ class MapSideFloorSpec extends SparkSpec {
   private val FloorDocs = 3000
   private val FloorBound = 45.seconds
 
+  // the Gopher battery (the family that motivated the gate) plus every
+  // other pure map-side projection over documents — each must clear
+  // the same worst-case floor, so a future edit that re-introduces an
+  // expression-re-evaluating HOF shape into ANY of them fails here
   for (q <- Seq("d52_top_ngram_char_frac", "d53_dup_ngram_cover",
-      "d54_quality_gate", "d55_dup_ngram_cover_wide")) {
+      "d54_quality_gate", "d55_dup_ngram_cover_wide",
+      "d03_quality_ratios", "d04_langid", "d05_fingerprint",
+      "d13_quality_score", "d21_pii_redact")) {
     test(s"$q clears the worst-case throughput floor " +
         s"($FloorDocs max-length docs in ${FloorBound.toSeconds} s)") {
       val dir = worstCaseDir(FloorDocs, words = 100)

@@ -400,6 +400,25 @@ class TextOpsSpec extends SparkSpec {
       "chain must collapse to node 0 on both paths")
   }
 
+  test("shinglesOf over a staged token array equals wordShingles over " +
+      "the raw text at every width") {
+    // the staging rewrite (quality battery, commit ee8ff86) must be a
+    // pure evaluation-cost change — same shingles, all widths,
+    // including k > len(ts) (empty) and k = 1 (the tokens themselves)
+    val docs = Seq("a bb ccc a bb", "one", "", "  x   y  ", "a a a a a a")
+      .toDF("text")
+    for (k <- 1 to 7) {
+      val both = docs.select(
+        TextFunctions.wordShingles(col("text"), k).as("w"),
+        TextFunctions.shinglesOf(
+          TextFunctions.tokens(col("text")), k).as("s"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k")
+      }
+    }
+  }
+
   test("rollingHashMod folds left with mod-prime arithmetic") {
     val rows = Seq("ab", "", "a").toDF("t")
       .select(TextFunctions.rollingHashMod(col("t"))).collect()
