@@ -43,10 +43,18 @@ object Decontam {
     */
   def buildIndex(train: DataFrame, idCol: String, textCol: String,
                  cacheKey: Option[String] = None): Index = {
+    // tokens staged into an attribute: the 8-width shingle fold
+    // references its token array ~15 times, and each reference to a
+    // RAW tokens(text) tree re-runs the regex split per row under
+    // interpreted HOF evaluation (lambda-bearing subtrees are exempt
+    // from subexpression elimination) — staging makes them row-slot
+    // reads (TextFunctions.shinglesOf note)
     def explodeIdx: DataFrame = train
       .select(col(idCol).as("train_id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .select(col("train_id"),
         explode(array_distinct(transform(
-          TextFunctions.wordShingles(col(textCol), 8),
+          TextFunctions.shinglesOf(col("ts"), 8),
           g => xxhash64(g)))).as("h8"))
     val trainIdx = cacheKey match {
       case Some(key) =>
@@ -75,10 +83,12 @@ object Decontam {
   def probe(index: Index, evalDocs: DataFrame, idCol: String,
             textCol: String): DataFrame = {
     val evalGrams = evalDocs
-      .filter(size(TextFunctions.tokens(col(textCol))) >= 8)
       .select(col(idCol).as("eval_id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("eval_id"),
         posexplode(array_distinct(transform(
-          TextFunctions.wordShingles(col(textCol), 8),
+          TextFunctions.shinglesOf(col("ts"), 8),
           g => xxhash64(g)))))
       .toDF("eval_id", "pos", "h8")
     val probes = evalGrams.join(index.gramDf, Seq("h8"), "left")

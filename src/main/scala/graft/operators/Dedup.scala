@@ -73,9 +73,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame =
+    // tokens staged (shinglesOf note): the k-width fold's ~2k token
+    // references become row-slot reads instead of per-reference
+    // re-tokenizations (lambda-bearing trees are exempt from
+    // subexpression elimination)
     df.select(col(idCol).as("id"),
-      explode_outer(TextFunctions.wordShingles(col(textCol), shingleSize))
-        .as("shingle"))
+      TextFunctions.tokens(col(textCol)).as("__mh_ts"))
+      .select(col("id"),
+        explode_outer(TextFunctions.shinglesOf(col("__mh_ts"), shingleSize))
+          .as("shingle"))
       // double hashing: each shingle costs 2 hashes; the 64 family
       // members are rotate-XOR combinations (cheap, overflow-free).
       .withColumn("h1", when(col("shingle").isNotNull,

@@ -159,10 +159,17 @@ object TrainingOps2 extends QueryPack {
       // per row, zero shuffle, so at 100 TB this is a free rider on
       // whatever scan computes it; the division is two exact ints in
       // IEEE double, bit-identical on any engine
-      val sh = TextFunctions.wordShingles(col("text"), 5)
-      val total = size(sh)
-      val dups = total - size(array_distinct(sh))
-      t(s, dir, "documents").select(
+      // tokens AND shingles staged into attributes (shinglesOf note):
+      // the raw form evaluated the 5-gram fold 3× per row, each with
+      // ~9 embedded re-tokenizations — interpreted HOF trees get no
+      // subexpression elimination
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          TextFunctions.shinglesOf(col("ts"), 5).as("sh"))
+      val total = size(col("sh"))
+      val dups = total - size(array_distinct(col("sh")))
+      staged.select(
         col("doc_id"),
         total.as("n_shingles"),
         dups.as("n_dup"),
@@ -281,9 +288,11 @@ object TrainingOps2 extends QueryPack {
       // pass blacklists. Shuffles (doc_id, shingle) pairs only
       // (distinct per doc map-side); deterministic top-20 tie-broken
       // lexicographically.
-      val sh = t(s, dir, "documents").select(col("doc_id"),
-        explode(array_distinct(
-          TextFunctions.wordShingles(col("text"), 5))).as("shingle"))
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            TextFunctions.shinglesOf(col("ts"), 5))).as("shingle"))
       sh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("doc_freq"))
         .filter(col("doc_freq") >= 3)
@@ -299,8 +308,10 @@ object TrainingOps2 extends QueryPack {
       // with map-side partial counts; ties broken to the
       // lexicographically smallest bigram so the answer is unique.
       val docs = t(s, dir, "documents")
-      val bg = docs.select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
+      val bg = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesOf(col("ts"), 2)).as("bg"))
       val counts = bg.groupBy(col("doc_id"), col("bg"))
         .agg(count(lit(1)).as("n"))
       // argmax with min-bigram tie-break as ONE aggregation:
@@ -329,8 +340,10 @@ object TrainingOps2 extends QueryPack {
       // most #sources per side (#sources² pairs worst case, not d²);
       // the #sources-row size frame broadcasts.
       val docs = t(s, dir, "documents")
-      val vocab = docs.select(col("source"),
-          explode(TextFunctions.wordShingles(col("text"), 2)).as("sh"))
+      val vocab = docs
+        .select(col("source"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("source"),
+          explode(TextFunctions.shinglesOf(col("ts"), 2)).as("sh"))
         .distinct()
         .localCheckpoint(true)
       val sizes = vocab.groupBy(col("source"))
@@ -414,15 +427,17 @@ object TrainingOps2 extends QueryPack {
         .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
         .localCheckpoint(true)
       val bi = base.filter(col("bkt") < 80)
-        .select(explode(TextFunctions.wordShingles(col("text"), 2))
+        .select(TextFunctions.tokens(col("text")).as("ts"))
+        .select(explode(TextFunctions.shinglesOf(col("ts"), 2))
           .as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
       val totals = broadcast(uni.agg(
         sum(col("c1")).as("n"), count(lit(1)).as("v")))
       val valBg = base
         .filter(col("bkt") >= 80 && col("bkt") < 90)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
         .select(col("doc_id"),
-          explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
+          explode(TextFunctions.shinglesOf(col("ts"), 2)).as("bg"))
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .withColumn("w2", split(col("bg"), " ").getItem(1))
       val pml = coalesce(
@@ -547,8 +562,10 @@ object TrainingOps2 extends QueryPack {
       val docs = t(s, dir, "documents")
       val sh = graft.FrameCache.cached(s, s"d24sh:$dir")(
         docs.select(col("doc_id"),
-          explode(array_distinct(
-            TextFunctions.wordShingles(col("text"), 3))).as("g")))
+            TextFunctions.tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            explode(array_distinct(
+              TextFunctions.shinglesOf(col("ts"), 3))).as("g")))
       val split = docs.select(col("doc_id"),
         (SamplingFunctions.hashBucket(col("text")) < 80).as("is_train"))
       val tagged = sh.join(split, Seq("doc_id"))
@@ -573,9 +590,11 @@ object TrainingOps2 extends QueryPack {
       // the same cost class as d22's boilerplate miner, never
       // all-pairs. distinct-per-doc makes df≥2 ⟺ "in ≥1 other doc".
       // The division is two exact ints in IEEE double (d25 argument).
-      val withSh = t(s, dir, "documents").select(col("doc_id"),
-        array_distinct(
-          TextFunctions.wordShingles(col("text"), 8)).as("sh"))
+      val withSh = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          array_distinct(
+            TextFunctions.shinglesOf(col("ts"), 8)).as("sh"))
       val tot = withSh.select(col("doc_id"), size(col("sh")).as("n_grams"))
       // df computed INLINE with a window over the shingle partition:
       // pairs are distinct per doc, so the partition row count IS the
@@ -629,8 +648,10 @@ object TrainingOps2 extends QueryPack {
       // or semi-joined (the count()-era bench hid the recompute:
       // 3.5 s → 2.3 s at sf0.1 under the noop harness; same d37
       // at-scale argument, one sorted shuffle instead of agg + join)
-      val occ = docs.select(col("doc_id"),
-        posexplode(TextFunctions.wordShingles(col("text"), 8)))
+      val occ = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          posexplode(TextFunctions.shinglesOf(col("ts"), 8)))
         .select(col("doc_id"), col("pos"), col("col").as("g"))
       val byGram = Window.partitionBy(col("g")).orderBy(col("doc_id"))
       val byGramAll = Window.partitionBy(col("g"))
