@@ -44,8 +44,9 @@ flags = 0
 for k in sorted(set(ref_q) | set(cur_q),
                 key=lambda k: -(cur_q.get(k) or 0)):
     r, c = ref_q.get(k), cur_q.get(k)
-    if r is None and (c or 0) < 1.0:
+    if r is None and c is not None and 0 <= c < 1.0:
         continue  # fast query invisible in the ref tail: nothing to say
+        # (negative sec = FAILED must never take this exit)
     ratio = (c / r) if (r and c and r > 0) else None
     flag = ""
     if c is not None and c > 30.0:

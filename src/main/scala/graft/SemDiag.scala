@@ -50,7 +50,11 @@ object SemDiag {
     // orthogonal-transform family) — so an s14 scale read must quote
     // edge-mass growth separately from the plan's per-edge bytes.
     if (args.length > 1 && args(1) == "breakdown") {
-      val srcMax = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      // Source stride = row count of the corpus this scale-up family was
+      // minted from (vec_id = src + copy*stride). Passed as args(2) so a
+      // corpus scaled from any base gets the right stride.
+      val srcDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+      val srcMax = Tables.load(spark, srcDir, "embeddings")
         .agg(max(col("vec_id"))).head().getLong(0)
       val vecS = srcMax + 1
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -60,9 +64,12 @@ object SemDiag {
         // × k, linear by construction. cross_copy (i ≠ j): two
         // DIFFERENT transforms — decorrelated cosines whose tail above
         // τ rides C(k,2) pair slots, the quadratic term (same_src
-        // isolates the same-source-vector subset of it).
+        // isolates the same-source-vector subset of it). Copy index is
+        // floor(id / stride): Spark `/` on longs is DOUBLE division, so
+        // the comparison must go through floor() to be integral.
         val tagged = pairs.select(
-          (col("id_a") / vecS === col("id_b") / vecS).as("same_copy"),
+          (floor(col("id_a") / vecS) === floor(col("id_b") / vecS))
+            .as("same_copy"),
           (col("id_a") % vecS === col("id_b") % vecS).as("same_src"))
         val agg = tagged.groupBy("same_copy", "same_src").count()
           .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) ->

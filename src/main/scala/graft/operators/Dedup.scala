@@ -470,7 +470,10 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val labels = parent.keysIterator.map(x => (x, find(x))).toSeq
+      // snapshot keys before the find() sweep: path compression mutates
+      // the map, and mutation under a live keysIterator is unspecified
+      val ks = parent.keys.toArray
+      val labels = ks.map(x => (x, find(x))).toSeq
       val sess = edges.sparkSession
       val lab = sess.createDataFrame(labels).toDF("id", "component")
         .select(col("id").cast(idType).as("id"),

@@ -131,16 +131,42 @@ object QualityOps extends QueryPack {
     * word documents) and d55's n ∈ {5..10} (the Gopher appendix's
     * literal dup-gram contract) share this one builder.
     *
+    * r15: ONE fused compiled pass for every width
+    * ([[graft.functions.DupCover]] — the CdcSegmentsExpr precedent).
+    * The r14 sort+fold HOF formulation ran an independent array_sort +
+    * aggregate per width, which made d55 (six widths) the bench's
+    * slowest query; the kernel tokenizes once and hashes each width's
+    * grams with no sort. The struct is produced in its own projection
+    * and its fields read in a second — the expression is non-cheap and
+    * referenced 3·|ns| times, exactly the condition under which
+    * CollapseProject keeps the producer materialized instead of
+    * re-inlining one kernel call per output column. The retired r14
+    * shape survives as [[dupCoverQuerySorted]], the engine-side
+    * reference the equivalence spec runs against.
+    */
+  private[graft] def dupCoverQueryFused(ns: Seq[Int])(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // coalesce: null text must keep 0-output rows, matching the
+    // sorted reference's empty-array guard (ADVICE r14)
+    val dc = docs.select(col("doc_id"),
+      graft.functions.DupCover.dupCover(
+        coalesce(col("text"), lit("")), ns).as("dc"))
+    dc.select(col("doc_id") +: ns.flatMap(n => Seq(
+      col(s"dc.dup${n}_grams"), col(s"dc.dup${n}_words"),
+      col(s"dc.dup${n}_frac"))): _*)
+  }
+
+  /** The r14 sort+fold HOF formulation of [[dupCoverQueryFused]], kept as
+    * the ENGINE-SIDE reference for the fused-kernel equivalence spec
+    * (QualityOpsSpec runs both on hostile inputs and asserts identical
+    * rows; the DuckDB oracle is the third, cross-engine formulation).
     * Staged projections, not one nested tree: each expensive array
     * (tokens, per-n duplicate starts, covered positions) becomes a
     * real attribute before any lambda touches it, so interpreted HOF
     * lambdas only ever read lambda variables and O(1) row slots.
-    * Every staged non-cheap column is referenced >= 2 times
-    * downstream, which is exactly the condition under which
-    * CollapseProject keeps the producer projection materialized
-    * instead of re-inlining the expression into the lambdas.
     */
-  private def dupCoverQuery(ns: Seq[Int])(
+  private[graft] def dupCoverQuerySorted(ns: Seq[Int])(
       s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // tokenize ONCE into a real attribute, then shingle every width
@@ -148,8 +174,12 @@ object QualityOps extends QueryPack {
     // (the fold's slices), and interpreted HOF evaluation would re-run
     // the regex split per reference — measured 8.8 → ~4 s on d55's six
     // widths when the token array became a staged column
+    // coalesce: null text must keep the retired shape's 0-output rows
+    // (transform/array_sort/aggregate would all propagate a null ts
+    // into null dup*_grams — ADVICE r14)
     val toks = docs.select(col("doc_id"),
-      TextFunctions.tokens(col("text")).as("ts"))
+      coalesce(TextFunctions.tokens(col("text")),
+        array().cast("array<string>")).as("ts"))
     val staged = toks.select(
       col("doc_id") +:
         col("ts") +:
@@ -200,9 +230,9 @@ object QualityOps extends QueryPack {
         (cols(2, "top2") ++ cols(3, "top3") ++ cols(4, "top4")): _*)
     },
 
-    "d53_dup_ngram_cover" -> dupCoverQuery(Seq(2, 3)) _,
+    "d53_dup_ngram_cover" -> dupCoverQueryFused(Seq(2, 3)) _,
 
-    "d55_dup_ngram_cover_wide" -> dupCoverQuery(5 to 10) _,
+    "d55_dup_ngram_cover_wide" -> dupCoverQueryFused(5 to 10) _,
 
     "d54_quality_gate" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -247,7 +277,7 @@ object QualityOps extends QueryPack {
               ts[CAST(i AS INT):CAST(i + $n - 1 AS INT)], ' '))
         ELSE [] END"""
 
-  /** DuckDB oracle for [[dupCoverQuery]], generated for the same
+  /** DuckDB oracle for [[dupCoverQueryFused]], generated for the same
     * widths so d53 and d55 cannot drift from each other. The oracle
     * keeps the naive quadratic duplicate test (list_filter inside
     * list_filter) ON PURPOSE: it is an independent formulation of the

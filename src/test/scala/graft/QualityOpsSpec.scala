@@ -136,6 +136,41 @@ class QualityOpsSpec extends SparkSpec {
     assert(m(3L).getAs[Int]("dup5_grams") == 0)
   }
 
+  test("fused DupCover kernel ≡ the r14 sort+fold formulation on " +
+      "hostile inputs") {
+    // a third corpus, nastier than the fixture: mixed whitespace runs
+    // (tab/LF/CR — the kernel's \s contract), astral-plane code points
+    // (length() counts CODE POINTS, not UTF-16 units), a non-breaking
+    // space (NOT \s: token content, both sides alike), exactly-n and
+    // n-1 token docs, a 3-periodic doc, and a null text row
+    val d = java.nio.file.Files
+      .createTempDirectory("dupcover_hostile").toString
+    Seq(
+      (0L, "x\ty  x\ny \r x y z", "en", "s"),
+      (1L, "😀 a 😀 a 😀 a", "en", "s"),
+      (2L, "p q p q r", "en", "s"),
+      (3L, "one two three", "en", "s"),
+      (4L, "w w", "en", "s"),
+      (5L, "r s t r s t r s t r s t", "en", "s"),
+      (6L, null.asInstanceOf[String], "en", "s"),
+      (7L, "   \t \n  ", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .coalesce(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")),
+          org.apache.spark.sql.functions.lit(0L))
+        .cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    for (ns <- Seq(Seq(2, 3), (5 to 10): Seq[Int], Seq(1, 2, 3))) {
+      val fused = queries.QualityOps.dupCoverQueryFused(ns)(spark, d)
+        .orderBy("doc_id").collect().toSeq
+      val sorted = queries.QualityOps.dupCoverQuerySorted(ns)(spark, d)
+        .orderBy("doc_id").collect().toSeq
+      assert(fused == sorted, s"widths $ns")
+    }
+  }
+
   test("all four are shuffle-free map-side projections") {
     for (q <- Seq("d52_top_ngram_char_frac", "d53_dup_ngram_cover",
         "d54_quality_gate", "d55_dup_ngram_cover_wide")) {
