@@ -218,6 +218,76 @@ object Dedup {
       }
   }
 
+  /** [[nearDupProbeStream]] with INCREMENTAL INDEX MAINTENANCE — the
+    * production curation-at-the-door shape (VERDICT r14 Next #1): each
+    * micro-batch is signed ONCE, probed against the CURRENT folding
+    * index (corpus + everything accepted so far), its hits emitted
+    * through `sink`, and its accepted documents' signatures folded
+    * into the index the NEXT batches probe. `index` must be a
+    * [[graft.streaming.FoldingIndex]] over [[minhashSignatures]]
+    * output built with the same (shingleSize, numHashes) — the SAME
+    * builder folds the arrivals, so probe-after-fold and
+    * probe-against-rebuilt-index cannot diverge (`FoldingIndexSpec`
+    * pins the agreement).
+    *
+    * Accepted = arrivals with NO near-dup hit (the curation policy:
+    * duplicates are reported and not re-indexed); pass
+    * `foldDuplicates = true` to index everything seen. Hit sets are
+    * against the index AS OF the batch's start — two near-dups inside
+    * ONE micro-batch do not see each other (inherent to any
+    * incremental index; the pinned probe dodges it only by never
+    * growing). The FOLDED INDEX ITSELF is trigger-invariant: fold-in
+    * appends per-row builder output, so any batching of the same
+    * arrivals yields the same index rows.
+    *
+    * Fold idempotence rides FoldingIndex's batchId skip, so the
+    * at-least-once redelivery contract needs no extra care here; the
+    * sink keeps its own batchId-keyed discipline.
+    */
+  def nearDupIngestStream(docStream: DataFrame, idCol: String,
+                          textCol: String,
+                          index: graft.streaming.FoldingIndex,
+                          shingleSize: Int, bands: Int, rowsPerBand: Int,
+                          threshold: Double, checkpoint: String,
+                          foldDuplicates: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // sign ONCE: the signatures feed the probe AND the fold —
+        // checkpointed because a micro-batch plan cannot be lazily
+        // re-executed after its batch ends
+        val batchSigs = minhashSignatures(
+          batch.select(col(idCol), col(textCol)), idCol, textCol,
+          shingleSize, bands * rowsPerBand).localCheckpoint(true)
+        val corpus = bandedIndex(index.current, bands, rowsPerBand)
+          .select(col("band"), col("band_hash"),
+            col("id").as("corpus_id"), col("sig").as("corpus_sig"))
+        val probes = bandedIndex(batchSigs, bands, rowsPerBand)
+          .select(col("band"), col("band_hash"),
+            col("id").as("new_id"), col("sig").as("new_sig"))
+        val hits = probes.join(corpus, Seq("band", "band_hash"))
+          .filter(col("new_id") =!= col("corpus_id"))
+          .select(col("new_id"), col("corpus_id"),
+            estimatedJaccard(col("new_sig"), col("corpus_sig"))
+              .as("est_jaccard"))
+          .filter(col("est_jaccard") >= threshold)
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(first(col("est_jaccard")).as("est_jaccard"))
+          .localCheckpoint(true) // computed once: sink + accept both read it
+        sink(hits, batchId)
+        val accepted =
+          if (foldDuplicates) batchSigs
+          else batchSigs.join(
+            hits.select(col("new_id").as("id")).distinct(),
+            Seq("id"), "left_anti")
+        index.foldInRows(batchId, accepted)
+        ()
+      }
+
   /** Connected components via two-phase star contraction — alternating
     * large-star / small-star edge rewrites (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC 2014, Alg. 2), not label
