@@ -307,6 +307,49 @@ object StreamBench {
       s""""value":${f1(semVecsSec)},"unit":"vecs/sec",""" +
       s""""corpus_vecs":$vecN,"batches":${semProgress.length},""" +
       s""""hits":${semHits.get()},"sf":"$corpusDir"}""")
+
+    // Seventh reading: FOLD-IN ingest (incremental index maintenance,
+    // r15) — the minhash ingest stream pays probe + accepted-signature
+    // fold per batch against a GROWING index. Same self-replay: every
+    // arrival probes the corpus index (self-matches excluded), no-hit
+    // arrivals fold in, so the index roughly doubles across the run —
+    // the difference between this rate and the pinned-index first
+    // reading is the fold-in tax (delta checkpoint + count + the
+    // periodic compaction) plus the growing probe side.
+    val foldIdx = graft.streaming.FoldingIndex(sigs,
+      df => Dedup.minhashSignatures(df, "doc_id", "text",
+        shingleSize = 3, numHashes = 64),
+      bucketCols = Seq("id"), numPartitions = cpus.toInt,
+      compactEvery = 16)
+    val ingCheckpoint = java.nio.file.Files
+      .createTempDirectory("graft_streambench_ing_ckpt").toString
+    val ingStream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ingHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val ingQuery = Dedup.nearDupIngestStream(
+      ingStream, "doc_id", "text", foldIdx,
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.7,
+      ingCheckpoint) { (hits, _) => ingHits.addAndGet(hits.count()) }
+      .start()
+    ingQuery.processAllAvailable()
+    ingQuery.stop()
+    val ingProgress = ingQuery.recentProgress.filter(_.numInputRows > 0)
+    val ingSteady = ingProgress.drop(1)
+    val ingDocsSec =
+      if (ingSteady.isEmpty) 0.0
+      else ingSteady.map(_.numInputRows).sum.toDouble /
+        (ingSteady.map(_.durationMs.get("triggerExecution").toLong)
+          .sum / 1e3)
+    val fm = foldIdx.meta
+    println(s"""{"metric":"stream_foldin_docs_per_sec",""" +
+      s""""value":${f1(ingDocsSec)},"unit":"docs/sec",""" +
+      s""""corpus_docs":$corpusN,"batches":${ingProgress.length},""" +
+      s""""hits":${ingHits.get()},"folds":${fm.folds},""" +
+      s""""folded_rows":${fm.foldedRows},""" +
+      s""""compactions":${fm.compactions},"sf":"$corpusDir"}""")
     spark.stop()
   }
 }

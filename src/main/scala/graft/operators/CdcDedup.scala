@@ -236,6 +236,61 @@ object CdcDedup {
       }
   }
 
+  /** [[segmentProbeStream]] with INCREMENTAL INDEX MAINTENANCE
+    * (VERDICT r14 Next #1, segment modality): each micro-batch is
+    * scrubbed against the CURRENT folding index, the cleaned docs
+    * emitted, and the non-empty CLEANED texts' segment digests folded
+    * into the index the next batches scrub against — the reference
+    * corpus grows with exactly the content that survived the door
+    * (the spans removed were already indexed; re-admitting them would
+    * be a no-op the anti-join dedup makes literal).
+    *
+    * The index is a DISTINCT digest set, so the folding index runs
+    * with `dedupKeyCols = Seq("_d")` — a digest already present in a
+    * lower tier never re-enters, keeping [[scrubSegments]]'s left-join
+    * multiplicities (its `n_segs` count) exact. Probe-after-fold ≡
+    * scrub-against-rebuilt-index on reference ∪ accepted-cleaned docs
+    * (`FoldingIngestSpec`).
+    */
+  def segmentIngestStream(stream: DataFrame, idCol: String,
+      textCol: String, index: graft.streaming.FoldingIndex,
+      divisor: Int, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    requireDivisorStamp(index.current, divisor)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(col(idCol), col(textCol))
+          .localCheckpoint(true)
+        val cleaned = scrubSegments(arrivals, idCol, textCol,
+          index.current, divisor).localCheckpoint(true)
+        sink(cleaned, batchId)
+        index.foldIn(batchId,
+          cleaned.filter(length(col("clean_text")) > 0)
+            .select(col(idCol), col("clean_text").as(textCol)))
+        ()
+      }
+  }
+
+  /** The [[graft.streaming.FoldingIndex]] for the segment modality:
+    * base = the reference corpus's distinct segment digests, builder =
+    * [[segmentIndex]] on arrivals, `_d`-bucketed, digest-deduped
+    * across tiers.
+    */
+  def foldingSegmentIndex(reference: DataFrame, idCol: String,
+      textCol: String, divisor: Int, numPartitions: Int,
+      compactEvery: Int = 16): graft.streaming.FoldingIndex =
+    graft.streaming.FoldingIndex(
+      segmentIndex(reference, idCol, textCol, divisor)
+        .repartition(numPartitions, col("_d"))
+        .localCheckpoint(true),
+      df => segmentIndex(df, idCol, textCol, divisor),
+      bucketCols = Seq("_d"), numPartitions = numPartitions,
+      compactEvery = compactEvery, dedupKeyCols = Seq("_d"))
+
   /** Fixed-width overlapping chunks with provenance — the context-window
     * shaping step of a training pipeline: `(id, chunk_idx, start_word,
     * n_words, chunk_text)`, windows of `width` tokens every `stride`

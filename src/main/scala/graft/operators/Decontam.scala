@@ -41,21 +41,28 @@ object Decontam {
     * (the streaming probe) or is read more than once (it always is:
     * the DF pass and the candidate join).
     */
+  /** The (train_id, h8) gram-index rows for a train frame — the ONE
+    * builder behind [[buildIndex]] and the fold-in path
+    * ([[FoldingDecontamIndex]]), so batch and incremental indexes
+    * cannot diverge. Tokens staged into an attribute: the 8-width
+    * shingle fold references its token array ~15 times, and each
+    * reference to a RAW tokens(text) tree re-runs the regex split per
+    * row under interpreted HOF evaluation (lambda-bearing subtrees are
+    * exempt from subexpression elimination) — staging makes them
+    * row-slot reads (TextFunctions.shinglesOf note).
+    */
+  private[graft] def gramIndexRows(train: DataFrame, idCol: String,
+      textCol: String): DataFrame = train
+    .select(col(idCol).as("train_id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+    .select(col("train_id"),
+      explode(array_distinct(transform(
+        TextFunctions.shinglesOf(col("ts"), 8),
+        g => xxhash64(g)))).as("h8"))
+
   def buildIndex(train: DataFrame, idCol: String, textCol: String,
                  cacheKey: Option[String] = None): Index = {
-    // tokens staged into an attribute: the 8-width shingle fold
-    // references its token array ~15 times, and each reference to a
-    // RAW tokens(text) tree re-runs the regex split per row under
-    // interpreted HOF evaluation (lambda-bearing subtrees are exempt
-    // from subexpression elimination) — staging makes them row-slot
-    // reads (TextFunctions.shinglesOf note)
-    def explodeIdx: DataFrame = train
-      .select(col(idCol).as("train_id"),
-        TextFunctions.tokens(col(textCol)).as("ts"))
-      .select(col("train_id"),
-        explode(array_distinct(transform(
-          TextFunctions.shinglesOf(col("ts"), 8),
-          g => xxhash64(g)))).as("h8"))
+    def explodeIdx: DataFrame = gramIndexRows(train, idCol, textCol)
     val trainIdx = cacheKey match {
       case Some(key) =>
         graft.FrameCache.cached(train.sparkSession, key)(explodeIdx)
@@ -179,5 +186,111 @@ object Decontam {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(probe(index, batch, idCol, textCol), batchId)
+      }
+
+  /** INCREMENTAL TRAIN-SIDE growth for the decontam index (VERDICT
+    * r14 Next #1, k=8-gram modality). Decontam's arrival direction is
+    * inverted relative to the dedup probes — EVAL docs arrive, the
+    * TRAIN index is the corpus — so fold-in here means growing the
+    * train set: newly accepted TRAINING documents fold into all three
+    * tiers ((train_id, h8) grams via the shared [[gramIndexRows]]
+    * builder, per-tier gram document frequencies, verification texts)
+    * and every subsequent eval batch probes the grown index.
+    *
+    * df semantics under tiering: the probe's min-DF seed selection
+    * reads PER-TIER dfs (one gramDf row per tier holding the gram), so
+    * between compactions it may seed on a gram whose tier-min df
+    * understates the global posting list — a fan-out HEURISTIC only,
+    * never correctness (the candidate join always runs against the
+    * full tiered trainIdx, and `contains()` verification is exact;
+    * a df=0 non-containment proof still requires absence from EVERY
+    * tier). Compaction re-aggregates dfs to global counts
+    * (`sum(df)` compactor), restoring the exact hot-key bound.
+    */
+  final case class FoldingDecontamIndex(
+      trainIdx: graft.streaming.FoldingIndex,
+      gramDf: graft.streaming.FoldingIndex,
+      trainTexts: graft.streaming.FoldingIndex,
+      idCol: String, textCol: String) {
+
+    /** The three tiers as a probe-ready [[Index]] — [[probe]] /
+      * [[probeAll]] / [[probeStream]] run on it UNCHANGED. */
+    def index: Index = Index(trainIdx.current, gramDf.current,
+      trainTexts.current)
+
+    /** Fold new train docs into all three tiers under one batchId
+      * (idempotent: a redelivered id skips all three or none — the
+      * tiers share the monotonic-id contract). Returns gram rows
+      * appended. */
+    def foldIn(batchId: Long, newTrain: DataFrame): Long = {
+      val rows = gramIndexRows(newTrain, idCol, textCol)
+        .localCheckpoint(true)
+      // each tier enforces the batchId skip itself, so a redelivery
+      // is a no-op on all three without cross-tier coordination
+      val n = trainIdx.foldInRows(batchId, rows)
+      gramDf.foldInRows(batchId,
+        rows.groupBy(col("h8")).agg(count(lit(1)).as("df")))
+      trainTexts.foldInRows(batchId,
+        newTrain.select(col(idCol).as("train_id"),
+          col(textCol).as("train_text")))
+      n
+    }
+
+    def compact(): Unit = {
+      trainIdx.compact(); gramDf.compact(); trainTexts.compact()
+    }
+  }
+
+  /** Build the [[FoldingDecontamIndex]] from the initial train corpus:
+    * same builders as [[buildIndex]], each tier bucketed on its probe
+    * join key.
+    */
+  def foldingIndex(train: DataFrame, idCol: String, textCol: String,
+      numPartitions: Int, compactEvery: Int = 16)
+      : FoldingDecontamIndex = {
+    val idxBase = gramIndexRows(train, idCol, textCol)
+      .repartition(numPartitions, col("h8"))
+      .localCheckpoint(true)
+    FoldingDecontamIndex(
+      graft.streaming.FoldingIndex(idxBase,
+        df => gramIndexRows(df, idCol, textCol),
+        bucketCols = Seq("h8"), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      graft.streaming.FoldingIndex(
+        idxBase.groupBy(col("h8")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(true),
+        df => gramIndexRows(df, idCol, textCol)
+          .groupBy(col("h8")).agg(count(lit(1)).as("df")),
+        bucketCols = Seq("h8"), numPartitions = numPartitions,
+        compactEvery = compactEvery,
+        compactor = Some(df => df.groupBy(col("h8"))
+          .agg(sum(col("df")).as("df")))),
+      graft.streaming.FoldingIndex(
+        train.select(col(idCol).as("train_id"),
+          col(textCol).as("train_text"))
+          .repartition(numPartitions, col("train_id"))
+          .localCheckpoint(true),
+        df => df.select(col(idCol).as("train_id"),
+          col(textCol).as("train_text")),
+        bucketCols = Seq("train_id"), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      idCol, textCol)
+  }
+
+  /** [[probeStream]] against a GROWING train index: the folding
+    * index's current tiers are resolved per micro-batch, so train docs
+    * folded between batches are probe-visible to every later batch.
+    * The fold-in itself is the caller's move ([[FoldingDecontamIndex
+    * .foldIn]] as train arrivals are accepted); this stream only reads.
+    */
+  def probeFoldingStream(evalStream: DataFrame,
+      findex: FoldingDecontamIndex, idCol: String, textCol: String,
+      checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    evalStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probe(findex.index, batch, idCol, textCol), batchId)
       }
 }

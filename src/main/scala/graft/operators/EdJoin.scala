@@ -533,4 +533,110 @@ object EdJoin {
         sink(hits, batchId)
       }
   }
+
+  /** Paired folding indexes for the edit modality: the deletion-key
+    * relation plus the (id, str) text relation candidates verify
+    * against — both fold in lockstep per batch (one batchId governs
+    * both, so redelivery skips both or neither).
+    */
+  final case class FoldingEdIndex(keys: graft.streaming.FoldingIndex,
+                                  texts: graft.streaming.FoldingIndex,
+                                  k: Int)
+
+  /** Build the [[FoldingEdIndex]]: keys = [[deletionKeys]] output
+    * `_key`-bucketed (the probe join's partitioning), texts = the
+    * corpus (id, str) relation `_id`-bucketed.
+    */
+  def foldingEdIndex(corpus: DataFrame, idCol: String, strCol: String,
+      k: Int, numPartitions: Int,
+      compactEvery: Int = 16): FoldingEdIndex =
+    FoldingEdIndex(
+      graft.streaming.FoldingIndex(
+        deletionKeys(corpus, idCol, strCol, k)
+          .repartition(numPartitions, col("_key"))
+          .localCheckpoint(true),
+        df => deletionKeys(df, idCol, strCol, k),
+        bucketCols = Seq("_key"), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      graft.streaming.FoldingIndex(
+        corpus.select(col(idCol).as("_id"), col(strCol).as("_str"))
+          .repartition(numPartitions, col("_id"))
+          .localCheckpoint(true),
+        df => df.select(col(idCol).as("_id"), col(strCol).as("_str")),
+        bucketCols = Seq("_id"), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      k)
+
+  /** [[editProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT
+    * r14 Next #1, character-edit modality): each micro-batch's
+    * deletion variants are built ONCE (they feed the probe AND the
+    * fold), probed against the CURRENT folding key index, hits
+    * emitted, and the accepted (no-hit) arrivals' variants and texts
+    * folded in for the next batches.
+    *
+    * Differences from the pinned-index probe, both deliberate: the
+    * corpus TEXT relation is the folding text index (corpus-scaled, so
+    * the candidate join hash-builds on the CANDIDATE side rather than
+    * broadcasting), and the driver-side length-profile prefilters are
+    * dropped — they are a pinned-corpus optimization whose profile
+    * would go stale under fold-in; correctness never depended on them
+    * (they only pruned probes that could match nothing).
+    */
+  def editIngestStream(stream: DataFrame, idCol: String, strCol: String,
+      index: FoldingEdIndex, k: Int, checkpoint: String,
+      foldDuplicates: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(index.k == k, s"index was built with k=${index.k} but the " +
+      s"probe runs k=$k — rebuild via foldingEdIndex with the probe's k")
+    stampedK(index.keys.current) match {
+      case Some(ik) => require(ik == k.toLong,
+        s"key index stamp k=$ik does not match probe k=$k")
+      case None => throw new IllegalArgumentException(
+        "key index carries no k stamp on _key — build it with " +
+          "EdJoin.foldingEdIndex")
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchKeys = deletionKeys(
+          batch.select(col(idCol), col(strCol)), idCol, strCol, k)
+          .localCheckpoint(true)
+        val corpus = index.keys.current
+          .select(col("_key"), col("_id").as("corpus_id"))
+        val corpusTexts = index.texts.current
+          .select(col("_id").as("corpus_id"), col("_str").as("corpus_str"))
+        val probes = batchKeys.select(col("_key"),
+          col("_id").as("new_id"), col("_str").as("new_str"))
+        val cands = corpus.join(probes.hint("shuffle_hash"), Seq("_key"))
+          .filter(col("new_id") =!= col("corpus_id"))
+          .select(col("new_id"), col("new_str"), col("corpus_id"))
+          .distinct()
+        // candidates hash-build; the folded (corpus-scaled) text
+        // relation streams through its own partitioning
+        val hits = corpusTexts
+          .join(cands.hint("shuffle_hash"), Seq("corpus_id"))
+          .withColumn("dist",
+            levenshtein(col("new_str"), col("corpus_str"), k))
+          .filter(col("dist") >= 0)
+          .select(col("new_id"), col("corpus_id"), col("dist"))
+          .localCheckpoint(true)
+        sink(hits, batchId)
+        val hitIds = hits.select(col("new_id")).distinct()
+        val acceptedKeys =
+          if (foldDuplicates) batchKeys
+          else batchKeys.join(hitIds, col("_id") === col("new_id"),
+            "left_anti")
+        val acceptedTexts =
+          if (foldDuplicates)
+            batch.select(col(idCol).as("_id"), col(strCol).as("_str"))
+          else batch.select(col(idCol).as("_id"), col(strCol).as("_str"))
+            .join(hitIds, col("_id") === col("new_id"), "left_anti")
+        index.keys.foldInRows(batchId, acceptedKeys)
+        index.texts.foldInRows(batchId, acceptedTexts)
+        ()
+      }
+  }
 }

@@ -340,4 +340,68 @@ object IvfIndex {
           tau, nProbe), batchId)
       }
   }
+
+  /** [[semanticProbeStream]] with INCREMENTAL INDEX MAINTENANCE
+    * (VERDICT r14 Next #1, embedding modality): each micro-batch is
+    * probed against the CURRENT folding index, hits emitted, and the
+    * accepted (non-duplicate) vectors ASSIGNED TO THE SAME PINNED
+    * CENTROIDS and folded into the index the next batches probe.
+    *
+    * The centroid family is deliberately NOT refit on fold-in: the
+    * stamp contract ([[buildSemanticIndex]]) makes list assignment a
+    * pure function of the pinned centroids, so fold-in is map-side
+    * assignment + append — probe-after-fold ≡
+    * probe-against-rebuilt-index with the same centroids, which
+    * `FoldingIngestSpec` pins. Centroid drift under a shifted arrival
+    * distribution is the RESTART-AND-REBUILD path (refit → new stamp →
+    * new index), the same contract as retraining any model.
+    *
+    * `index` must be a [[graft.streaming.FoldingIndex]] whose base is
+    * [[buildSemanticIndex]] output for these centroids and whose
+    * builder assigns with them (see [[foldingSemanticIndex]]).
+    */
+  def semanticIngestStream(stream: DataFrame, idCol: String,
+      vecCol: String, index: graft.streaming.FoldingIndex,
+      centroids: DataFrame, tau: Double, nProbe: Int,
+      checkpoint: String, foldDuplicates: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    requireStamp(index.current, centroids)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a micro-batch plan is only valid during its batch — pin it,
+        // it feeds the probe AND the fold
+        val arrivals = batch.select(col(idCol), col(vecCol))
+          .localCheckpoint(true)
+        val hits = semanticHits(index.current, arrivals, idCol, vecCol,
+          centroids, tau, nProbe).localCheckpoint(true)
+        sink(hits, batchId)
+        val accepted =
+          if (foldDuplicates) arrivals
+          else arrivals.join(
+            hits.select(col("new_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+        index.foldIn(batchId, accepted)
+        ()
+      }
+  }
+
+  /** The [[graft.streaming.FoldingIndex]] for the semantic modality:
+    * base = the corpus assigned to `centroids`, builder = the same
+    * assignment for arrivals, bucketed by `centroid_id` so compaction
+    * restores the partitioning [[semanticHits]]' shuffle-hash join
+    * reuses.
+    */
+  def foldingSemanticIndex(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, numPartitions: Int,
+      compactEvery: Int = 16): graft.streaming.FoldingIndex =
+    graft.streaming.FoldingIndex(
+      buildSemanticIndex(corpus, idCol, vecCol, centroids)
+        .repartition(numPartitions, col("centroid_id"))
+        .localCheckpoint(true),
+      df => buildSemanticIndex(df, idCol, vecCol, centroids),
+      bucketCols = Seq("centroid_id"), numPartitions = numPartitions,
+      compactEvery = compactEvery)
 }

@@ -550,4 +550,177 @@ object SubstrDedup {
         sink(hits, batchId)
       }
   }
+
+  /** Paired folding indexes for the verbatim-run modality: winnowed
+    * fingerprints plus the (id, text) relation candidates verify
+    * against — folded in lockstep per batch.
+    */
+  final case class FoldingRepeatIndex(fps: graft.streaming.FoldingIndex,
+      texts: graft.streaming.FoldingIndex, minLen: Int, w: Int)
+
+  def foldingRepeatIndex(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int, w: Int, numPartitions: Int,
+      compactEvery: Int = 16): FoldingRepeatIndex =
+    FoldingRepeatIndex(
+      graft.streaming.FoldingIndex(
+        fingerprints(corpus, idCol, textCol, minLen, w)
+          .repartition(numPartitions, col("_h"))
+          .localCheckpoint(true),
+        df => fingerprints(df, idCol, textCol, minLen, w),
+        bucketCols = Seq("_h"), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      graft.streaming.FoldingIndex(
+        corpus.select(col(idCol), col(textCol))
+          .repartition(numPartitions, col(idCol))
+          .localCheckpoint(true),
+        df => df.select(col(idCol), col(textCol)),
+        bucketCols = Seq(idCol), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      minLen, w)
+
+  /** [[repeatProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT
+    * r14 Next #1, verbatim-run modality): each micro-batch is
+    * fingerprinted ONCE (probe + fold share the rows), probed against
+    * the CURRENT folding index, hits emitted, and the accepted
+    * (no-hit) arrivals' fingerprints and texts folded in. Probe
+    * machinery is the [[repeatProbeStream]] body verbatim — same
+    * [[anchorsVerified]] predicate, same string-free candidate join —
+    * so probe-after-fold ≡ probe-against-rebuilt-index
+    * (`FoldingIngestSpec`).
+    */
+  def repeatIngestStream(stream: DataFrame, idCol: String,
+      textCol: String, index: FoldingRepeatIndex, minLen: Int, w: Int,
+      checkpoint: String, foldDuplicates: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(index.minLen == minLen && index.w == w,
+      s"index was winnowed with (minLen=${index.minLen}, w=${index.w})" +
+        s" but the probe runs (minLen=$minLen, w=$w)")
+    stampedParams(index.fps.current) match {
+      case Some((im, iw)) =>
+        require(im == minLen.toLong && iw == w.toLong,
+          s"fingerprint index stamp ($im, $iw) does not match probe " +
+            s"($minLen, $w)")
+      case None => throw new IllegalArgumentException(
+        "fingerprint index carries no (minLen, w) stamp — build it " +
+          "with SubstrDedup.foldingRepeatIndex")
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(col(idCol), col(textCol))
+          .localCheckpoint(true)
+        val eligible = arrivals.filter(length(col(textCol)) >= minLen)
+        val batchFps = fingerprints(eligible, idCol, textCol, minLen, w)
+          .localCheckpoint(true)
+        val corpus = index.fps.current.select(col("_h"),
+          col(idCol).as("corpus_id"), col("_pos").as("pa"))
+        val corpusTexts = index.texts.current
+          .select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
+        val probes = batchFps.select(col("_h"),
+          col(idCol).as("new_id"), col("_pos").as("pb"))
+        val cand = corpus.join(probes.hint("shuffle_hash"), Seq("_h"))
+          .filter(col("new_id") =!= col("corpus_id"))
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
+        val hits = corpusTexts
+          .join(cand.hint("shuffle_hash"), Seq("corpus_id"))
+          .join(eligible.select(col(idCol).as("new_id"),
+            col(textCol).as("tb")).hint("shuffle_hash"), Seq("new_id"))
+          .filter(anchorsVerified(minLen, w))
+          .select(col("new_id"), col("corpus_id"))
+          .localCheckpoint(true)
+        sink(hits, batchId)
+        val hitIds = hits.select(col("new_id")).distinct()
+        def accept(df: DataFrame, joinCol: String): DataFrame =
+          if (foldDuplicates) df
+          else df.join(hitIds, col(joinCol) === col("new_id"),
+            "left_anti")
+        index.fps.foldInRows(batchId, accept(batchFps, idCol))
+        index.texts.foldInRows(batchId, accept(arrivals, idCol))
+        ()
+      }
+  }
+
+  /** Paired folding indexes for the gram-scrub modality: the
+    * representative gram index plus the reference (id, text) relation
+    * candidates verify against.
+    *
+    * Tier note: the SAME gram appearing in two tiers carries one
+    * representative per tier (the rebuilt index would keep one global
+    * minimum). That is deliberate slack, not drift: every
+    * representative verifies the same gram text, covered positions
+    * land in [[applyCut]]'s `collect_set`, and the CLEANED OUTPUT —
+    * the operator's contract — is identical to the rebuilt index's
+    * (`FoldingIngestSpec` pins it). Compaction does not re-elect
+    * representatives; a restart-and-rebuild does.
+    */
+  final case class FoldingScrubIndex(idx: graft.streaming.FoldingIndex,
+      texts: graft.streaming.FoldingIndex, L: Int)
+
+  def foldingScrubIndex(reference: DataFrame, idCol: String,
+      textCol: String, L: Int, numPartitions: Int,
+      compactEvery: Int = 16): FoldingScrubIndex =
+    FoldingScrubIndex(
+      graft.streaming.FoldingIndex(
+        scrubIndex(reference, idCol, textCol, L)
+          .repartition(numPartitions, col("_gh"))
+          .localCheckpoint(true),
+        df => scrubIndex(df, idCol, textCol, L),
+        bucketCols = Seq("_gh"), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      graft.streaming.FoldingIndex(
+        reference.select(col(idCol), col(textCol))
+          .repartition(numPartitions, col(idCol))
+          .localCheckpoint(true),
+        df => df.select(col(idCol), col(textCol)),
+        bucketCols = Seq(idCol), numPartitions = numPartitions,
+        compactEvery = compactEvery),
+      L)
+
+  /** [[scrubProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT
+    * r14 Next #1, gram-scrub modality): each micro-batch is scrubbed
+    * against the CURRENT folding index, the cleaned docs emitted, and
+    * the non-empty CLEANED texts folded in as new reference content —
+    * the spans removed were already indexed, so the reference grows
+    * with exactly what survived the door. Representatives of folded
+    * docs point into their CLEANED text, which is what the folded text
+    * tier holds — the verification contract stays exact.
+    */
+  def scrubIngestStream(stream: DataFrame, idCol: String,
+      textCol: String, index: FoldingScrubIndex, L: Int,
+      checkpoint: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(index.L == L, s"index was built at L=${index.L} but the " +
+      s"probe runs L=$L — rebuild via foldingScrubIndex")
+    stampedScrubL(index.idx.current) match {
+      case Some(il) => require(il == L.toLong,
+        s"scrub index stamp L=$il does not match probe L=$L")
+      case None => throw new IllegalArgumentException(
+        "scrub index carries no L stamp — build it with " +
+          "SubstrDedup.foldingScrubIndex")
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrivals = batch.select(col(idCol), col(textCol))
+          .localCheckpoint(true)
+        val cleaned = applyCut(arrivals, idCol, textCol,
+          coveredByCorpus(arrivals, idCol, textCol, index.idx.current,
+            index.texts.current, L), L)
+          .localCheckpoint(true)
+        sink(cleaned, batchId)
+        val accepted = cleaned.filter(length(col("clean_text")) > 0)
+          .select(col(idCol), col("clean_text").as(textCol))
+          .localCheckpoint(true)
+        index.idx.foldIn(batchId, accepted)
+        index.texts.foldIn(batchId, accepted)
+        ()
+      }
+  }
 }

@@ -64,6 +64,7 @@ final class FoldingIndex private (
     numPartitions: Int,
     compactEvery: Int,
     dedupKeyCols: Seq[String],
+    compactor: Option[DataFrame => DataFrame],
     base: DataFrame) {
 
   /** Stamped fold metadata — bumped on every accepted fold. */
@@ -132,10 +133,11 @@ final class FoldingIndex private (
     * ContextCleaner once unreferenced.
     */
   def compact(): Unit = synchronized {
+    val folded = compactor.fold(current)(f => f(current))
     val merged =
       if (bucketCols.isEmpty)
-        current.repartition(numPartitions)
-      else current.repartition(numPartitions, bucketCols.map(col): _*)
+        folded.repartition(numPartitions)
+      else folded.repartition(numPartitions, bucketCols.map(col): _*)
     baseTier = merged.localCheckpoint(true)
     deltas = Vector.empty
     generation += 1
@@ -158,13 +160,19 @@ object FoldingIndex {
     * @param dedupKeyCols non-empty for DISTINCT-set indexes: new rows
     *                     anti-join the current index on these before
     *                     appending (e.g. CDC's digest set)
+    * @param compactor    applied to the union at compaction — for
+    *                     AGGREGATE indexes whose tiers carry partial
+    *                     values (e.g. per-tier gram document
+    *                     frequencies re-summed to global counts)
     */
   def apply(base: DataFrame, builder: DataFrame => DataFrame,
             bucketCols: Seq[String], numPartitions: Int,
             compactEvery: Int = 16,
-            dedupKeyCols: Seq[String] = Nil): FoldingIndex = {
+            dedupKeyCols: Seq[String] = Nil,
+            compactor: Option[DataFrame => DataFrame] = None)
+      : FoldingIndex = {
     require(compactEvery >= 1, s"compactEvery=$compactEvery must be >= 1")
     new FoldingIndex(builder, bucketCols, numPartitions, compactEvery,
-      dedupKeyCols, base)
+      dedupKeyCols, compactor, base)
   }
 }
