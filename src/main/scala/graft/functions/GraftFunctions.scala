@@ -16,6 +16,19 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+    // compiled shingler on the SQL surface (r15): k must be an int
+    // literal — the expression bakes it into generated code
+    registry.createOrReplaceTempFunction(
+      "word_shingles", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles(text, k): k must be an integer literal, " +
+              s"got $other")
+        }
+        WordShinglesExpr(exprs.head, k)
+      }, "scala_udf")
 
     // column-composition functions registered as SQL macros via udfs
     // would lose codegen; instead expose them as temp functions built

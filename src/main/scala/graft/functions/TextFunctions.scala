@@ -72,16 +72,17 @@ object TextFunctions {
       transform(sequence(lit(1), count), i => c.substr(i, lit(n))))
   }
 
-  /** Word k-shingles joined with a single space.
-    *
-    * Built as a fold of zip_with over j-shifted token arrays (k−1 cheap
-    * two-string concats per token) instead of a per-position
-    * slice+concat_ws (which allocates a k-array per shingle — benchmarked
-    * ~2× slower on shingle-heavy corpora). zip_with pads the shorter
-    * shifted array with nulls; concat propagates them, and the trailing
-    * nulls are filtered — leaving exactly the n−k+1 full shingles.
+  /** Word k-shingles joined with a single space — ONE compiled pass
+    * ([[WordShinglesExpr]], r15). The previous raw-text form delegated
+    * to [[shinglesOf]] over the tokenize TREE, whose k−1 zip_with
+    * levels each re-evaluated the regex split per row (k
+    * tokenizations/row — the cost class VERDICT r14 Next #5 retires
+    * from every query- and SQL-reachable surface). Byte-identical
+    * output (`TextOpsSpec` equality at every width); callers staging a
+    * token attribute for SEVERAL widths keep using [[shinglesOf]].
     */
-  def wordShingles(c: Column, k: Int): Column = shinglesOf(tokens(c), k)
+  def wordShingles(c: Column, k: Int): Column =
+    WordShingles.wordShingles(c, k)
 
   /** [[wordShingles]] over an already-computed token array. When `ts`
     * is a STAGED ATTRIBUTE (a real column, not the tokenize tree),

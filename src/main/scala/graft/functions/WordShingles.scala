@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word k-shingles as ONE compiled pass — the kernel under
+  * [[TextFunctions.wordShingles]] and the `word_shingles` SQL
+  * registration (VERDICT r14 Next #5: the raw-text HOF shingle fold —
+  * a zip_with chain whose k−1 levels each re-evaluated the tokenize
+  * tree per row — must not be reachable from queries or SQL).
+  *
+  * Per row: tokenize on whitespace runs (replicating
+  * `TextFunctions.tokens` exactly — Java regex `\s`, maximal
+  * non-whitespace codepoint runs, the [[CdcSegment]] contract), then
+  * emit the n−k+1 windows of k consecutive tokens joined by single
+  * spaces. k ≤ 1 returns the token array itself; short docs return an
+  * empty array; null text propagates null — all byte-identical to the
+  * `shinglesOf(tokens(c), k)` column formulation (`TextOpsSpec` pins
+  * the equality at every width, hostile inputs included).
+  *
+  * [[TextFunctions.shinglesOf]] remains the right call for operators
+  * that STAGE a token array and shingle several widths from it (the
+  * quality battery, MinHash signatures): there the tokenize cost is
+  * paid once for all widths. This kernel is for the raw-text
+  * single-width surface — diag harnesses, SQL users — where the HOF
+  * form cost k tokenizations per row and this costs one.
+  */
+case class WordShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs a string column, got ${dt.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingles.shingles($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordShinglesExpr = copy(child = newChild)
+}
+
+object WordShingles {
+
+  /** Column API: word k-shingles of a text column, one compiled pass. */
+  def wordShingles(c: Column, k: Int): Column = {
+    require(k >= 1, s"k=$k: expected >= 1")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(c), k))
+  }
+
+  // Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+      cp == '\f' || cp == '\r'
+
+  /** One-pass kernel, called from generated code. */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    val tokStart = new Array[Int](n / 2 + 1)
+    val tokEnd = new Array[Int](n / 2 + 1)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!isWs(cps(i))) {
+        val s = i
+        while (i < n && !isWs(cps(i))) i += 1
+        tokStart(m) = s
+        tokEnd(m) = i
+        m += 1
+      } else i += 1
+    }
+    val width = math.max(k, 1)
+    val count = if (width == 1) m else m - width + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var g = 0
+    while (g < count) {
+      val sb = new java.lang.StringBuilder(
+        (tokEnd(g + width - 1) - tokStart(g)) + (width - 1))
+      var j = g
+      while (j < g + width) {
+        if (j > g) sb.append(' ')
+        var p = tokStart(j)
+        while (p < tokEnd(j)) { sb.appendCodePoint(cps(p)); p += 1 }
+        j += 1
+      }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -234,29 +234,49 @@ object QualityOps extends QueryPack {
 
     "d55_dup_ngram_cover_wide" -> dupCoverQueryFused(5 to 10) _,
 
-    "d54_quality_gate" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
-        TextFunctions.tokens(col("text")).as("ts"))
-      val ts = col("ts")
-      val nWords = size(ts).cast("long")
-      val totChars = sumLens(ts)
-      val meanWlen = when(nWords > 0,
-        totChars.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
-      val nStop = TextFunctions.vocabHits(col("text"), GateStopwords)
-      val nAlpha = size(filter(ts, w => w.rlike("[a-zA-Z]")))
-      val alphaFrac = when(nWords > 0,
-        nAlpha.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
-      val okWords = nWords >= 50 && nWords <= 100000
-      val okMwl = meanWlen >= 3.0 && meanWlen <= 10.0
-      val okStop = nStop >= 2
-      val okAlpha = alphaFrac >= 0.8
-      docs.select(col("doc_id"),
-        nWords.as("n_words"), meanWlen.as("mean_wlen"),
-        nStop.cast("long").as("n_stop"), alphaFrac.as("alpha_frac"),
-        okWords.as("ok_words"), okMwl.as("ok_mwl"),
-        okStop.as("ok_stop"), okAlpha.as("ok_alpha"),
-        (okWords && okMwl && okStop && okAlpha).as("passes"))
-    })
+    "d54_quality_gate" -> qualityGateQuery(QualityGateConfig()) _)
+
+  /** The d54 gate's rule thresholds as data (VERDICT r14 stretch #7):
+    * a C4-vs-Gopher-vs-house-rules variant is one constructor call,
+    * and the DuckDB oracle is GENERATED from the same instance
+    * ([[qualityGateSql]]) so the two cannot drift. Defaults are the
+    * Gopher-A1.1-style rules d54 has always shipped.
+    */
+  final case class QualityGateConfig(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwordHits: Long = 2L, minAlphaFrac: Double = 0.8,
+      stopwords: Seq[String] = GateStopwords)
+
+  /** The quality gate over a threshold config — d54 is
+    * `qualityGateQuery(QualityGateConfig())`. Pure map-side, one
+    * staged tokenize, floor-gated like the rest of the battery.
+    */
+  private[graft] def qualityGateQuery(cfg: QualityGateConfig)(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      TextFunctions.tokens(col("text")).as("ts"))
+    val ts = col("ts")
+    val nWords = size(ts).cast("long")
+    val totChars = sumLens(ts)
+    val meanWlen = when(nWords > 0,
+      totChars.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val nStop = TextFunctions.vocabHits(col("text"), cfg.stopwords)
+    val nAlpha = size(filter(ts, w => w.rlike("[a-zA-Z]")))
+    val alphaFrac = when(nWords > 0,
+      nAlpha.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val okWords = nWords >= cfg.minWords && nWords <= cfg.maxWords
+    val okMwl = meanWlen >= cfg.minMeanWordLen &&
+      meanWlen <= cfg.maxMeanWordLen
+    val okStop = nStop >= cfg.minStopwordHits
+    val okAlpha = alphaFrac >= cfg.minAlphaFrac
+    docs.select(col("doc_id"),
+      nWords.as("n_words"), meanWlen.as("mean_wlen"),
+      nStop.cast("long").as("n_stop"), alphaFrac.as("alpha_frac"),
+      okWords.as("ok_words"), okMwl.as("ok_mwl"),
+      okStop.as("ok_stop"), okAlpha.as("ok_alpha"),
+      (okWords && okMwl && okStop && okAlpha).as("passes"))
+  }
 
   /** The d04 English stopword set — the gate's "contains at least two
     * stopwords" rule (Gopher A1.1 uses a comparable fixed list). */
@@ -363,15 +383,28 @@ object QualityOps extends QueryPack {
 
     "d55_dup_ngram_cover_wide" -> dupCoverSql(5 to 10),
 
-    "d54_quality_gate" ->
-      s"""$ToksCte,
+    "d54_quality_gate" -> qualityGateSql(QualityGateConfig()))
+
+  /** DuckDB oracle for [[qualityGateQuery]], generated from the SAME
+    * [[QualityGateConfig]] instance as the Spark side — thresholds and
+    * stopword list appear once in the codebase.
+    */
+  private[graft] def qualityGateSql(cfg: QualityGateConfig): String = {
+    val stopList = cfg.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val okWords =
+      s"n_words >= ${cfg.minWords} AND n_words <= ${cfg.maxWords}"
+    val okMwl = s"mean_wlen >= ${cfg.minMeanWordLen} AND " +
+      s"mean_wlen <= ${cfg.maxMeanWordLen}"
+    val okStop = s"n_stop >= ${cfg.minStopwordHits}"
+    val okAlpha = s"alpha_frac >= ${cfg.minAlphaFrac}"
+    s"""$ToksCte,
          m AS (
            SELECT doc_id,
              CAST(len(ts) AS BIGINT) AS n_words,
              coalesce(list_sum(list_transform(ts, w -> length(w))), 0)
                AS tot,
              CAST(len(list_filter(ts, w -> list_contains(
-               ['the','a','of','and','to','in','is','that'], w)))
+               $stopList, w)))
                AS BIGINT) AS n_stop,
              CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-zA-Z]')))
                AS BIGINT) AS n_alpha
@@ -387,12 +420,11 @@ object QualityOps extends QueryPack {
                AS alpha_frac
            FROM m)
          SELECT doc_id, n_words, mean_wlen, n_stop, alpha_frac,
-           (n_words >= 50 AND n_words <= 100000) AS ok_words,
-           (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_mwl,
-           (n_stop >= 2) AS ok_stop,
-           (alpha_frac >= 0.8) AS ok_alpha,
-           (n_words >= 50 AND n_words <= 100000
-             AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-             AND n_stop >= 2 AND alpha_frac >= 0.8) AS passes
-         FROM r""")
+           ($okWords) AS ok_words,
+           ($okMwl) AS ok_mwl,
+           ($okStop) AS ok_stop,
+           ($okAlpha) AS ok_alpha,
+           ($okWords AND $okMwl AND $okStop AND $okAlpha) AS passes
+         FROM r"""
+  }
 }

@@ -123,13 +123,29 @@ class MapSideFloorSpec extends SparkSpec {
     */
   private def retiredD53(docs: DataFrame): DataFrame = {
     val ts = TextFunctions.tokens(col("text"))
+    // the r13 wordShingles was the HOF zip_with fold over the tokenize
+    // TREE; the shipped wordShingles is a compiled kernel since r15, so
+    // the reconstruction inlines the retired formulation to stay
+    // byte-faithful to commit 02ccbea's evaluation shape
+    def legacyWordShingles(c: Column, k: Int): Column = {
+      val toks = TextFunctions.tokens(c)
+      if (k <= 1) toks
+      else {
+        val joined = (1 until k).foldLeft(toks) { (acc, j) =>
+          val shifted =
+            slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0)))
+          zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+        }
+        filter(joined, x => x.isNotNull)
+      }
+    }
     def naiveDupStarts(gs: Column): Column =
       filter(
         when(size(gs) >= 1, sequence(lit(1), size(gs)))
           .otherwise(array().cast("array<int>")),
         i => size(filter(gs, x => x === element_at(gs, i))) >= 2)
     def cols(n: Int, p: String): Seq[Column] = {
-      val gs = TextFunctions.wordShingles(col("text"), n)
+      val gs = legacyWordShingles(col("text"), n)
       val starts = naiveDupStarts(gs)
       val covered = array_distinct(flatten(
         transform(starts, i => sequence(i, i + (n - 1)))))

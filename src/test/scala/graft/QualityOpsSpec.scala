@@ -111,6 +111,46 @@ class QualityOpsSpec extends SparkSpec {
     assert(!r3.getAs[Boolean]("passes"))
   }
 
+  test("quality gate config: a rule variant is one constructor call; " +
+      "the default reproduces d54 and the oracle is generated from " +
+      "the same instance") {
+    import graft.queries.QualityOps
+    // the shipped d54 IS the default config
+    val viaDefault = QualityOps.qualityGateQuery(
+      QualityOps.QualityGateConfig())(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    val viaQuery = SparkEntry.queries("d54_quality_gate")(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaDefault == viaQuery)
+
+    // a loose C4-ish variant: short docs allowed, no stopword rule,
+    // alpha floor halved — doc 3 ("hello world") flips to passing,
+    // doc 0 (mean word length 1.0) passes the widened length band,
+    // the empty doc 2 still fails on the word-count floor
+    val loose = QualityOps.QualityGateConfig(
+      minWords = 2L, maxWords = 100L,
+      minMeanWordLen = 1.0, maxMeanWordLen = 20.0,
+      minStopwordHits = 0L, minAlphaFrac = 0.5)
+    val m = QualityOps.qualityGateQuery(loose)(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(3L).getAs[Boolean]("passes"))
+    assert(m(0L).getAs[Boolean]("passes"))
+    assert(!m(2L).getAs[Boolean]("passes"))
+    assert(m(1L).getAs[Boolean]("ok_stop")) // 0-hit floor: always ok
+
+    // the generated oracle carries the variant's constants — one
+    // source of truth for both engines
+    val sql = QualityOps.qualityGateSql(loose)
+    assert(sql.contains("n_words >= 2 AND n_words <= 100"))
+    assert(sql.contains("mean_wlen >= 1.0 AND mean_wlen <= 20.0"))
+    assert(sql.contains("n_stop >= 0") && sql.contains(
+      "alpha_frac >= 0.5"))
+    // and the default-config oracle is byte-identical to what the
+    // driver's correctness gate runs for d54
+    assert(QualityOps.qualityGateSql(QualityOps.QualityGateConfig()) ==
+      SparkEntry.oracleSql("d54_quality_gate"))
+  }
+
   test("d55: wide Gopher widths — periodic doc fully covered, short " +
       "docs all-zero") {
     val m = run("d55_dup_ngram_cover_wide")

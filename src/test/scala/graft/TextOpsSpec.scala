@@ -401,12 +401,17 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("shinglesOf over a staged token array equals wordShingles over " +
-      "the raw text at every width") {
-    // the staging rewrite (quality battery, commit ee8ff86) must be a
-    // pure evaluation-cost change — same shingles, all widths,
-    // including k > len(ts) (empty) and k = 1 (the tokens themselves)
-    val docs = Seq("a bb ccc a bb", "one", "", "  x   y  ", "a a a a a a")
+      "the raw text at every width — Column API and SQL registration") {
+    // wordShingles is the COMPILED kernel since r15; shinglesOf is the
+    // HOF fold over a staged token array — same shingles, all widths,
+    // including k > len(ts) (empty), k = 1 (the tokens themselves),
+    // mixed \s whitespace, astral code points, and NBSP (token
+    // content, not a separator, on both paths)
+    val docs = Seq("a bb ccc a bb", "one", "", "  x   y  ",
+      "a a a a a a", "x\ty  x\ny \r x", "😀 a 😀 a", "a b c d")
       .toDF("text")
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("textops_shingle_docs")
     for (k <- 1 to 7) {
       val both = docs.select(
         TextFunctions.wordShingles(col("text"), k).as("w"),
@@ -416,6 +421,19 @@ class TextOpsSpec extends SparkSpec {
       both.foreach { r =>
         assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k")
       }
+      // the SQL surface is the same expression
+      val sql = spark.sql(
+        s"SELECT word_shingles(text, $k) FROM textops_shingle_docs")
+        .collect().map(_.getSeq[String](0))
+      val cols = docs.select(
+        TextFunctions.wordShingles(col("text"), k)).collect()
+        .map(_.getSeq[String](0))
+      assert(sql.toSeq == cols.toSeq, s"SQL k=$k")
+    }
+    // k must be a literal on the SQL surface
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, CAST(length(text) AS INT))" +
+        " FROM textops_shingle_docs").collect()
     }
   }
 
