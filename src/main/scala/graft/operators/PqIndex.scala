@@ -37,6 +37,26 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  /** Shortlist size for [[searchRefined]] as a function of corpus
+    * count — the knob-curve correction from the r15 sf10 recall read
+    * (`RecallScale`): a FIXED shortlist of 100 measured recall@5 =
+    * 1.00 on the 2k-vector gate corpus but 0.61 on the 200k-vector
+    * sf10 scale-up, because ADC noise is corpus-independent while the
+    * number of competitors inside the noise band around the true
+    * top-5 grows with N — the true neighbors' ranks in the compressed
+    * order grow ~linearly, so a constant shortlist truncates them.
+    * Policy: shortlist ≈ n/125 with a floor of 100 (gate-SF results
+    * bit-unchanged) and a cap of 4096 (re-rank cost stays bounded;
+    * beyond that budget prefer IVF-PQ pruning over a longer
+    * brute-force shortlist). Measured sweep at sf10 (200k vectors,
+    * `bench/recall_r15_sf10.json`): 100 → 0.612, 200 → 0.728,
+    * 400 → 0.826, 800 → 0.904, this knob (1600) → 0.956,
+    * 3200 → 0.994 — ~linear-in-N shortlist holds the floor with
+    * margin.
+    */
+  def shortlistFor(n: Long, floor: Int = 100, cap: Int = 4096): Int =
+    math.min(cap, math.max(floor, (n / 125L).toInt))
+
   /** Rotated-PQ ("OPQ-lite") preprocessing: apply the deterministic
     * Walsh–Hadamard rotation to the vector column so subspace energy is
     * balanced before codebook training/encoding. Rotation is orthonormal

@@ -73,17 +73,38 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: only corpus vectors in the same
     * sign-random-projection bucket as the query are scored.
+    *
+    * `probeRadius = 1` enables MULTI-PROBE (Lv et al., "Multi-Probe
+    * LSH", VLDB 2007, adapted to SRP): the query also probes the
+    * `planes` buckets one sign-flip away — the buckets a near-neighbor
+    * most likely landed in when one hyperplane split the pair. The r15
+    * sf10 recall read (`bench/recall_r15_sf10.json`) is the
+    * motivation: [[planesFor]] holds the per-bucket population (and so
+    * per-query COST) ≈constant as the corpus grows, but single-bucket
+    * recall decays with plane count (each extra plane is another
+    * chance to split a true pair — 0.056 at 13 planes vs the 0.15
+    * gate-SF floor at 4). Radius 1 scores (1+planes)·targetBucket
+    * candidates — still a bounded per-query set that RIDES the knob —
+    * and restores the recall the plane growth spent. Default 0 keeps
+    * every existing result byte-identical.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 8): DataFrame = {
+              planes: Int = 8, probeRadius: Int = 0): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"probeRadius=$probeRadius: 0 (single bucket) or 1 (multi-probe)")
     val bucketed = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
+    val bucket0 = VectorFunctions.srpBucket(col(vecCol), planes)
+    val probes =
+      if (probeRadius == 0) array(bucket0)
+      else array(bucket0 +: (0 until planes).map(i =>
+        bucket0.bitwiseXOR(lit(1L << i))): _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("query_vec"),
       VectorFunctions.norm(col(vecCol)).as("query_norm"),
-      VectorFunctions.srpBucket(col(vecCol), planes).as("bucket")))
+      explode(probes).as("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     bucketed.join(q, Seq("bucket"))

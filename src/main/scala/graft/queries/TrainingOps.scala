@@ -449,18 +449,23 @@ object TrainingOps extends QueryPack {
     },
     "s12_pq_refine_topk" -> { (s, dir) =>
       // ADC shortlist + exact re-rank (FAISS IndexRefine shape): the
-      // compressed scan nominates 100 candidates/query, whose raw
-      // vectors alone are fetched back and re-ranked exactly — recall
-      // recovers from code-budget-bound to shortlist-bound (RecallSpec)
-      // at one candidate-id join over the plain-PQ cost. Rows-only: the
-      // shortlist is quantizer-dependent.
+      // compressed scan nominates shortlistFor(n) candidates/query
+      // (floor 100 — oracle-SF results unchanged; the r15 sf10 recall
+      // read measured a FIXED 100 decaying 1.00 → 0.61 as the corpus
+      // grew, so the shortlist rides corpus count), whose raw vectors
+      // alone are fetched back and re-ranked exactly — recall recovers
+      // from code-budget-bound to shortlist-bound (RecallSpec, and
+      // bench/recall_r15_sf10.json at scale). Rows-only: the shortlist
+      // is quantizer-dependent.
       val emb = t(s, dir, "embeddings")
       val codebook = pqCodebook(s, dir)
       val encoded = graft.operators.PqIndex.encode(
         emb, "vec_id", "embedding", codebook)
       graft.operators.PqIndex.searchRefined(encoded, emb,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        codebook, k = 5, shortlist = 100)
+        codebook, k = 5,
+        shortlist = graft.operators.PqIndex.shortlistFor(
+          embCount(s, dir)))
     },
     "i01_ivf_list_stats" -> { (s, dir) =>
       // index health telemetry: inverted-list population/share/imbalance

@@ -57,4 +57,37 @@ class RecallSpec extends SparkSpec {
       info(f"$name recall@5 = $r%.3f (floor $floor%.2f)")
       assert(r >= floor, f"$name recall@5 $r%.3f below floor $floor%.2f")
     }
+
+  test("shortlistFor rides corpus count: floor at the gate SFs, " +
+      "~n/125 at scale, capped (the r15 sf10 knob correction)") {
+    import graft.operators.PqIndex.shortlistFor
+    // gate SFs: results bit-unchanged from the fixed-100 era
+    assert(shortlistFor(500L) == 100)
+    assert(shortlistFor(2000L) == 100)
+    // the measured sf10 point: 200k vectors → 1600 → recall 0.956
+    // (bench/recall_r15_sf10.json; fixed 100 had decayed to 0.612)
+    assert(shortlistFor(200000L) == 1600)
+    // bounded re-rank budget beyond the cap
+    assert(shortlistFor(10000000L) == 4096)
+  }
+
+  test("multi-probe LSH (radius 1) recall >= single-bucket at the " +
+      "same planes — the planesFor-decay remedy") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 5)
+    def recall(radius: Int): Double = {
+      val got = graft.operators.Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", k = 5, planes = 8, probeRadius = radius)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exactPairs.intersect(got).size.toDouble / exactPairs.size
+    }
+    val single = recall(0)
+    val multi = recall(1)
+    info(f"planes=8: single $single%.3f multi $multi%.3f")
+    assert(multi >= single,
+      f"multi-probe $multi%.3f must not lose to single $single%.3f")
+    assert(multi > 0.0)
+  }
 }
