@@ -123,13 +123,51 @@ object ScaleBench {
     // artifact, not a plan defect (d24 at sf3: 2 GB spill at 32
     // partitions, see STATUS r11).
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // Footprint controls for the fifth-decade reads (VERDICT r14 Next
+    // #4 — d11/d24 sf100 shuffle footprints exceeded the box's free
+    // disk and the r14 read was honestly skipped):
+    //  - blocking shuffle cleanup + an explicit System.gc() between
+    //    runs lets the ContextCleaner reclaim the WARMUP run's shuffle
+    //    files before the metered sample starts — halving peak disk;
+    //  - SPARK_GRAFT_CODEC=zstd opts shuffle/spill blocks into zstd
+    //    (default stays lz4 so existing decade readings stay
+    //    comparable); the disk floor below records what it bought.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+    sys.env.get("SPARK_GRAFT_CODEC").foreach(c =>
+      builder.config("spark.io.compression.codec", c))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Disk-floor sampler + safe-abort watchdog: peak shuffle usage is
+    // the evidence a fits/doesn't-fit claim needs, and an sf100 read
+    // that would fill the disk must die as a CANCELLED job group, not
+    // a wedged box. Abort threshold via SPARK_GRAFT_ABORT_GB (GiB of
+    // free space on the shuffle dir's filesystem; 0 disables).
+    val abortBelowGb =
+      sys.env.getOrElse("SPARK_GRAFT_ABORT_GB", "4").toDouble
+    val localDir = new java.io.File(
+      spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))
+    val minFreeB = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+    @volatile var aborted = false
+    val sampler = new Thread(() => {
+      while (!spark.sparkContext.isStopped) {
+        val free = localDir.getUsableSpace
+        minFreeB.getAndUpdate(m => math.min(m, free))
+        if (abortBelowGb > 0 && free < (abortBelowGb * 1e9).toLong) {
+          aborted = true
+          System.err.println(f"[scalebench] free disk ${free / 1e9}%.1f" +
+            " GB under the abort floor — cancelling the running query")
+          spark.sparkContext.cancelJobGroup("scalebench")
+        }
+        Thread.sleep(2000)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val agg = new StageAgg
     spark.sparkContext.addSparkListener(agg)
     def f1(v: Double): String =
@@ -137,12 +175,35 @@ object ScaleBench {
     val rows = names.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
+        spark.sparkContext.setJobGroup("scalebench",
+          s"$name @ $sfDir", interruptOnCancel = true)
+        try SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
+        finally spark.sparkContext.clearJobGroup()
         (System.nanoTime() - t0) / 1e9
       }
+      // reclaim the previous run's shuffle files before the next one:
+      // the cleaner acts on GC'd dependencies (blocking.shuffle makes
+      // removal synchronous), and free space is POLLED until it stops
+      // recovering — a fixed sleep let a big query's warmup start on
+      // top of the previous query's still-live files and trip the
+      // abort floor (the d24@sf30 calibration failure, r15)
+      def reclaimShuffles(): Unit = {
+        System.gc()
+        var last = -1L
+        var stable = 0
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(2000)
+          val free = localDir.getUsableSpace
+          if (free > last) { last = free; stable = 0 } else stable += 1
+        }
+      }
       try {
+        aborted = false
+        minFreeB.set(localDir.getUsableSpace)
         once() // warmup: JIT, codegen cache, FrameCache index builds
+        reclaimShuffles()
         // --min-of N samples, each gated on host calm when requested;
         // sample = (wall, deltas, loadAtStart, calm?)
         val samples = (1 to minOf).map { _ =>
@@ -161,6 +222,7 @@ object ScaleBench {
           // moment to drain before reading the counters
           Thread.sleep(500)
           val d = agg.snapshot.zip(before).map { case (a, b) => a - b }
+          reclaimShuffles()
           (wall, d, load, calm)
         }
         // report the fastest CALM sample when one exists; a loaded host
@@ -183,7 +245,8 @@ object ScaleBench {
           },"spilled_mb":${f1(d(4) / 1e6)},"input_mb":${f1(d(5) / 1e6)
           },"gc_s":${f1(d(6) / 1e3)},"cpu_s":${f1(d(7) / 1e9)
           },"load":${if (load.isNaN) "null" else f1(load)
-          },"calm":${calmOnes.nonEmpty},"samples":$sampleJson}"""
+          },"calm":${calmOnes.nonEmpty},"min_free_gb":${
+          f1(minFreeB.get / 1e9)},"aborted":$aborted,"samples":$sampleJson}"""
         println(json)
         (name, wall, json)
       } catch {
