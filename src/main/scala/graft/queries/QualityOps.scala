@@ -208,27 +208,54 @@ object QualityOps extends QueryPack {
         fracCol(n))): _*)
   }
 
+  /** d52 over the widths `ns` — ONE fused compiled pass
+    * ([[graft.functions.TopGrams]], r15: the DupCover precedent
+    * applied to the mode; the r14 shape ran an array_sort + fold per
+    * width). The struct is produced in its own projection and read in
+    * a second (the CollapseProject staging condition). The r14 HOF
+    * shape survives as [[topGramQuerySorted]] for the equivalence
+    * spec.
+    */
+  private[graft] def topGramQueryFused(ns: Seq[Int])(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tg = docs.select(col("doc_id"), col("text"),
+      graft.functions.TopGrams.topGrams(
+        coalesce(col("text"), lit("")), ns).as("tg"))
+    tg.select(col("doc_id") +: ns.flatMap { n =>
+      val g = col(s"tg.top${n}_gram")
+      val c = col(s"tg.top${n}_cnt")
+      Seq(g.as(s"top${n}_gram"), c.as(s"top${n}_cnt"),
+        when(c > 0, (c * length(g)).cast("double") /
+          length(col("text")).cast("double"))
+          .otherwise(lit(0.0)).as(s"top${n}_frac"))
+    }: _*)
+  }
+
+  /** The r14 staged-HOF formulation of [[topGramQueryFused]], kept as
+    * the engine-side reference for the kernel equivalence spec.
+    */
+  private[graft] def topGramQuerySorted(ns: Seq[Int])(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val staged = docs.select(col("doc_id"), col("text"),
+      coalesce(TextFunctions.tokens(col("text")),
+        array().cast("array<string>")).as("ts"))
+    def cols(n: Int): Seq[Column] = {
+      val mode = modeOf(TextFunctions.shinglesOf(col("ts"), n))
+      val c = mode.getField("c")
+      val g = mode.getField("g")
+      Seq(g.as(s"top${n}_gram"), c.as(s"top${n}_cnt"),
+        when(c > 0, (c * length(g)).cast("double") /
+          length(col("text")).cast("double"))
+          .otherwise(lit(0.0)).as(s"top${n}_frac"))
+    }
+    staged.select(col("doc_id") +: ns.flatMap(cols): _*)
+  }
+
   override def queries: Map[String, QueryFn] = Map(
 
-    "d52_top_ngram_char_frac" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      // one staged tokenize shared by all three widths (shinglesOf
-      // note in TextFunctions: the fold's slices read a row slot, not
-      // a re-run of the regex split)
-      val staged = docs.select(col("doc_id"), col("text"),
-        TextFunctions.tokens(col("text")).as("ts"))
-      def cols(n: Int, p: String): Seq[Column] = {
-        val mode = modeOf(TextFunctions.shinglesOf(col("ts"), n))
-        val c = mode.getField("c")
-        val g = mode.getField("g")
-        Seq(g.as(s"${p}_gram"), c.as(s"${p}_cnt"),
-          when(c > 0, (c * length(g)).cast("double") /
-            length(col("text")).cast("double"))
-            .otherwise(lit(0.0)).as(s"${p}_frac"))
-      }
-      staged.select(col("doc_id") +:
-        (cols(2, "top2") ++ cols(3, "top3") ++ cols(4, "top4")): _*)
-    },
+    "d52_top_ngram_char_frac" -> topGramQueryFused(Seq(2, 3, 4)) _,
 
     "d53_dup_ngram_cover" -> dupCoverQueryFused(Seq(2, 3)) _,
 

@@ -209,6 +209,15 @@ class QualityOpsSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq
       assert(fused == sorted, s"widths $ns")
     }
+    // the d52 mode kernel on the same hostile corpus — tie-breaking
+    // included (doc 5 is 3-periodic: every width has count ties)
+    for (ns <- Seq(Seq(2, 3, 4), Seq(1, 5))) {
+      val fused = queries.QualityOps.topGramQueryFused(ns)(spark, d)
+        .orderBy("doc_id").collect().toSeq
+      val sorted = queries.QualityOps.topGramQuerySorted(ns)(spark, d)
+        .orderBy("doc_id").collect().toSeq
+      assert(fused == sorted, s"top-gram widths $ns")
+    }
   }
 
   test("all four are shuffle-free map-side projections") {
