@@ -97,14 +97,18 @@ object Similarity {
       col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
     val bucket0 = VectorFunctions.srpBucket(col(vecCol), planes)
-    val probes =
-      if (probeRadius == 0) array(bucket0)
-      else array(bucket0 +: (0 until planes).map(i =>
-        bucket0.bitwiseXOR(lit(1L << i))): _*)
+    // radius 0 keeps the exact no-Generate plan shape (a 1-element
+    // explode would read as a generated frame to BroadcastGateSpec's
+    // sweep and carry Generate's garbage size estimates for nothing);
+    // radius 1 explodes the probe list on the already-broadcast side
+    val bucketCol =
+      if (probeRadius == 0) bucket0
+      else explode(array(bucket0 +: (0 until planes).map(i =>
+        bucket0.bitwiseXOR(lit(1L << i))): _*))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("query_vec"),
       VectorFunctions.norm(col(vecCol)).as("query_norm"),
-      explode(probes).as("bucket")))
+      bucketCol.as("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     bucketed.join(q, Seq("bucket"))
