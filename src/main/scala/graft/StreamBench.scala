@@ -350,6 +350,153 @@ object StreamBench {
       s""""hits":${ingHits.get()},"folds":${fm.folds},""" +
       s""""folded_rows":${fm.foldedRows},""" +
       s""""compactions":${fm.compactions},"sf":"$corpusDir"}""")
+
+    // Readings 8-12: fold-in ingest for the remaining five symmetric
+    // modalities (r15 completes the pricing story the minhash reading
+    // opened — every FoldingIngestSpec modality gets a measured rate,
+    // so "fold-in costs ~X% of the pinned probe" is a per-modality
+    // number, not an extrapolation from one index shape). Same
+    // self-replay protocol; note the self-replay asymmetry it implies:
+    // report modalities (edit, verbatim-run, semantic) fold most
+    // arrivals (only near-dup hits are rejected), while the two
+    // TRANSFORMATION modalities (scrub, segment) fold only non-empty
+    // CLEANED survivors — on a self-replay almost everything scrubs to
+    // empty, so their fold tiers stay near-empty and the reading
+    // prices the probe-plus-fold MACHINERY (delta checkpoint + count
+    // per batch), not index growth. Decontam's fold-in is caller-driven
+    // (FoldingDecontamIndex.foldIn; probeFoldingStream only reads), so
+    // its price is spec-covered rather than benchmarked here.
+    def runIngest(metric: String, unit: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  path: String, selectCols: Seq[org.apache.spark.sql.Column],
+                  corpusRows: Long,
+                  meta: () => graft.streaming.FoldingIndex#Meta)(
+        start: (org.apache.spark.sql.DataFrame, String,
+                java.util.concurrent.atomic.AtomicLong)
+          => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_streambench_${metric}_ckpt").toString
+      val st = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(path)
+        .select(selectCols: _*)
+      val nHits = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = start(st, ckpt, nHits)
+      q.processAllAvailable()
+      q.stop()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val stdy = prog.drop(1)
+      val rate =
+        if (stdy.isEmpty) 0.0
+        else stdy.map(_.numInputRows).sum.toDouble /
+          (stdy.map(_.durationMs.get("triggerExecution").toLong)
+            .sum / 1e3)
+      val m = meta()
+      println(s"""{"metric":"$metric","value":${f1(rate)},""" +
+        s""""unit":"$unit","corpus_docs":$corpusRows,""" +
+        s""""batches":${prog.length},"hits":${nHits.get()},""" +
+        s""""folds":${m.folds},"folded_rows":${m.foldedRows},""" +
+        s""""compactions":${m.compactions},"sf":"$corpusDir"}""")
+    }
+
+    val docPath = s"$corpusDir/documents.parquet"
+    val idText = Seq(col("doc_id"), col("text"))
+
+    // The pinned probes' persisted indexes are not read past this
+    // point (each folding index checkpoints its OWN base), and sigs
+    // already served as reading 7's base; release the rest so five
+    // more corpus-scale bases fit the heap alongside their tiers.
+    Seq(edIndex, subIndex, subTexts, scrubIdx, segIdx, semIdx)
+      .foreach(_.unpersist(blocking = false))
+    // Each fold index is block-scoped: once its reading ends, the
+    // reference dies and the ContextCleaner reclaims its checkpoint
+    // blocks on the next GC — five corpus-scale index families must
+    // not accumulate across readings.
+    def reclaim(): Unit = { System.gc(); Thread.sleep(2000) }
+
+    // 8: character-edit fold-in (deletion keys + texts in lockstep)
+    locally {
+      val edFold = graft.operators.EdJoin.foldingEdIndex(
+        heads, "doc_id", "head", k = 1, numPartitions = cpus.toInt)
+      runIngest("stream_foldin_edit_docs_per_sec", "docs/sec", docs.schema,
+        docPath, Seq(col("doc_id"), expr("substring(text, 1, 120)").as("head")),
+        corpusN, () => edFold.keys.meta) { (st, ckpt, n) =>
+        graft.operators.EdJoin.editIngestStream(
+          st, "doc_id", "head", edFold, k = 1, ckpt) {
+          (hits, _) => n.addAndGet(hits.count()); ()
+        }.start()
+      }
+    }
+    reclaim()
+
+    // 9: verbatim-run fold-in (winnowed fingerprints + texts)
+    locally {
+      val subFold = graft.operators.SubstrDedup.foldingRepeatIndex(
+        docs, "doc_id", "text", minLen = 59, w = 20,
+        numPartitions = cpus.toInt)
+      runIngest("stream_foldin_substr_docs_per_sec", "docs/sec",
+        docs.schema, docPath, idText, corpusN,
+        () => subFold.fps.meta) { (st, ckpt, n) =>
+        graft.operators.SubstrDedup.repeatIngestStream(
+          st, "doc_id", "text", subFold, minLen = 59, w = 20, ckpt) {
+          (hits, _) => n.addAndGet(hits.count()); ()
+        }.start()
+      }
+    }
+    reclaim()
+
+    // 10: gram-scrub fold-in (non-empty cleaned texts re-enter)
+    locally {
+      val scrubFold = graft.operators.SubstrDedup.foldingScrubIndex(
+        docs, "doc_id", "text", L = 59, numPartitions = cpus.toInt)
+      runIngest("stream_foldin_scrub_docs_per_sec", "docs/sec",
+        docs.schema, docPath, idText, corpusN,
+        () => scrubFold.idx.meta) { (st, ckpt, n) =>
+        graft.operators.SubstrDedup.scrubIngestStream(
+          st, "doc_id", "text", scrubFold, L = 59, ckpt) {
+          (cleaned, _) =>
+            n.addAndGet(cleaned.filter(org.apache.spark.sql.functions
+              .length(col("clean_text")) === 0).count()); ()
+        }.start()
+      }
+    }
+    reclaim()
+
+    // 11: segment-scrub fold-in (digest-deduped distinct set)
+    locally {
+      val segFold = graft.operators.CdcDedup.foldingSegmentIndex(
+        docs, "doc_id", "text", divisor = 16, numPartitions = cpus.toInt)
+      runIngest("stream_foldin_segment_docs_per_sec", "docs/sec",
+        docs.schema, docPath, idText, corpusN,
+        () => segFold.meta) { (st, ckpt, n) =>
+        graft.operators.CdcDedup.segmentIngestStream(
+          st, "doc_id", "text", segFold, 16, ckpt) {
+          (cleaned, _) =>
+            n.addAndGet(cleaned.filter(org.apache.spark.sql.functions
+              .length(col("clean_text")) === 0).count()); ()
+        }.start()
+      }
+    }
+    reclaim()
+
+    // 12: semantic fold-in (accepted vectors under the pinned
+    // centroids — drift = refit = rebuild, so centroids stay fixed)
+    locally {
+      val semFold = graft.operators.IvfIndex.foldingSemanticIndex(
+        emb, "vec_id", "embedding", semCentroids,
+        numPartitions = cpus.toInt)
+      runIngest("stream_foldin_semantic_vecs_per_sec", "vecs/sec",
+        emb.schema, s"$corpusDir/embeddings.parquet",
+        Seq(col("vec_id"), col("embedding")), vecN,
+        () => semFold.meta) { (st, ckpt, n) =>
+        graft.operators.IvfIndex.semanticIngestStream(
+          st, "vec_id", "embedding", semFold, semCentroids,
+          tau = 0.4, nProbe = 2, ckpt) {
+          (hits, _) => n.addAndGet(hits.count()); ()
+        }.start()
+      }
+    }
     spark.stop()
   }
 }

@@ -195,6 +195,14 @@ object CdcDedup {
       .join(index.hint("shuffle_hash").withColumn("_hit", lit(1)),
         Seq("_d"), "left")
       .withColumn("_keep", col("_hit").isNull)
+    rebuildScrubbed(arrivals, idCol, flagged)
+  }
+
+  /** Shared rebuild for the segment-scrub faces: flagged (_id,
+    * seg_start, seg_text, _keep) rows re-join into (id, clean_text,
+    * n_segs, n_kept) with every arrival id present. */
+  private def rebuildScrubbed(arrivals: DataFrame, idCol: String,
+      flagged: DataFrame): DataFrame = {
     val rebuilt = flagged.groupBy(col("_id"))
       .agg(
         count(lit(1)).as("n_segs"),
@@ -211,6 +219,33 @@ object CdcDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** [[scrubSegments]] against a TIERED digest set (the folding
+    * index's LSM read path): each tier is semi-joined by the batch's
+    * distinct digests separately — the base tier keeps its `_d`
+    * partitioning, where joining the union relation would re-exchange
+    * the corpus-scale digest set every micro-batch — and the unioned
+    * hit-digest set drives the same keep/rebuild as the single-index
+    * face. "Digest present in base ∪ deltas" ≡ "present in any tier",
+    * so the cleaned output is identical by construction.
+    */
+  private[graft] def scrubSegmentsTiered(arrivals: DataFrame,
+      idCol: String, textCol: String, tiers: Seq[DataFrame],
+      divisor: Int): DataFrame = {
+    val segs = segments(arrivals, idCol, textCol, divisor)
+      .withColumn("_d", md5(col("seg_text")))
+      .localCheckpoint(true) // read by every tier semi-join + rebuild
+    val segD = segs.select(col("_d")).distinct()
+    val hitD = tiers.map(t => t.select(col("_d"))
+        .join(segD.hint("shuffle_hash"), Seq("_d"), "left_semi"))
+      .reduce(_ unionByName _)
+      .distinct()
+    val flagged = segs
+      .join(hitD.hint("shuffle_hash").withColumn("_hit", lit(1)),
+        Seq("_d"), "left")
+      .withColumn("_keep", col("_hit").isNull)
+    rebuildScrubbed(arrivals, idCol, flagged)
   }
 
   /** Streaming face of [[scrubSegments]] — segment-scrub-on-ingest:
@@ -265,8 +300,8 @@ object CdcDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val arrivals = batch.select(col(idCol), col(textCol))
           .localCheckpoint(true)
-        val cleaned = scrubSegments(arrivals, idCol, textCol,
-          index.current, divisor).localCheckpoint(true)
+        val cleaned = scrubSegmentsTiered(arrivals, idCol, textCol,
+          index.currentTiers, divisor).localCheckpoint(true)
         sink(cleaned, batchId)
         index.foldIn(batchId,
           cleaned.filter(length(col("clean_text")) > 0)

@@ -604,20 +604,30 @@ object EdJoin {
         val batchKeys = deletionKeys(
           batch.select(col(idCol), col(strCol)), idCol, strCol, k)
           .localCheckpoint(true)
-        val corpus = index.keys.current
-          .select(col("_key"), col("_id").as("corpus_id"))
-        val corpusTexts = index.texts.current
-          .select(col("_id").as("corpus_id"), col("_str").as("corpus_str"))
         val probes = batchKeys.select(col("_key"),
           col("_id").as("new_id"), col("_str").as("new_str"))
-        val cands = corpus.join(probes.hint("shuffle_hash"), Seq("_key"))
-          .filter(col("new_id") =!= col("corpus_id"))
-          .select(col("new_id"), col("new_str"), col("corpus_id"))
+        // PER-TIER probing (the FoldingIndex.currentTiers contract): a
+        // probe against the union relation re-exchanges the
+        // corpus-scale key index every batch, because Union drops the
+        // base tier's _key partitioning. Joining tier-by-tier keeps
+        // the base join exchange-free on the corpus side; a string's
+        // variants live in exactly one tier, so the unioned candidate
+        // set (and its distinct) is identical to the union-relation
+        // join's.
+        val cands = index.keys.currentTiers.map { t =>
+          t.select(col("_key"), col("_id").as("corpus_id"))
+            .join(probes.hint("shuffle_hash"), Seq("_key"))
+            .filter(col("new_id") =!= col("corpus_id"))
+            .select(col("new_id"), col("new_str"), col("corpus_id"))
+        }.reduce(_ unionByName _)
           .distinct()
-        // candidates hash-build; the folded (corpus-scaled) text
-        // relation streams through its own partitioning
-        val hits = corpusTexts
-          .join(cands.hint("shuffle_hash"), Seq("corpus_id"))
+        // candidates hash-build; each folded text tier streams through
+        // its own partitioning (a corpus id's text lives in one tier,
+        // so the per-tier inner joins partition the hit set)
+        val hits = index.texts.currentTiers.map { t =>
+          t.select(col("_id").as("corpus_id"), col("_str").as("corpus_str"))
+            .join(cands.hint("shuffle_hash"), Seq("corpus_id"))
+        }.reduce(_ unionByName _)
           .withColumn("dist",
             levenshtein(col("new_str"), col("corpus_str"), k))
           .filter(col("dist") >= 0)

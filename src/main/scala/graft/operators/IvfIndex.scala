@@ -375,8 +375,23 @@ object IvfIndex {
         // it feeds the probe AND the fold
         val arrivals = batch.select(col(idCol), col(vecCol))
           .localCheckpoint(true)
-        val hits = semanticHits(index.current, arrivals, idCol, vecCol,
-          centroids, tau, nProbe).localCheckpoint(true)
+        // PER-TIER probing (FoldingIndex.currentTiers): the union
+        // relation drops the base tier's centroid_id partitioning and
+        // re-exchanges the corpus-scale index every batch; per-tier
+        // hits union to exactly the union-relation hit set (a corpus
+        // vector lives in one tier). Every tier carries the centroid
+        // stamp — the shared builder stamps deltas identically.
+        // pair-dedup after the union (the minhash modality's groupBy
+        // discipline): if an id's vector sits in two tiers — a
+        // self-replay folds a corpus twin — both copies match and the
+        // same (new, corpus) pair would emit twice
+        val hits = index.currentTiers.map(t =>
+            semanticHits(t, arrivals, idCol, vecCol, centroids,
+              tau, nProbe))
+          .reduce(_ unionByName _)
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(first(col("cosine")).as("cosine"))
+          .localCheckpoint(true)
         sink(hits, batchId)
         val accepted =
           if (foldDuplicates) arrivals

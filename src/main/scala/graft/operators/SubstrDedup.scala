@@ -372,6 +372,37 @@ object SubstrDedup {
       .select(col("_id"), col("p"))
   }
 
+  /** [[coveredByCorpus]] against a TIERED reference (the folding
+    * index's LSM read path): candidate grams join each index tier
+    * separately (the base keeps its `_gh` partitioning — joining the
+    * union relation would re-exchange the corpus-scale gram index
+    * every micro-batch), and verification joins each TEXT tier
+    * separately (a representative's document lives in exactly one
+    * tier). Tier lists need no positional alignment — candidates
+    * carry their representative's id, and the per-text-tier inner
+    * joins find each one exactly once wherever its text tier sits.
+    * Covered-span semantics over base ∪ deltas ≡ union of per-tier
+    * covered spans; duplicate (id, p) spans across tiers collapse in
+    * [[applyCut]]'s collect_set.
+    */
+  private[graft] def coveredByCorpusTiered(arrivals: DataFrame,
+      idCol: String, textCol: String, idxTiers: Seq[DataFrame],
+      textTiers: Seq[DataFrame], L: Int): DataFrame = {
+    val grams = hashRows(arrivals, idCol, textCol, L)
+    val cand = idxTiers.map(t =>
+        grams.hint("shuffle_hash").join(t, Seq("_gh")))
+      .reduce(_ unionByName _)
+    textTiers.map { t =>
+      t.select(col(idCol).as("_rid"), col(textCol).as("_rtxt"))
+        .join(cand.hint("shuffle_hash"), Seq("_rid"))
+    }.reduce(_ unionByName _)
+      .join(arrivals.select(col(idCol).as("_id"),
+        col(textCol).as("_atxt")).hint("shuffle_hash"), Seq("_id"))
+      .filter(col("_rtxt").substr(col("_rpos"), lit(L)) ===
+        col("_atxt").substr(col("p"), lit(L)))
+      .select(col("_id"), col("p"))
+  }
+
   /** Scrub arrivals against an IMMUTABLE reference corpus — the
     * bipartite face of [[cleanText]] and the batch twin of
     * [[scrubProbeStream]]: every codepoint of an arrival covered by an
@@ -615,18 +646,27 @@ object SubstrDedup {
         val eligible = arrivals.filter(length(col(textCol)) >= minLen)
         val batchFps = fingerprints(eligible, idCol, textCol, minLen, w)
           .localCheckpoint(true)
-        val corpus = index.fps.current.select(col("_h"),
-          col(idCol).as("corpus_id"), col("_pos").as("pa"))
-        val corpusTexts = index.texts.current
-          .select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
         val probes = batchFps.select(col("_h"),
           col(idCol).as("new_id"), col("_pos").as("pb"))
-        val cand = corpus.join(probes.hint("shuffle_hash"), Seq("_h"))
-          .filter(col("new_id") =!= col("corpus_id"))
+        // PER-TIER probing (FoldingIndex.currentTiers): the union
+        // relation drops the base tier's _h partitioning and
+        // re-exchanges the corpus-scale fingerprint index every batch;
+        // tier-by-tier joins keep the base exchange-free. A corpus
+        // doc's fingerprints all live in the tier it was folded at, so
+        // the (new_id, corpus_id) anchor groups never span tiers and
+        // grouping after the union is exact.
+        val cand = index.fps.currentTiers.map { t =>
+          t.select(col("_h"), col(idCol).as("corpus_id"),
+              col("_pos").as("pa"))
+            .join(probes.hint("shuffle_hash"), Seq("_h"))
+            .filter(col("new_id") =!= col("corpus_id"))
+        }.reduce(_ unionByName _)
           .groupBy(col("new_id"), col("corpus_id"))
           .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
-        val hits = corpusTexts
-          .join(cand.hint("shuffle_hash"), Seq("corpus_id"))
+        val hits = index.texts.currentTiers.map { t =>
+          t.select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
+            .join(cand.hint("shuffle_hash"), Seq("corpus_id"))
+        }.reduce(_ unionByName _)
           .join(eligible.select(col(idCol).as("new_id"),
             col(textCol).as("tb")).hint("shuffle_hash"), Seq("new_id"))
           .filter(anchorsVerified(minLen, w))
@@ -711,8 +751,8 @@ object SubstrDedup {
         val arrivals = batch.select(col(idCol), col(textCol))
           .localCheckpoint(true)
         val cleaned = applyCut(arrivals, idCol, textCol,
-          coveredByCorpus(arrivals, idCol, textCol, index.idx.current,
-            index.texts.current, L), L)
+          coveredByCorpusTiered(arrivals, idCol, textCol,
+            index.idx.currentTiers, index.texts.currentTiers, L), L)
           .localCheckpoint(true)
         sink(cleaned, batchId)
         val accepted = cleaned.filter(length(col("clean_text")) > 0)

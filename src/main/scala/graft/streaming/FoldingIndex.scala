@@ -71,7 +71,10 @@ final class FoldingIndex private (
   final case class Meta(generation: Long, folds: Long, foldedRows: Long,
                         compactions: Long, tiers: Int)
 
-  private var deltas: Vector[DataFrame] = Vector.empty
+  // each delta with its materialized row count (known at fold time —
+  // the checkpoint already forced it), so probe-time tier snapshots
+  // can skip empty tiers without an extra job
+  private var deltas: Vector[(DataFrame, Long)] = Vector.empty
   private var lastBatchId: Long = Long.MinValue
   private var generation: Long = 0L
   private var folds: Long = 0L
@@ -89,7 +92,24 @@ final class FoldingIndex private (
     * cheap to rebuild per batch; the tiers behind it are materialized.
     */
   def current: DataFrame = synchronized {
-    deltas.foldLeft(baseTier)(_ unionByName _)
+    deltas.map(_._1).foldLeft(baseTier)(_ unionByName _)
+  }
+
+  /** Tier snapshot for PER-TIER probing — the LSM read path. A `Union`
+    * plan reports no output partitioning even when every child is
+    * bucket-partitioned, so a probe joining [[current]] re-exchanges
+    * the corpus-scale base tier on EVERY micro-batch; joining the
+    * tiers separately and unioning the RESULTS keeps the base tier's
+    * checkpoint-preserved partitioning reused (only the micro-batch
+    * side exchanges — the pinned-probe contract) while each delta join
+    * is micro-batch-sized on both sides. Semantically exact for every
+    * probe in the family: an equi-join hit set or a covered-span set
+    * against base ∪ deltas IS the union of the per-tier sets. Empty
+    * deltas are skipped (a probe against them cannot produce rows);
+    * the base tier is always included.
+    */
+  def currentTiers: Seq[DataFrame] = synchronized {
+    baseTier +: deltas.collect { case (d, n) if n > 0 => d }
   }
 
   /** Fold arrivals through the shared batch builder. Returns the rows
@@ -116,7 +136,7 @@ final class FoldingIndex private (
           dedupKeyCols, "left_anti")
       val delta = deduped.localCheckpoint(true)
       val n = delta.count()
-      deltas = deltas :+ delta
+      deltas = deltas :+ ((delta, n))
       lastBatchId = batchId
       generation += 1
       folds += 1

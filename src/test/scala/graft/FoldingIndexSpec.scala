@@ -80,6 +80,30 @@ class FoldingIndexSpec extends SparkSpec {
     assert(fidx.current.count() == 4L) // no duplicate rows across tiers
   }
 
+  test("currentTiers: base always present, empty deltas skipped, " +
+      "per-tier union ≡ current") {
+    val b: DataFrame => DataFrame = df => df.select(col("k"))
+    val fidx = FoldingIndex(Seq(1L, 2L).toDF("k"), b,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 100)
+    assert(fidx.currentTiers.size == 1)
+
+    // an empty fold appends a zero-row delta: counted as a fold (the
+    // batchId idempotence contract) but SKIPPED by the probe snapshot
+    // — probing a relation that cannot produce rows only adds stages
+    assert(fidx.foldIn(0L, Seq.empty[Long].toDF("k")) == 0L)
+    assert(fidx.meta.folds == 1L && fidx.meta.tiers == 2)
+    assert(fidx.currentTiers.size == 1, "empty delta must be skipped")
+
+    assert(fidx.foldIn(1L, Seq(3L).toDF("k")) == 1L)
+    assert(fidx.currentTiers.size == 2)
+    // the LSM read-path contract: union of per-tier rows ≡ current
+    val perTier = fidx.currentTiers.map(_.collect().map(_.getLong(0)))
+      .reduce(_ ++ _).toSeq.sorted
+    val viaCurrent =
+      fidx.current.collect().map(_.getLong(0)).toSeq.sorted
+    assert(perTier == viaCurrent && perTier == Seq(1L, 2L, 3L))
+  }
+
   test("minhash agreement: probe-after-fold ≡ probe-against-rebuilt " +
       "on the same arrivals") {
     implicit val sqlCtx = spark.sqlContext
