@@ -316,10 +316,8 @@ object StreamBench {
     // the difference between this rate and the pinned-index first
     // reading is the fold-in tax (delta checkpoint + count + the
     // periodic compaction) plus the growing probe side.
-    val foldIdx = graft.streaming.FoldingIndex(sigs,
-      df => Dedup.minhashSignatures(df, "doc_id", "text",
-        shingleSize = 3, numHashes = 64),
-      bucketCols = Seq("id"), numPartitions = cpus.toInt,
+    val foldIdx = Dedup.foldingMinhashIndex(sigs,
+      bands = 16, rowsPerBand = 4, numPartitions = cpus.toInt,
       compactEvery = 16)
     val ingCheckpoint = java.nio.file.Files
       .createTempDirectory("graft_streambench_ing_ckpt").toString
@@ -343,7 +341,9 @@ object StreamBench {
       else ingSteady.map(_.numInputRows).sum.toDouble /
         (ingSteady.map(_.durationMs.get("triggerExecution").toLong)
           .sum / 1e3)
-    val fm = foldIdx.meta
+    // sig-tier meta: folded_rows = accepted DOCS (comparable with the
+    // r15 pre-bucket-split readings); the bucket tier folds 16× that
+    val fm = foldIdx.sigs.meta
     println(s"""{"metric":"stream_foldin_docs_per_sec",""" +
       s""""value":${f1(ingDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${ingProgress.length},""" +

@@ -150,8 +150,8 @@ class FoldingIndexSpec extends SparkSpec {
       "caught (the hit the pinned probe is blind to), duplicates are " +
       "not re-indexed, final index ≡ rebuild on corpus + accepted") {
     implicit val sqlCtx = spark.sqlContext
-    val fidx = FoldingIndex(sigsOf(corpusDocs), builder,
-      bucketCols = Seq("id"), numPartitions = 4, compactEvery = 2)
+    val fidx = Dedup.foldingMinhashIndex(sigsOf(corpusDocs),
+      bands = 16, rowsPerBand = 4, numPartitions = 4, compactEvery = 2)
     val input = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_ingest").toString
@@ -177,7 +177,10 @@ class FoldingIndexSpec extends SparkSpec {
       s"expected corpus hit + earlier-arrival hit, got $got")
     // accepted = {11, 13}; the rejected 10 and 12 never entered
     val rebuilt = sigsOf(corpusDocs ++ Seq((11L, novel), (13L, clean)))
-    assert(rows(fidx.current) == rows(rebuilt))
-    assert(fidx.meta.folds == 2L && fidx.meta.foldedRows == 2L)
+    assert(rows(fidx.sigs.current) == rows(rebuilt))
+    assert(fidx.sigs.meta.folds == 2L && fidx.sigs.meta.foldedRows == 2L)
+    // the bucket tier folds in lockstep: 16 bands per accepted doc
+    assert(fidx.buckets.meta.folds == 2L &&
+      fidx.buckets.meta.foldedRows == 32L)
   }
 }
