@@ -149,13 +149,24 @@ object ScaleBench {
     // free space on the shuffle dir's filesystem; 0 disables).
     val abortBelowGb =
       sys.env.getOrElse("SPARK_GRAFT_ABORT_GB", "4").toDouble
-    val localDir = new java.io.File(
-      spark.sparkContext.getConf.get("spark.local.dir", "/tmp"))
+    // spark.local.dir / SPARK_LOCAL_DIRS may be a comma-separated
+    // list; the floor is the tightest disk among them. A nonexistent
+    // path reports 0 usable bytes, which would permanently trip the
+    // abort floor — filter to dirs that exist.
+    val localDirs = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(spark.sparkContext.getConf.getOption("spark.local.dir"))
+      .getOrElse("/tmp")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .map(new java.io.File(_)).filter(_.isDirectory) match {
+        case Array() => Array(new java.io.File(
+          System.getProperty("java.io.tmpdir", "/tmp")))
+        case ds => ds
+      }
     val minFreeB = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
     @volatile var aborted = false
     val sampler = new Thread(() => {
       while (!spark.sparkContext.isStopped) {
-        val free = localDir.getUsableSpace
+        val free = localDirs.map(_.getUsableSpace).min
         minFreeB.getAndUpdate(m => math.min(m, free))
         if (abortBelowGb > 0 && free < (abortBelowGb * 1e9).toLong) {
           aborted = true
@@ -195,13 +206,13 @@ object ScaleBench {
         val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
         while (stable < 3 && System.nanoTime() < deadline) {
           Thread.sleep(2000)
-          val free = localDir.getUsableSpace
+          val free = localDirs.map(_.getUsableSpace).min
           if (free > last) { last = free; stable = 0 } else stable += 1
         }
       }
       try {
         aborted = false
-        minFreeB.set(localDir.getUsableSpace)
+        minFreeB.set(localDirs.map(_.getUsableSpace).min)
         once() // warmup: JIT, codegen cache, FrameCache index builds
         reclaimShuffles()
         // --min-of N samples, each gated on host calm when requested;

@@ -20,6 +20,9 @@ object GraftFunctions {
     // literal — the expression bakes it into generated code
     registry.createOrReplaceTempFunction(
       "word_shingles", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"word_shingles(text, k) takes exactly 2 arguments, " +
+            s"got ${exprs.length}")
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions
             .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
@@ -27,6 +30,10 @@ object GraftFunctions {
             s"word_shingles(text, k): k must be an integer literal, " +
               s"got $other")
         }
+        // match the Column API's require — the kernel would silently
+        // widen k <= 0 to 1, and the two surfaces must agree
+        if (k < 1) throw new IllegalArgumentException(
+          s"word_shingles(text, k): k must be >= 1, got $k")
         WordShinglesExpr(exprs.head, k)
       }, "scala_udf")
 

@@ -388,6 +388,14 @@ object Dedup {
             estimatedJaccard(col("new_sig"), col("corpus_sig"))
               .as("est_jaccard"))
           .filter(col("est_jaccard") >= threshold)
+          // pair-dedup (the semantic modality's discipline): with
+          // foldDuplicates=true, or a source that re-delivers an id
+          // in a LATER source batch (self-matches are id-filtered, so
+          // the copy is accepted), an id's signature sits in two
+          // tiers and the per-tier sig fetch would emit the pair once
+          // per tier
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(first(col("est_jaccard")).as("est_jaccard"))
           .localCheckpoint(true) // computed once: sink + accept both read it
         sink(hits, batchId)
         val accepted = (

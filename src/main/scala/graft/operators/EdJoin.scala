@@ -632,6 +632,12 @@ object EdJoin {
             levenshtein(col("new_str"), col("corpus_str"), k))
           .filter(col("dist") >= 0)
           .select(col("new_id"), col("corpus_id"), col("dist"))
+          // pair-dedup: a re-delivered accepted id (self-matches are
+          // id-filtered, so the copy re-folds) puts its text in two
+          // tiers, and the per-tier text joins would emit the pair
+          // once per tier; dist is deterministic, so distinct
+          // collapses the copies
+          .distinct()
           .localCheckpoint(true)
         sink(hits, batchId)
         val hitIds = hits.select(col("new_id")).distinct()

@@ -55,7 +55,11 @@ object PqIndex {
     * margin.
     */
   def shortlistFor(n: Long, floor: Int = 100, cap: Int = 4096): Int =
-    math.min(cap, math.max(floor, (n / 125L).toInt))
+    // clamp in Long BEFORE narrowing: n/125 overflows Int past
+    // ~2.7e11 vectors, and a wrapped-negative shortlist would
+    // silently collapse to the floor — the exact fixed-shortlist
+    // recall decay this knob exists to prevent
+    math.max(floor.toLong, math.min(cap.toLong, n / 125L)).toInt
 
   /** Rotated-PQ ("OPQ-lite") preprocessing: apply the deterministic
     * Walsh–Hadamard rotation to the vector column so subspace energy is

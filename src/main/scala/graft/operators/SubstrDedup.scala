@@ -388,10 +388,16 @@ object SubstrDedup {
   private[graft] def coveredByCorpusTiered(arrivals: DataFrame,
       idCol: String, textCol: String, idxTiers: Seq[DataFrame],
       textTiers: Seq[DataFrame], L: Int): DataFrame = {
+    // pinned: the gram explosion (the dominant per-batch cost) is
+    // embedded in every idx-tier branch and the candidate set in
+    // every text-tier branch — without the checkpoint each would
+    // re-execute once per tier (the scrubSegmentsTiered discipline)
     val grams = hashRows(arrivals, idCol, textCol, L)
+      .localCheckpoint(true)
     val cand = idxTiers.map(t =>
         grams.hint("shuffle_hash").join(t, Seq("_gh")))
       .reduce(_ unionByName _)
+      .localCheckpoint(true)
     textTiers.map { t =>
       t.select(col(idCol).as("_rid"), col(textCol).as("_rtxt"))
         .join(cand.hint("shuffle_hash"), Seq("_rid"))
@@ -671,6 +677,11 @@ object SubstrDedup {
             col(textCol).as("tb")).hint("shuffle_hash"), Seq("new_id"))
           .filter(anchorsVerified(minLen, w))
           .select(col("new_id"), col("corpus_id"))
+          // pair-dedup: a re-delivered accepted id's text can sit in
+          // two tiers (self-matches are id-filtered, so the copy
+          // re-folds), and the per-tier text joins would emit the
+          // verified pair once per tier
+          .distinct()
           .localCheckpoint(true)
         sink(hits, batchId)
         val hitIds = hits.select(col("new_id")).distinct()

@@ -417,7 +417,10 @@ object QualityOps extends QueryPack {
     * stopword list appear once in the codebase.
     */
   private[graft] def qualityGateSql(cfg: QualityGateConfig): String = {
-    val stopList = cfg.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    // SQL-escape: config stopword lists are caller-supplied, and an
+    // apostrophe (e.g. "don't") would break the generated literal
+    val stopList = cfg.stopwords
+      .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
     val okWords =
       s"n_words >= ${cfg.minWords} AND n_words <= ${cfg.maxWords}"
     val okMwl = s"mean_wlen >= ${cfg.minMeanWordLen} AND " +

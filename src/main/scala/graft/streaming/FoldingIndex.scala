@@ -55,8 +55,14 @@ import org.apache.spark.sql.functions.col
   * the accepted arrivals persisted to storage, which is the sink's
   * job, not the index's.
   *
-  * Concurrency: all mutators are synchronized; foreachBatch already
-  * serializes per stream, the lock only guards cross-stream sharing.
+  * Concurrency and ownership: all mutators are synchronized, so
+  * concurrent READERS of [[current]]/[[currentTiers]] are safe — but
+  * the index has exactly ONE writer stream. The batchId idempotence
+  * watermark is a single monotonic counter; two folding streams with
+  * independent batchId sequences would silently skip each other's
+  * folds (stream B's batch 3 after stream A's batch 5 reads as a
+  * redelivery). Cross-stream WRITE sharing needs one index per
+  * stream, or a single merged stream in front.
   */
 final class FoldingIndex private (
     builder: DataFrame => DataFrame,
