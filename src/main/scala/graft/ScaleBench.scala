@@ -158,8 +158,16 @@ object ScaleBench {
       .getOrElse("/tmp")
       .split(",").map(_.trim).filter(_.nonEmpty)
       .map(new java.io.File(_)).filter(_.isDirectory) match {
-        case Array() => Array(new java.io.File(
-          System.getProperty("java.io.tmpdir", "/tmp")))
+        case Array() =>
+          // the fallback can sit on a DIFFERENT filesystem than the
+          // dirs Spark will actually create — say so, or the floor
+          // silently monitors the wrong disk (ADVICE r15)
+          val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+          System.err.println("[scalebench] WARNING: none of the " +
+            "configured shuffle dirs exist; disk-floor watchdog " +
+            s"falls back to java.io.tmpdir=$tmp, which may be a " +
+            "different filesystem than the real shuffle dirs")
+          Array(new java.io.File(tmp))
         case ds => ds
       }
     val minFreeB = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)

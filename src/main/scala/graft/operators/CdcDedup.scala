@@ -319,9 +319,10 @@ object CdcDedup {
       textCol: String, divisor: Int, numPartitions: Int,
       compactEvery: Int = 16): graft.streaming.FoldingIndex =
     graft.streaming.FoldingIndex(
-      segmentIndex(reference, idCol, textCol, divisor)
-        .repartition(numPartitions, col("_d"))
-        .localCheckpoint(true),
+      // Pinned.byKey: a plain repartition+localCheckpoint reports
+      // UnknownPartitioning under AQE (Pinned scaladoc)
+      graft.Pinned.byKey(segmentIndex(reference, idCol, textCol, divisor),
+        numPartitions, "_d"),
       df => segmentIndex(df, idCol, textCol, divisor),
       bucketCols = Seq("_d"), numPartitions = numPartitions,
       compactEvery = compactEvery, dedupKeyCols = Seq("_d"))

@@ -248,17 +248,20 @@ object Decontam {
   def foldingIndex(train: DataFrame, idCol: String, textCol: String,
       numPartitions: Int, compactEvery: Int = 16)
       : FoldingDecontamIndex = {
-    val idxBase = gramIndexRows(train, idCol, textCol)
-      .repartition(numPartitions, col("h8"))
-      .localCheckpoint(true)
+    // Pinned.byKey (not repartition+localCheckpoint) on every tier:
+    // the plain checkpoint REPORTS UnknownPartitioning under AQE and
+    // every probe would re-exchange the corpus side (Pinned scaladoc)
+    val idxBase = graft.Pinned.byKey(
+      gramIndexRows(train, idCol, textCol), numPartitions, "h8")
     FoldingDecontamIndex(
       graft.streaming.FoldingIndex(idxBase,
         df => gramIndexRows(df, idCol, textCol),
         bucketCols = Seq("h8"), numPartitions = numPartitions,
         compactEvery = compactEvery),
       graft.streaming.FoldingIndex(
-        idxBase.groupBy(col("h8")).agg(count(lit(1)).as("df"))
-          .localCheckpoint(true),
+        graft.Pinned.byKey(
+          idxBase.groupBy(col("h8")).agg(count(lit(1)).as("df")),
+          numPartitions, "h8"),
         df => gramIndexRows(df, idCol, textCol)
           .groupBy(col("h8")).agg(count(lit(1)).as("df")),
         bucketCols = Seq("h8"), numPartitions = numPartitions,
@@ -266,10 +269,10 @@ object Decontam {
         compactor = Some(df => df.groupBy(col("h8"))
           .agg(sum(col("df")).as("df")))),
       graft.streaming.FoldingIndex(
-        train.select(col(idCol).as("train_id"),
-          col(textCol).as("train_text"))
-          .repartition(numPartitions, col("train_id"))
-          .localCheckpoint(true),
+        graft.Pinned.byKey(
+          train.select(col(idCol).as("train_id"),
+            col(textCol).as("train_text")),
+          numPartitions, "train_id"),
         df => df.select(col(idCol).as("train_id"),
           col(textCol).as("train_text")),
         bucketCols = Seq("train_id"), numPartitions = numPartitions,

@@ -217,6 +217,16 @@ object Dedup {
     * it (FrameCache) — every micro-batch reads its banded form.
     * `shingleSize`/`bands`/`rowsPerBand` must match the parameters the
     * corpus signatures were built with.
+    *
+    * CONTRACT: `staticSigs` holds exactly ONE row per id (what
+    * [[minhashSignatures]] emits for unique-id input). Pair uniqueness
+    * of the emitted hits rides on it — the candidate set is
+    * pair-distinct, but the signature fetch joins on id, so a
+    * duplicated corpus id would emit its verified pair once per copy
+    * (the ingest streams dedup pairs because TIERING can duplicate an
+    * id across tiers; a static index has no such mechanism, and paying
+    * a per-batch groupBy to mask a malformed input would hide the
+    * defect instead of surfacing it).
     */
   def nearDupProbeStream(docStream: DataFrame, idCol: String,
                          textCol: String, staticSigs: DataFrame,
@@ -290,16 +300,17 @@ object Dedup {
       compactEvery: Int = 16): FoldingMinhashIndex =
     FoldingMinhashIndex(
       graft.streaming.FoldingIndex(
-        bandedBuckets(corpusSigs, bands, rowsPerBand)
-          .repartition(numPartitions, col("band"), col("band_hash"))
-          .localCheckpoint(true),
+        // Pinned.byKey, not repartition+localCheckpoint: the plain
+        // checkpoint reports UnknownPartitioning under AQE and every
+        // probe re-exchanges the corpus tier (Pinned scaladoc)
+        graft.Pinned.byKey(bandedBuckets(corpusSigs, bands, rowsPerBand),
+          numPartitions, "band", "band_hash"),
         df => bandedBuckets(df, bands, rowsPerBand),
         bucketCols = Seq("band", "band_hash"),
         numPartitions = numPartitions, compactEvery = compactEvery),
       graft.streaming.FoldingIndex(
-        corpusSigs.select(col("id"), col("sig"))
-          .repartition(numPartitions, col("id"))
-          .localCheckpoint(true),
+        graft.Pinned.byKey(corpusSigs.select(col("id"), col("sig")),
+          numPartitions, "id"),
         df => df.select(col("id"), col("sig")),
         bucketCols = Seq("id"), numPartitions = numPartitions,
         compactEvery = compactEvery),
@@ -378,6 +389,11 @@ object Dedup {
             .select(col("new_id"), col("id").as("corpus_id"))
         }.reduce(_ unionByName _)
           .distinct()
+          // pinned (the scrubSegmentsTiered discipline): the candidate
+          // plan embeds the base-tier bucket join; without the
+          // checkpoint each sig-tier branch below re-executes it once
+          // per tier if exchange reuse fails to dedupe the subtrees
+          .localCheckpoint(true)
         val hits = index.sigs.currentTiers.map { t =>
           t.select(col("id").as("corpus_id"), col("sig").as("corpus_sig"))
             .join(cands.hint("shuffle_hash"), Seq("corpus_id"))

@@ -552,16 +552,17 @@ object EdJoin {
       compactEvery: Int = 16): FoldingEdIndex =
     FoldingEdIndex(
       graft.streaming.FoldingIndex(
-        deletionKeys(corpus, idCol, strCol, k)
-          .repartition(numPartitions, col("_key"))
-          .localCheckpoint(true),
+        // Pinned.byKey: a plain repartition+localCheckpoint reports
+        // UnknownPartitioning under AQE (Pinned scaladoc)
+        graft.Pinned.byKey(deletionKeys(corpus, idCol, strCol, k),
+          numPartitions, "_key"),
         df => deletionKeys(df, idCol, strCol, k),
         bucketCols = Seq("_key"), numPartitions = numPartitions,
         compactEvery = compactEvery),
       graft.streaming.FoldingIndex(
-        corpus.select(col(idCol).as("_id"), col(strCol).as("_str"))
-          .repartition(numPartitions, col("_id"))
-          .localCheckpoint(true),
+        graft.Pinned.byKey(
+          corpus.select(col(idCol).as("_id"), col(strCol).as("_str")),
+          numPartitions, "_id"),
         df => df.select(col(idCol).as("_id"), col(strCol).as("_str")),
         bucketCols = Seq("_id"), numPartitions = numPartitions,
         compactEvery = compactEvery),
@@ -621,6 +622,11 @@ object EdJoin {
             .select(col("new_id"), col("new_str"), col("corpus_id"))
         }.reduce(_ unionByName _)
           .distinct()
+          // pinned (the scrubSegmentsTiered discipline): the candidate
+          // plan embeds the base-tier key join; without the checkpoint
+          // each text-tier branch below re-executes it once per tier
+          // if exchange reuse fails to dedupe the subtrees
+          .localCheckpoint(true)
         // candidates hash-build; each folded text tier streams through
         // its own partitioning (a corpus id's text lives in one tier,
         // so the per-tier inner joins partition the hit set)

@@ -413,9 +413,11 @@ object IvfIndex {
       vecCol: String, centroids: DataFrame, numPartitions: Int,
       compactEvery: Int = 16): graft.streaming.FoldingIndex =
     graft.streaming.FoldingIndex(
-      buildSemanticIndex(corpus, idCol, vecCol, centroids)
-        .repartition(numPartitions, col("centroid_id"))
-        .localCheckpoint(true),
+      // Pinned.byKey: a plain repartition+localCheckpoint reports
+      // UnknownPartitioning under AQE (Pinned scaladoc)
+      graft.Pinned.byKey(
+        buildSemanticIndex(corpus, idCol, vecCol, centroids),
+        numPartitions, "centroid_id"),
       df => buildSemanticIndex(df, idCol, vecCol, centroids),
       bucketCols = Seq("centroid_id"), numPartitions = numPartitions,
       compactEvery = compactEvery)

@@ -93,31 +93,31 @@ object SubstrDedup {
     })
 
   /** All-positions gram relation (id, p, gram, 64-bit gram hash) —
-    * shared by the exact anchor and the cut.
+    * shared by the exact anchor and the cut. ONE compiled pass per row
+    * ([[graft.functions.GramHash.gramRows]]): the per-position
+    * `substr` formulation re-counted code points from byte 0 on every
+    * position (O(n²) byte-steps/doc — the d44/d47 bench-tail cost).
     */
   private def gramRows(docs: DataFrame, idCol: String, textCol: String,
                        L: Int): DataFrame =
     docs.filter(length(col(textCol)) >= L)
       .select(col(idCol).as("_id"),
-        explode(transform(
-          sequence(lit(1), length(col(textCol)) - (L - 1)),
-          p => struct(p.as("p"),
-            col(textCol).substr(p, lit(L)).as("g")))).as("_pg"))
-      .select(col("_id"), col("_pg.p").as("p"), col("_pg.g").as("g"),
-        xxhash64(col("_pg.g")).as("_gh"))
+        posexplode(graft.functions.GramHash.gramRows(col(textCol), L))
+          .as(Seq("_p0", "_pg")))
+      .select(col("_id"), (col("_p0") + 1).as("p"),
+        col("_pg.g").as("g"), col("_pg.h").as("_gh"))
 
   /** String-free position relation (id, p, 64-bit gram hash) — the
-    * probe side of the repeated-subset pass. */
+    * probe side of the repeated-subset pass. Kernel hashes are
+    * xxhash64(substr)-compatible ([[graft.functions.GramHash]]), so
+    * they join stored `_gh` indexes unchanged. */
   private def hashRows(docs: DataFrame, idCol: String, textCol: String,
                        L: Int): DataFrame =
     docs.filter(length(col(textCol)) >= L)
-      .select(col(idCol).as("_id"), col(textCol).as("_t"))
-      .select(col("_id"),
-        explode(transform(
-          sequence(lit(1), length(col("_t")) - (L - 1)),
-          p => struct(p.as("p"),
-            xxhash64(col("_t").substr(p, lit(L))).as("_gh")))).as("_pg"))
-      .select(col("_id"), col("_pg.p").as("p"), col("_pg._gh").as("_gh"))
+      .select(col(idCol).as("_id"),
+        posexplode(graft.functions.GramHash.gramHashes(col(textCol), L))
+          .as(Seq("_p0", "_gh")))
+      .select(col("_id"), (col("_p0") + 1).as("p"), col("_gh"))
 
   /** Positions whose gram's 64-bit hash occurs more than once in the
     * corpus — a SUPERSET of every position of every repeated gram (a
@@ -600,16 +600,17 @@ object SubstrDedup {
       compactEvery: Int = 16): FoldingRepeatIndex =
     FoldingRepeatIndex(
       graft.streaming.FoldingIndex(
-        fingerprints(corpus, idCol, textCol, minLen, w)
-          .repartition(numPartitions, col("_h"))
-          .localCheckpoint(true),
+        // Pinned.byKey: a plain repartition+localCheckpoint reports
+        // UnknownPartitioning under AQE (Pinned scaladoc)
+        graft.Pinned.byKey(
+          fingerprints(corpus, idCol, textCol, minLen, w),
+          numPartitions, "_h"),
         df => fingerprints(df, idCol, textCol, minLen, w),
         bucketCols = Seq("_h"), numPartitions = numPartitions,
         compactEvery = compactEvery),
       graft.streaming.FoldingIndex(
-        corpus.select(col(idCol), col(textCol))
-          .repartition(numPartitions, col(idCol))
-          .localCheckpoint(true),
+        graft.Pinned.byKey(corpus.select(col(idCol), col(textCol)),
+          numPartitions, idCol),
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
         compactEvery = compactEvery),
@@ -669,6 +670,11 @@ object SubstrDedup {
         }.reduce(_ unionByName _)
           .groupBy(col("new_id"), col("corpus_id"))
           .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
+          // pinned (the scrubSegmentsTiered discipline): the anchor
+          // plan embeds the base-tier fingerprint join; without the
+          // checkpoint each text-tier branch below re-executes it once
+          // per tier if exchange reuse fails to dedupe the subtrees
+          .localCheckpoint(true)
         val hits = index.texts.currentTiers.map { t =>
           t.select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
             .join(cand.hint("shuffle_hash"), Seq("corpus_id"))
@@ -716,16 +722,16 @@ object SubstrDedup {
       compactEvery: Int = 16): FoldingScrubIndex =
     FoldingScrubIndex(
       graft.streaming.FoldingIndex(
-        scrubIndex(reference, idCol, textCol, L)
-          .repartition(numPartitions, col("_gh"))
-          .localCheckpoint(true),
+        // Pinned.byKey: a plain repartition+localCheckpoint reports
+        // UnknownPartitioning under AQE (Pinned scaladoc)
+        graft.Pinned.byKey(scrubIndex(reference, idCol, textCol, L),
+          numPartitions, "_gh"),
         df => scrubIndex(df, idCol, textCol, L),
         bucketCols = Seq("_gh"), numPartitions = numPartitions,
         compactEvery = compactEvery),
       graft.streaming.FoldingIndex(
-        reference.select(col(idCol), col(textCol))
-          .repartition(numPartitions, col(idCol))
-          .localCheckpoint(true),
+        graft.Pinned.byKey(reference.select(col(idCol), col(textCol)),
+          numPartitions, idCol),
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
         compactEvery = compactEvery),

@@ -48,12 +48,23 @@ import org.apache.spark.sql.functions.col
   * strictly increasing within a stream). This is the same
   * batchId-keyed discipline every probe sink follows.
   *
-  * Durability: tiers live in THIS session's block manager — the
-  * fold-in is in-session incremental maintenance. A process restart
-  * rebuilds from the durable corpus (the documented
-  * restart-and-rebuild path); exactly-once across restarts would need
-  * the accepted arrivals persisted to storage, which is the sink's
-  * job, not the index's.
+  * Durability: by default tiers live in THIS session's block manager —
+  * a process restart rebuilds from the durable corpus. Pass
+  * `durablePath` to make the index RESUMABLE (VERDICT r15 Next #3 —
+  * production ingest at 100 TB cannot re-derive days of accepted
+  * arrivals): the base tier is written once at construction, every
+  * fold appends its micro-batch-sized delta as parquet, and every
+  * compaction replaces them with one compacted base — so the durable
+  * state is exactly the tier list, keyed by the last-folded batchId in
+  * a sidecar meta file ([[FoldingIndex.recover]] reads it back).
+  * Recovery composes with the stream's own checkpoint: batches the
+  * source re-delivers after a crash skip via the restored batchId
+  * watermark if their delta landed, and re-fold if it didn't — the
+  * same at-least-once algebra as in-session redelivery. Column-
+  * metadata stamps ride the parquet schema footer, so a recovered
+  * index still satisfies every probe's `require`. The reference's
+  * analog is its temp-file spill bridge (`generic.py:240-255`) —
+  * durable intermediate state a consumer resumes from.
   *
   * Concurrency and ownership: all mutators are synchronized, so
   * concurrent READERS of [[current]]/[[currentTiers]] are safe — but
@@ -71,7 +82,8 @@ final class FoldingIndex private (
     compactEvery: Int,
     dedupKeyCols: Seq[String],
     compactor: Option[DataFrame => DataFrame],
-    base: DataFrame) {
+    base: DataFrame,
+    durablePath: Option[String]) {
 
   /** Stamped fold metadata — bumped on every accepted fold. */
   final case class Meta(generation: Long, folds: Long, foldedRows: Long,
@@ -89,6 +101,73 @@ final class FoldingIndex private (
   // after a compaction the base tier is the compacted checkpoint, not
   // the caller's frame
   private var baseTier: DataFrame = base
+  // durable layout: <path>/base-<compactions>/ (parquet),
+  // <path>/delta-<batchId>/ (parquet, one per fold), <path>/_meta
+  // (java.util.Properties sidecar — counters + the tier list). The
+  // meta write is last and atomic (tmp + move), so a crash mid-write
+  // leaves the PREVIOUS consistent state readable.
+  private var baseDirName: String = "base-0"
+  private var deltaBatchIds: Vector[Long] = Vector.empty
+
+  private def durableDir(name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(durablePath.get, name)
+
+  private def writeMeta(): Unit = durablePath.foreach { p =>
+    val props = new java.util.Properties()
+    props.setProperty("lastBatchId", lastBatchId.toString)
+    props.setProperty("generation", generation.toString)
+    props.setProperty("folds", folds.toString)
+    props.setProperty("foldedRows", foldedRows.toString)
+    props.setProperty("compactions", compactions.toString)
+    props.setProperty("baseDir", baseDirName)
+    props.setProperty("deltaBatchIds", deltaBatchIds.mkString(","))
+    props.setProperty("deltaRows",
+      deltas.map(_._2).mkString(","))
+    val dir = java.nio.file.Paths.get(p)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve("_meta.tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try props.store(out, "graft.streaming.FoldingIndex durable state")
+    finally out.close()
+    java.nio.file.Files.move(tmp, dir.resolve("_meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // best-effort recursive delete of superseded tier dirs — runs AFTER
+  // the meta points at the new state, so a crash here only leaks files
+  private def dropDir(name: String): Unit = durablePath.foreach { _ =>
+    val d = durableDir(name)
+    if (java.nio.file.Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
+  }
+
+  // called once from the companion when durablePath is set: persist
+  // the caller's base so recovery never needs the in-session frame
+  private[streaming] def persistBase(): Unit = durablePath.foreach { _ =>
+    base.write.mode("overwrite")
+      .parquet(durableDir(baseDirName).toString)
+    writeMeta()
+  }
+
+  // recovery-time state restoration (companion only)
+  private[streaming] def restoreState(last: Long, gen: Long, nFolds: Long,
+      nRows: Long, nCompactions: Long, baseName: String,
+      recoveredDeltas: Vector[(DataFrame, Long)],
+      recoveredIds: Vector[Long]): Unit = synchronized {
+    lastBatchId = last
+    generation = gen
+    folds = nFolds
+    foldedRows = nRows
+    compactions = nCompactions
+    baseDirName = baseName
+    deltas = recoveredDeltas
+    deltaBatchIds = recoveredIds
+  }
 
   def meta: Meta = synchronized {
     Meta(generation, folds, foldedRows, compactions, 1 + deltas.size)
@@ -118,6 +197,37 @@ final class FoldingIndex private (
     baseTier +: deltas.collect { case (d, n) if n > 0 => d }
   }
 
+  /** The fold-path dedup plan for distinct-set indexes: rows already
+    * present in ANY tier must not re-enter (downstream left-join
+    * multiplicities would change). PER-TIER anti-join chain — the
+    * currentTiers read-path discipline applied to the WRITE path:
+    * anti-joining the base∪deltas `Union` would re-exchange the
+    * corpus-scale base on EVERY fold, because a Union reports no
+    * output partitioning even when each child is bucket-partitioned
+    * (the exact defect class the r15 probe-path fix eliminated).
+    * The shape: each tier LEFT-SEMI-joins the batch keys (build side =
+    * the batch — Spark supports no build-LEFT for an anti join, and a
+    * per-fold hash build over the corpus-scale base would be its own
+    * scale bug), giving the already-present subset of the batch's
+    * keys; one final batch-scale anti-join subtracts it. Every
+    * exchange in the plan is batch-scale; the base tier streams
+    * through its checkpoint-preserved partitioning
+    * (`FoldingIndexSpec` pins the plan shape). Identity when
+    * `dedupKeyCols` is empty.
+    */
+  private[graft] def dedupAgainstTiers(rows: DataFrame): DataFrame =
+    if (dedupKeyCols.isEmpty) rows
+    else {
+      val keyCols = dedupKeyCols.map(col)
+      val present = currentTiers.map(t =>
+          t.select(keyCols: _*)
+            .join(rows.select(keyCols: _*).hint("shuffle_hash"),
+              dedupKeyCols, "left_semi"))
+        .reduce(_ unionByName _)
+        .distinct()
+      rows.join(present.hint("shuffle_hash"), dedupKeyCols, "left_anti")
+    }
+
   /** Fold arrivals through the shared batch builder. Returns the rows
     * appended (0 on an idempotent skip).
     */
@@ -132,22 +242,24 @@ final class FoldingIndex private (
   def foldInRows(batchId: Long, rows: DataFrame): Long = synchronized {
     if (batchId <= lastBatchId) 0L // at-least-once re-delivery: skip
     else {
-      val deduped =
-        if (dedupKeyCols.isEmpty) rows
-        // distinct-set indexes (CDC digests): a row already present in
-        // a lower tier must not re-enter, or downstream left-join
-        // multiplicities change. Batch-side anti join: small probe
-        // stream against the tiered index, the probe join's own shape.
-        else rows.join(current.select(dedupKeyCols.map(col): _*),
-          dedupKeyCols, "left_anti")
+      val deduped = dedupAgainstTiers(rows)
       val delta = deduped.localCheckpoint(true)
       val n = delta.count()
+      // durable-first: the delta parquet lands BEFORE the meta that
+      // references it, so a crash between the two re-folds the batch
+      // on redelivery (overwrite mode makes the re-write idempotent)
+      durablePath.foreach { _ =>
+        delta.write.mode("overwrite")
+          .parquet(durableDir(s"delta-$batchId").toString)
+      }
       deltas = deltas :+ ((delta, n))
+      deltaBatchIds = deltaBatchIds :+ batchId
       lastBatchId = batchId
       generation += 1
       folds += 1
       foldedRows += n
       if (deltas.size >= compactEvery) compact()
+      else writeMeta()
       n
     }
   }
@@ -160,14 +272,28 @@ final class FoldingIndex private (
     */
   def compact(): Unit = synchronized {
     val folded = compactor.fold(current)(f => f(current))
-    val merged =
+    // Pinned.byKey, not repartition+localCheckpoint: the latter
+    // REPORTS UnknownPartitioning under AQE, so every later probe
+    // would re-exchange the compacted corpus (the Pinned scaladoc)
+    baseTier =
       if (bucketCols.isEmpty)
-        folded.repartition(numPartitions)
-      else folded.repartition(numPartitions, bucketCols.map(col): _*)
-    baseTier = merged.localCheckpoint(true)
+        folded.repartition(numPartitions).localCheckpoint(true)
+      else graft.Pinned.byKey(folded, numPartitions, bucketCols: _*)
+    val oldBase = baseDirName
+    val oldDeltas = deltaBatchIds
     deltas = Vector.empty
+    deltaBatchIds = Vector.empty
     generation += 1
     compactions += 1
+    durablePath.foreach { _ =>
+      baseDirName = s"base-$compactions"
+      baseTier.write.mode("overwrite")
+        .parquet(durableDir(baseDirName).toString)
+      writeMeta()
+      // superseded tiers dropped only after the meta flip
+      dropDir(oldBase)
+      oldDeltas.foreach(id => dropDir(s"delta-$id"))
+    }
   }
 }
 
@@ -190,15 +316,77 @@ object FoldingIndex {
     *                     AGGREGATE indexes whose tiers carry partial
     *                     values (e.g. per-tier gram document
     *                     frequencies re-summed to global counts)
+    * @param durablePath  directory for RESUMABLE state (base + delta
+    *                     parquet tiers + a batchId-keyed meta sidecar);
+    *                     the base is written once here at construction.
+    *                     None (default) = in-session only.
     */
   def apply(base: DataFrame, builder: DataFrame => DataFrame,
             bucketCols: Seq[String], numPartitions: Int,
             compactEvery: Int = 16,
             dedupKeyCols: Seq[String] = Nil,
-            compactor: Option[DataFrame => DataFrame] = None)
+            compactor: Option[DataFrame => DataFrame] = None,
+            durablePath: Option[String] = None)
       : FoldingIndex = {
     require(compactEvery >= 1, s"compactEvery=$compactEvery must be >= 1")
-    new FoldingIndex(builder, bucketCols, numPartitions, compactEvery,
-      dedupKeyCols, compactor, base)
+    val idx = new FoldingIndex(builder, bucketCols, numPartitions,
+      compactEvery, dedupKeyCols, compactor, base, durablePath)
+    idx.persistBase()
+    idx
+  }
+
+  /** Resume a durable index from `durablePath` in a FRESH session —
+    * the restart story: the persisted base tier is re-bucketed on
+    * `bucketCols` and re-pinned (one exchange per recovery, restoring
+    * the partitioning every probe join reuses), persisted deltas are
+    * re-pinned as tiers, and the batchId watermark resumes where the
+    * meta left it, so batches the stream's checkpoint re-delivers skip
+    * if their delta landed and re-fold if it didn't. Builder and knobs
+    * must match the writer's (same contract as every stamp `require`:
+    * nothing here can validate a lambda, so the caller owns it; the
+    * stamps in the recovered schema still gate the probes).
+    */
+  def recover(spark: org.apache.spark.sql.SparkSession,
+              durablePath: String,
+              builder: DataFrame => DataFrame,
+              bucketCols: Seq[String], numPartitions: Int,
+              compactEvery: Int = 16,
+              dedupKeyCols: Seq[String] = Nil,
+              compactor: Option[DataFrame => DataFrame] = None)
+      : FoldingIndex = {
+    require(compactEvery >= 1, s"compactEvery=$compactEvery must be >= 1")
+    val dir = java.nio.file.Paths.get(durablePath)
+    val metaPath = dir.resolve("_meta")
+    require(java.nio.file.Files.exists(metaPath),
+      s"no durable FoldingIndex state at $durablePath (missing _meta)")
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(metaPath)
+    try props.load(in) finally in.close()
+    val baseName = props.getProperty("baseDir")
+    def longs(key: String): Vector[Long] = {
+      val s = props.getProperty(key, "")
+      if (s.isEmpty) Vector.empty else s.split(",").map(_.toLong).toVector
+    }
+    val rawBase = spark.read.parquet(dir.resolve(baseName).toString)
+    val base =
+      if (bucketCols.isEmpty)
+        rawBase.repartition(numPartitions).localCheckpoint(true)
+      else graft.Pinned.byKey(rawBase, numPartitions, bucketCols: _*)
+    val ids = longs("deltaBatchIds")
+    val recoveredDeltas = ids.map { id =>
+      val d = spark.read.parquet(dir.resolve(s"delta-$id").toString)
+        .localCheckpoint(true)
+      (d, d.count())
+    }
+    val idx = new FoldingIndex(builder, bucketCols, numPartitions,
+      compactEvery, dedupKeyCols, compactor, base, Some(durablePath))
+    idx.restoreState(
+      props.getProperty("lastBatchId").toLong,
+      props.getProperty("generation").toLong,
+      props.getProperty("folds").toLong,
+      props.getProperty("foldedRows").toLong,
+      props.getProperty("compactions").toLong,
+      baseName, recoveredDeltas, ids)
+    idx
   }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.FoldingIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import java.nio.file.Files
+
+/** Durable fold-in (VERDICT r15 Next #3): a FoldingIndex built with
+  * `durablePath` persists its tiers (base parquet at construction,
+  * one delta parquet per fold, compacted base on compaction) plus a
+  * batchId-keyed meta sidecar — and [[FoldingIndex.recover]] resumes
+  * from DISK ONLY: the recovered index references no in-session state
+  * of the writer, which is exactly a process restart's view. The
+  * contract pinned here: fold N batches, recover, fold more — the
+  * final relation ≡ a never-restarted run's, the batchId watermark
+  * survives (re-delivered batches skip), compaction state survives,
+  * and column-metadata stamps ride the parquet schema so probe
+  * `require`s still pass.
+  */
+class FoldingDurabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-durable-$tag").toString
+
+  private val builder: DataFrame => DataFrame =
+    df => df.select(col("k"), col("v"))
+
+  private def kv(rows: (Long, String)*): DataFrame = rows.toDF("k", "v")
+
+  private def rowsOf(df: DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("kill-and-restart: fold, recover from disk, fold more — " +
+      "final relation ≡ never-restarted run; watermark survives") {
+    val dir = tmpDir("restart")
+    val writer = FoldingIndex(
+      kv(1L -> "a", 2L -> "b").repartition(2, col("k"))
+        .localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 100, durablePath = Some(dir))
+    writer.foldIn(0L, kv(3L -> "c"))
+    writer.foldIn(1L, kv(4L -> "d"))
+
+    // "restart": a second instance built from the directory alone
+    val recovered = FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 100)
+    assert(recovered.meta.folds == 2L && recovered.meta.foldedRows == 2L)
+    assert(recovered.meta.tiers == 3)
+    assert(rowsOf(recovered.current) == rowsOf(writer.current))
+
+    // re-delivery of an already-landed batch skips (watermark restored)
+    assert(recovered.foldIn(1L, kv(99L -> "zz")) == 0L)
+    // new batches keep folding
+    assert(recovered.foldIn(2L, kv(5L -> "e")) == 1L)
+
+    // ≡ a never-restarted run over the same batches
+    val straight = FoldingIndex(
+      kv(1L -> "a", 2L -> "b").repartition(2, col("k"))
+        .localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 100)
+    straight.foldIn(0L, kv(3L -> "c"))
+    straight.foldIn(1L, kv(4L -> "d"))
+    straight.foldIn(2L, kv(5L -> "e"))
+    assert(rowsOf(recovered.current) == rowsOf(straight.current))
+  }
+
+  test("compaction state survives: recover after compact sees one " +
+      "compacted base; superseded tier dirs are dropped") {
+    val dir = tmpDir("compact")
+    val writer = FoldingIndex(
+      kv(1L -> "a").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 2, durablePath = Some(dir))
+    writer.foldIn(0L, kv(2L -> "b"))
+    writer.foldIn(1L, kv(3L -> "c")) // trips compactEvery = 2
+    assert(writer.meta.compactions == 1L && writer.meta.tiers == 1)
+
+    val recovered = FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 2)
+    assert(recovered.meta.compactions == 1L && recovered.meta.tiers == 1)
+    assert(rowsOf(recovered.current) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // compaction replaced base-0 and the delta dirs on disk
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "base-0")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "delta-0")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "base-1")))
+    // and the next compaction generation keeps counting from there
+    recovered.foldIn(2L, kv(4L -> "d"))
+    recovered.foldIn(3L, kv(5L -> "e"))
+    assert(recovered.meta.compactions == 2L)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "base-2")))
+  }
+
+  test("dedupKeyCols semantics survive recovery: a key present in a " +
+      "persisted tier is not re-admitted") {
+    val dir = tmpDir("dedup")
+    val writer = FoldingIndex(
+      Seq(1L, 2L).toDF("k").repartition(2, col("k"))
+        .localCheckpoint(true),
+      df => df.select(col("k")), bucketCols = Seq("k"),
+      numPartitions = 2, compactEvery = 100,
+      dedupKeyCols = Seq("k"), durablePath = Some(dir))
+    assert(writer.foldIn(0L, Seq(2L, 3L).toDF("k")) == 1L)
+
+    val recovered = FoldingIndex.recover(spark, dir,
+      df => df.select(col("k")), bucketCols = Seq("k"),
+      numPartitions = 2, compactEvery = 100, dedupKeyCols = Seq("k"))
+    assert(recovered.foldIn(1L, Seq(3L, 4L).toDF("k")) == 1L)
+    assert(recovered.current.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    assert(recovered.current.count() == 4L)
+  }
+
+  test("column-metadata stamps ride the parquet round-trip: a " +
+      "recovered minhash bucket index still satisfies the probe gate") {
+    val dir = tmpDir("stamps")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "an entirely different document about catalyst rules"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 8)
+    val fidx = Dedup.foldingMinhashIndex(sigs, bands = 4,
+      rowsPerBand = 2, numPartitions = 2)
+    // persist just the bucket tier through a durable index
+    val durable = FoldingIndex(
+      fidx.buckets.current.repartition(2, col("band"), col("band_hash"))
+        .localCheckpoint(true),
+      df => df, bucketCols = Seq("band", "band_hash"),
+      numPartitions = 2, durablePath = Some(dir))
+    durable.foldIn(0L, fidx.buckets.current.limit(0))
+    val recovered = FoldingIndex.recover(spark, dir, df => df,
+      bucketCols = Seq("band", "band_hash"), numPartitions = 2)
+    // the banding stamp must have survived parquet + repartition
+    assert(graft.operators.Dedup
+      .stampedBanding(recovered.current).contains((4L, 2L)),
+      "banding stamp lost in the durable round-trip")
+  }
+}

@@ -80,6 +80,54 @@ class FoldingIndexSpec extends SparkSpec {
     assert(fidx.current.count() == 4L) // no duplicate rows across tiers
   }
 
+  test("fold-path dedup never shuffles the base tier " +
+      "(per-tier semi-probe + batch-scale anti, not a Union anti-join)") {
+    // the base carries a marker column so its scan is identifiable
+    // inside the physical plan; dedup runs on k only
+    val b: DataFrame => DataFrame = df => df
+    val base = Pinned.byKey(
+      Seq((1L, "base"), (2L, "base"), (3L, "base")).toDF("k", "tag"),
+      4, "k")
+    val fidx = FoldingIndex(base, b,
+      bucketCols = Seq("k"), numPartitions = 4, compactEvery = 100,
+      dedupKeyCols = Seq("k"))
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the base tier is an RDD-backed scan with a stable RDD id — the
+    // unambiguous way to find ITS scan inside a composed plan (delta
+    // tiers are RDD scans too, and THEY legitimately exchange)
+    val baseRddId = fidx.currentTiers.head.queryExecution.sparkPlan
+      .collect { case r: RDDScanExec => r.rdd.id }.head
+    def assertBaseUnshuffled(df: DataFrame): Unit = {
+      // AQE off for the walk: the adaptive wrapper hides the exchange
+      // tree from collect(); restored below
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = df.queryExecution.executedPlan
+        def hasBase(p: org.apache.spark.sql.execution.SparkPlan) =
+          p.collect { case r: RDDScanExec if r.rdd.id == baseRddId => r }
+            .nonEmpty
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.nonEmpty, "expected batch-side exchanges")
+        shuffles.foreach(e => assert(!hasBase(e.child),
+          "the corpus-scale base tier must not sit under an Exchange " +
+            "on the fold path:\n" + plan.treeString.take(2000)))
+        assert(hasBase(plan), "the base tier must be probed at all")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // base only — the r15 §11b defect class would re-exchange base∪Δ
+    val rows0 = Seq((3L, "b"), (4L, "b")).toDF("k", "tag")
+    assertBaseUnshuffled(fidx.dedupAgainstTiers(rows0))
+    // with deltas: still no base-tier shuffle (tiers probed separately)
+    assert(fidx.foldIn(0L, Seq((4L, "d")).toDF("k", "tag")) == 1L)
+    assert(fidx.foldIn(1L, Seq((5L, "d")).toDF("k", "tag")) == 1L)
+    val plan2 = fidx.dedupAgainstTiers(
+      Seq((5L, "b"), (6L, "b")).toDF("k", "tag"))
+    assertBaseUnshuffled(plan2)
+    // semantics unchanged: only genuinely-new keys survive
+    assert(plan2.collect().map(_.getLong(0)).toSet == Set(6L))
+  }
+
   test("currentTiers: base always present, empty deltas skipped, " +
       "per-tier union ≡ current") {
     val b: DataFrame => DataFrame = df => df.select(col("k"))
