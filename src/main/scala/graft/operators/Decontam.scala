@@ -44,21 +44,21 @@ object Decontam {
   /** The (train_id, h8) gram-index rows for a train frame — the ONE
     * builder behind [[buildIndex]] and the fold-in path
     * ([[FoldingDecontamIndex]]), so batch and incremental indexes
-    * cannot diverge. Tokens staged into an attribute: the 8-width
-    * shingle fold references its token array ~15 times, and each
-    * reference to a RAW tokens(text) tree re-runs the regex split per
-    * row under interpreted HOF evaluation (lambda-bearing subtrees are
-    * exempt from subexpression elimination) — staging makes them
-    * row-slot reads (TextFunctions.shinglesOf note).
+    * cannot diverge. One compiled pass per row
+    * ([[graft.functions.WordShingles.shingleHashes]]): the previous
+    * staged-token HOF fold still re-read the token array through
+    * seven interpreted zip_with levels and materialized every
+    * ~50-byte shingle string just to hash and drop it; the kernel
+    * tokenizes once and hashes each window's bytes in place —
+    * bit-identical hashes (TextOpsSpec), so stored h8 indexes join
+    * unchanged.
     */
   private[graft] def gramIndexRows(train: DataFrame, idCol: String,
       textCol: String): DataFrame = train
     .select(col(idCol).as("train_id"),
-      TextFunctions.tokens(col(textCol)).as("ts"))
-    .select(col("train_id"),
-      explode(array_distinct(transform(
-        TextFunctions.shinglesOf(col("ts"), 8),
-        g => xxhash64(g)))).as("h8"))
+      explode(array_distinct(
+        graft.functions.WordShingles.shingleHashes(col(textCol), 8)))
+        .as("h8"))
 
   def buildIndex(train: DataFrame, idCol: String, textCol: String,
                  cacheKey: Option[String] = None): Index = {
@@ -89,14 +89,13 @@ object Decontam {
     */
   def probe(index: Index, evalDocs: DataFrame, idCol: String,
             textCol: String): DataFrame = {
+    // same kernel as the index side; a sub-8-token doc produces an
+    // empty hash array, so the old size(ts) >= 8 gate is the
+    // posexplode's own no-rows case
     val evalGrams = evalDocs
       .select(col(idCol).as("eval_id"),
-        TextFunctions.tokens(col(textCol)).as("ts"))
-      .filter(size(col("ts")) >= 8)
-      .select(col("eval_id"),
-        posexplode(array_distinct(transform(
-          TextFunctions.shinglesOf(col("ts"), 8),
-          g => xxhash64(g)))))
+        posexplode(array_distinct(
+          graft.functions.WordShingles.shingleHashes(col(textCol), 8))))
       .toDF("eval_id", "pos", "h8")
     val probes = evalGrams.join(index.gramDf, Seq("h8"), "left")
       .groupBy(col("eval_id"))

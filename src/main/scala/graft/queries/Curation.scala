@@ -66,11 +66,19 @@ object Curation extends QueryPack {
       // discriminative gate on this corpus (score saturates at 1.0 on
       // clean synthetic text — kept anyway because the SEMANTICS of
       // the funnel include it, and real corpora spread the score).
-      val nTok = TextFunctions.tokenCount(col("text"))
+      // One compiled pass (QualityStats — bit-identical to the
+      // qualityScore/tokenCount column forms): the funnel re-executes
+      // this gate subtree once per plan branch below, so its per-row
+      // cost multiplies; n_tokens is CARRIED from the gate (the
+      // oracle's gated CTE does the same) instead of re-tokenizing
+      // the survivors at the end.
+      val qs = graft.functions.QualityStats.qualityStats(col("text"))
       val gated = docs
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.7 &&
-          nTok.between(16, 90))
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .withColumn("_qs", qs)
+        .filter(col("_qs.score") >= 0.7 &&
+          col("_qs.n_tokens").between(16, 90))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          col("_qs.n_tokens").as("n_tokens"))
       // stage 2 — exact dedup, keep-first: one winner (min doc_id) per
       // distinct text; digests shuffle, text stays put (d01 shape).
       val winners = gated
@@ -115,8 +123,7 @@ object Curation extends QueryPack {
         .join(broadcast(rates), Seq("lang"))
         .filter(col("mix_bucket") < col("rate_pct"))
         .select(col("doc_id"), col("lang"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          col("split"))
+          col("n_tokens"), col("split"))
     },
   )
 

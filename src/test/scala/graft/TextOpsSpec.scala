@@ -437,6 +437,49 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("shingleHashes ≡ xxhash64 over wordShingles at every width — " +
+      "the string-free kernel is hash-compatible with stored indexes") {
+    val docs = Seq("a bb ccc a bb", "one", "", "  x   y  ",
+      "a a a a a a", "x\ty  x\ny \r x", "😀 a 😀 a", "a b c d",
+      "été noël déjà vu encore une fois de plus ici",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+      .toDF("text")
+    for (k <- Seq(1, 2, 3, 8)) {
+      val both = docs.select(
+        graft.functions.WordShingles.shingleHashes(col("text"), k)
+          .as("h"),
+        transform(TextFunctions.wordShingles(col("text"), k),
+          g => xxhash64(g)).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k")
+      }
+    }
+  }
+
+  test("qualityStats ≡ (qualityScore, tokenCount) bit-for-bit — the " +
+      "fused gate kernel cannot drift from the oracle-checked columns") {
+    val docs = Seq("", "   ", "ALL CAPS SHOUTING TEXT HERE OK",
+      "a normal sentence with several reasonable words inside it",
+      "123 456 789 000 111 222 333 444 555 666",
+      "!!! ??? ... ;;; :::", "short",
+      "x " * 60 + "tail", "é ü ñ ç words with açcénts everywhere",
+      "mix 42 UPPER low !punct? and much longer tokens abcdefghijklm")
+      .toDF("text")
+    val rows = docs.select(
+      graft.functions.QualityStats.qualityStats(col("text")).as("qs"),
+      TextFunctions.qualityScore(col("text")).as("score"),
+      TextFunctions.tokenCount(col("text")).as("n"))
+      .select(col("qs.score"), col("qs.n_tokens"), col("score"), col("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"score drift: ${r.getDouble(0)} vs ${r.getDouble(2)}")
+      assert(r.getInt(1) == r.getInt(3))
+    }
+  }
+
   test("rollingHashMod folds left with mod-prime arithmetic") {
     val rows = Seq("ab", "", "a").toDF("t")
       .select(TextFunctions.rollingHashMod(col("t"))).collect()
