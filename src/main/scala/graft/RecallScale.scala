@@ -80,12 +80,18 @@ object RecallScale {
           "embedding", codebook, k = 5, shortlist = sl))
     }.last
 
-    // knob-riding shortlist tiers, at the knobs the corpus count picks
+    // knob-riding shortlist tiers, at the knobs the corpus count picks.
+    // The IVF read is a full nProbe CURVE (VERDICT r15 stretch #7):
+    // the knob needs its own recall-vs-cost evidence the way
+    // shortlistFor has, not one point.
     val kIvf = IvfIndex.kFor(n)
     val cents = IvfIndex.fit(emb, "vec_id", "embedding", kIvf, iters = 3)
-    val ivf = report(s"ivf_k${kIvf}_probe2", 0.75,
-      IvfIndex.search(emb, queries, "vec_id", "embedding", cents,
-        k = 5, nProbe = 2))
+    val ivfCurve = Seq(1, 2, 4, 8).map { np =>
+      np -> report(s"ivf_k${kIvf}_probe$np", if (np == 2) 0.75 else 0.0,
+        IvfIndex.search(emb, queries, "vec_id", "embedding", cents,
+          k = 5, nProbe = np))
+    }
+    val ivf = ivfCurve.find(_._1 == 2).get._2
 
     val planes = Similarity.planesFor(n)
     report(s"srp_lsh_planes$planes", 0.15,
@@ -96,10 +102,20 @@ object RecallScale {
     val lshMp = report(s"srp_lsh_planes${planes}_probe1", 0.15,
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
         planes = planes, probeRadius = 1))
+    // QUERY-DIRECTED multi-probe (r16): same bucket budget as blind
+    // radius 1, then the budget ladder — the serving question is what
+    // recall a bounded candidate volume buys when probes are spent in
+    // margin order (Lv et al. VLDB 2007)
+    val dirBudgets = Seq(1 + planes, 1 + 2 * planes, 1 + 4 * planes)
+    val lshDir = dirBudgets.map { pb =>
+      pb -> report(s"srp_lsh_planes${planes}_directed$pb", 0.15,
+        Similarity.lshTopKDirected(emb, queries, "vec_id", "embedding",
+          k = 5, planes = planes, probeBuckets = pb))
+    }.last._2
 
     println(s"""{"metric":"recall_scale_summary","refined":${f(refined)},""" +
-      s""""ivf":${f(ivf)},"lsh_mp":${f(lshMp)},"corpus_vecs":$n,""" +
-      s""""queries":$nQ,"sf":"$dir"}""")
+      s""""ivf":${f(ivf)},"lsh_mp":${f(lshMp)},"lsh_dir":${f(lshDir)},""" +
+      s""""corpus_vecs":$n,"queries":$nQ,"sf":"$dir"}""")
     spark.stop()
   }
 }

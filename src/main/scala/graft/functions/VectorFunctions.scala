@@ -147,4 +147,23 @@ object VectorFunctions {
     }
     signs.reduce(_.bitwiseOR(_))
   }
+
+  /** The raw per-plane projections behind [[srpBucket]] as
+    * `array<double>` (element p = dot(v, plane_p), SAME deterministic
+    * planes) — the margins query-directed multi-probe orders its
+    * probes by (|projection| is how far the vector sits from plane p;
+    * a small margin means a true neighbor plausibly lands on the
+    * other side — Lv et al., Multi-Probe LSH, VLDB 2007). Bucket bit
+    * p of [[srpBucket]] is exactly `projections[p] >= 0`, so callers
+    * can derive bucket AND margins from ONE evaluation.
+    */
+  def srpProjections(v: Column, planes: Int): Column = {
+    val dv = asDouble(v)
+    array((0 until planes).map { p =>
+      val plane = typedLit(Array.tabulate(MaxDim)(i => planeSign(p, i)))
+      aggregate(
+        zip_with(dv, slice(plane, lit(1), size(dv)), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
 }

@@ -38,6 +38,19 @@ object IvfIndex {
   def kFor(n: Long, targetCell: Int = 250): Int =
     math.max(8, math.ceil(n.toDouble / targetCell).toInt)
 
+  /** The nProbe policy, pinned by measurement the way
+    * [[PqIndex.shortlistFor]] is: the sf10 curve
+    * (`bench/recall_r16_sf10.json`, 200k vectors, kFor = 800) reads
+    * recall@5 = 0.858 / 0.866 / 0.878 / 0.888 at nProbe 1 / 2 / 4 / 8
+    * — near-flat, because [[kFor]] holds CELL SIZE constant so the
+    * quality loss is coarse pruning of an already-tight cell, not
+    * distance distortion. nProbe = 2 buys the knee (the step past a
+    * wrong-nearest-centroid assignment) at 2 cells ≈ 500 candidates
+    * per query; further probes pay linearly for ~1-point gains. s05
+    * and the SemDeDup stage keep 2.
+    */
+  val DefaultNProbe = 2
+
   /** Train k centroids with `iters` Lloyd iterations on a bounded,
     * deterministic sample. Returns a small DataFrame (centroid_id,
     * centroid: array<double>) — broadcastable.

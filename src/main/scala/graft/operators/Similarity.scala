@@ -120,6 +120,96 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** QUERY-DIRECTED multi-probe top-k (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007, §4.2's perturbation ordering adapted to SRP sign
+    * flips): each query probes its home bucket plus the
+    * `probeBuckets − 1` cheapest sign-flip perturbations, where a
+    * perturbation's cost is the summed |projection| MARGIN of the
+    * flipped planes — the planes the query sits closest to are the
+    * ones a true neighbor most plausibly landed across, so those
+    * buckets are probed first. Perturbations range over radius ≤ 2
+    * (single flips and pairs), which at a fixed candidate budget is
+    * where query-directed ordering beats blind radius expansion: the
+    * blind radius-1 set spends its budget equally on all planes, most
+    * of which have wide margins and near-zero flip probability.
+    *
+    * Measured at sf10 (200k vectors, planes = planesFor = 13,
+    * `bench/recall_r16_sf10.json`): at the SAME 14-bucket budget as
+    * blind radius 1, directed reads 0.230 vs 0.176 — the ordering
+    * itself buys recall at zero extra cost — and the budget ladder
+    * reads 0.230 / 0.278 / 0.322 at 14 / 27 / 53 buckets, clearing
+    * the 0.3 serving floor at [[probeBudgetFor]] = 4·planes + 1
+    * (~1.7k candidates of 200k, 0.85%). Still a shortlist tier —
+    * PQ-refine reads 0.956 at comparable cost and stays the serving
+    * default (`searchRefined`).
+    *
+    * Scale shape, unchanged from [[lshTopK]]: queries (with their
+    * per-plane projections — ONE evaluation derives bucket and
+    * margins) broadcast with their probe list exploded; the corpus is
+    * bucketed once, map-side; per-query candidates stay bounded by
+    * probeBuckets · expected bucket population, riding [[planesFor]].
+    * Probe buckets are DISTINCT by construction (distinct flip
+    * masks), so no pair dedup is needed before the rank window.
+    */
+  /** The probe budget that held recall@5 ≥ 0.3 on the sf10 read —
+    * rides the plane count, which itself rides the corpus through
+    * [[planesFor]], so the candidate volume stays
+    * ≈ (4·planes + 1)·targetBucket as the corpus grows. Clamped to
+    * the radius-2 perturbation universe at small plane counts (at
+    * planes = 4 there ARE only 11 buckets within two flips).
+    */
+  def probeBudgetFor(planes: Int): Int =
+    math.min(4 * planes + 1, 1 + planes + planes * (planes - 1) / 2)
+
+  def lshTopKDirected(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      planes: Int, probeBuckets: Int): DataFrame = {
+    val maxProbes = 1 + planes + planes * (planes - 1) / 2
+    require(probeBuckets >= 1 && probeBuckets <= maxProbes,
+      s"probeBuckets=$probeBuckets outside [1, $maxProbes] " +
+        s"(radius <= 2 perturbations of $planes planes)")
+    val bucketed = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"),
+      VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
+    val withProj = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"),
+      VectorFunctions.norm(col(vecCol)).as("query_norm"),
+      VectorFunctions.srpProjections(col(vecCol), planes).as("_pj"))
+    def margin(i: Int) = abs(element_at(col("_pj"), i + 1))
+    val home = (0 until planes).map(p =>
+        when(element_at(col("_pj"), p + 1) >= 0, lit(1L << p))
+          .otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    // candidate perturbations: all single flips and all pairs, as
+    // (cost, flip-mask) structs; array_sort orders by cost (mask
+    // tie-breaks — deterministic), slice takes the cheapest
+    val singles = (0 until planes).map(i =>
+      struct(margin(i).as("c"), lit(1L << i).as("m")))
+    val pairs = for {
+      i <- 0 until planes; j <- (i + 1) until planes
+    } yield struct((margin(i) + margin(j)).as("c"),
+      lit((1L << i) | (1L << j)).as("m"))
+    val flips = slice(array_sort(array((singles ++ pairs): _*)),
+      lit(1), lit(probeBuckets - 1))
+    val q = broadcast(withProj
+      .withColumn("_home", home)
+      .withColumn("bucket", explode(concat(
+        array(col("_home")),
+        transform(flips, f => col("_home").bitwiseXOR(f.getField("m"))))))
+      .select(col("query_id"), col("query_vec"), col("query_norm"),
+        col("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    bucketed.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineFromNorms(col("query_vec"), col("vec"),
+        col("query_norm"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** EXACT cosine pairs above a threshold — the oracle-checkable
     * counterpart of [[nearDupPairs]] (no LSH pruning, so O(n²) in the
     * candidate set: callers pre-filter/sample; at corpus scale use

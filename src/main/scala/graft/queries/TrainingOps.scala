@@ -253,6 +253,19 @@ object TrainingOps extends QueryPack {
         "vec_id", "embedding", k = 5,
         planes = Similarity.planesFor(embCount(s, dir), floor = 4))
     },
+    "s17_lsh_directed_topk" -> { (s, dir) =>
+      // query-directed multi-probe (r16): probes spent in |margin|
+      // order over radius <= 2 sign flips at the budget that held
+      // recall@5 >= 0.3 on the sf10 read (probeBudgetFor; blind
+      // radius 1 read 0.176 there). Same rows-only check class as
+      // s02 — LSH hit sets are definitional, floor-tested in
+      // RecallSpec against s01's exact top-k.
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.planesFor(embCount(s, dir), floor = 4)
+      Similarity.lshTopKDirected(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, planes = planes,
+        probeBuckets = Similarity.probeBudgetFor(planes))
+    },
     "d11_dedup_survivors" -> { (s, dir) =>
       // full dedup decision: minhash pairs → connected components →
       // one survivor per near-dup cluster (signatures shared with d06)

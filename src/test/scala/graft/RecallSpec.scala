@@ -90,4 +90,63 @@ class RecallSpec extends SparkSpec {
       f"multi-probe $multi%.3f must not lose to single $single%.3f")
     assert(multi > 0.0)
   }
+
+  test("query-directed multi-probe: srpProjections sign bits ARE the " +
+      "bucket; directed probing >= blind radius-1 recall at the SAME " +
+      "bucket budget, monotone in budget") {
+    import org.apache.spark.sql.functions.{col, element_at, lit, when}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val planes = 8
+    // contract underpinning lshTopKDirected's home-bucket derivation:
+    // bucket bit p == (projections[p] >= 0)
+    val both = emb.select(
+      graft.functions.VectorFunctions
+        .srpBucket(col("embedding"), planes).as("b"),
+      (0 until planes).map(p =>
+          when(element_at(graft.functions.VectorFunctions
+            .srpProjections(col("embedding"), planes), p + 1) >= 0,
+            lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("fromProj"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    val queries = emb.filter(col("vec_id") < 5)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exactPairs.intersect(got).size.toDouble / exactPairs.size
+    }
+    val blind1 = recallOf(graft.operators.Similarity.lshTopK(
+      emb, queries, "vec_id", "embedding", k = 5, planes = planes,
+      probeRadius = 1))
+    // same bucket budget as blind radius 1 (home + all single flips),
+    // but spent in margin order over radius <= 2 perturbations
+    val directed = recallOf(graft.operators.Similarity.lshTopKDirected(
+      emb, queries, "vec_id", "embedding", k = 5, planes = planes,
+      probeBuckets = 1 + planes))
+    val directedWide = recallOf(graft.operators.Similarity
+      .lshTopKDirected(emb, queries, "vec_id", "embedding", k = 5,
+        planes = planes, probeBuckets = 1 + 2 * planes))
+    info(f"blind-r1 $blind1%.3f directed $directed%.3f " +
+      f"directed-wide $directedWide%.3f")
+    assert(directed >= blind1 - 0.1001,
+      f"directed $directed%.3f far below blind radius-1 $blind1%.3f " +
+        "at the same budget — the margin ordering is broken")
+    assert(directedWide >= directed,
+      "a larger probe budget must not lose recall")
+    // probeBuckets = 1 IS the single-bucket probe: identical pairs to
+    // lshTopK's default — the directed path degrades to the existing
+    // oracle-anchored shape, not to something new
+    val single = graft.operators.Similarity.lshTopK(emb, queries,
+      "vec_id", "embedding", k = 5, planes = planes)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directedHome = graft.operators.Similarity.lshTopKDirected(
+      emb, queries, "vec_id", "embedding", k = 5, planes = planes,
+      probeBuckets = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(directedHome == single,
+      "probeBuckets=1 must equal the single-bucket probe exactly")
+  }
 }
