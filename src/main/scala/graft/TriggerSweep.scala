@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Trigger-size sensitivity of the fold-in price (VERDICT r15 Next #5).
+  *
+  * The r15 all-modality pricing replay measured the winnow (verbatim-
+  * run) fold-in at 0.16× of its pinned probe and ATTRIBUTED the gap to
+  * per-batch job count at the replay's tiny trigger — an amortization
+  * claim with no measurement behind it. This harness runs the SAME
+  * replay protocol (file-source self-replay over the grained corpus,
+  * steady-state rate = rows / triggerExecution time, first batch
+  * dropped) for the pinned probe AND the fold-in ingest of two
+  * modalities — winnow (the claim's subject) and char-edit (the cheap
+  * control) — at a ladder of `maxFilesPerTrigger` values, printing the
+  * fold-in/pinned ratio per trigger size. If the claim is right the
+  * ratio rises toward ~1× with batch size (fixed per-batch costs —
+  * delta checkpoint, count job, fold bookkeeping — amortize over more
+  * rows); if it is wrong the curve is flat and the r15 attribution
+  * gets corrected in STATUS.
+  *
+  * Output: one JSON line per (modality, trigger) →
+  * `bench/streambench_r16_trigger.jsonl`.
+  */
+object TriggerSweep {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args.headOption.getOrElse("target/scale/sf1_grained")
+    val triggers =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+      else Seq(3, 10, 30)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, corpusDir, "documents")
+    val corpusN = docs.count()
+    val docPath = s"$corpusDir/documents.parquet"
+
+    def replay(filesPerTrigger: Int)(
+        start: (DataFrame, String) => StreamingQuery): Double = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_trigger_sweep_ckpt").toString
+      val st = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(docPath)
+        .select(col("doc_id"), col("text"))
+      val q = start(st, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val steady = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+      if (steady.isEmpty) 0.0
+      else steady.map(_.numInputRows).sum.toDouble /
+        (steady.map(_.durationMs.get("triggerExecution").toLong)
+          .sum / 1e3)
+    }
+    def f1(v: Double): String =
+      "%.1f".formatLocal(java.util.Locale.US, v)
+    def f3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.US, v)
+    def report(modality: String, trigger: Int, pinned: Double,
+               foldin: Double): Unit =
+      println(s"""{"metric":"trigger_sweep","modality":"$modality",""" +
+        s""""files_per_trigger":$trigger,"pinned_docs_per_sec":${
+          f1(pinned)},"foldin_docs_per_sec":${f1(foldin)},"ratio":${
+          f3(if (pinned > 0) foldin / pinned else 0.0)},""" +
+        s""""corpus_docs":$corpusN,"sf":"$corpusDir"}""")
+
+    // winnow modality (the r15 0.16× subject): pinned artifacts are
+    // built once and shared across trigger sizes; each fold-in run
+    // gets a FRESH folding index (it grows during the replay)
+    val staticFps = FrameCache.cached(spark,
+      s"trigger_sweep_fps:$corpusDir") {
+      graft.operators.SubstrDedup.fingerprints(docs, "doc_id", "text",
+        minLen = 59, w = 20)
+    }
+    staticFps.count()
+    val corpusPinned = FrameCache.cached(spark,
+      s"trigger_sweep_docs:$corpusDir")(docs.select(col("doc_id"),
+      col("text")))
+    corpusPinned.count()
+    for (t <- triggers) {
+      val pinned = replay(t) { (st, ckpt) =>
+        graft.operators.SubstrDedup.repeatProbeStream(
+          st, "doc_id", "text", staticFps, corpusPinned,
+          minLen = 59, w = 20, ckpt) { (hits, _) =>
+          hits.count(); ()
+        }.start()
+      }
+      val fold = {
+        val idx = graft.operators.SubstrDedup.foldingRepeatIndex(
+          docs, "doc_id", "text", minLen = 59, w = 20,
+          numPartitions = cpus.toInt)
+        replay(t) { (st, ckpt) =>
+          graft.operators.SubstrDedup.repeatIngestStream(
+            st, "doc_id", "text", idx, minLen = 59, w = 20, ckpt) {
+            (hits, _) => hits.count(); ()
+          }.start()
+        }
+      }
+      report("winnow", t, pinned, fold)
+      System.gc(); Thread.sleep(2000)
+    }
+
+    // char-edit modality (the cheap control: per-batch fan-out is
+    // len+1 variants of a 120-char head — small fixed work, so the
+    // fixed per-batch costs are a LARGER share and the curve should
+    // show the same shape more strongly)
+    val heads = docs.select(col("doc_id"),
+      expr("substring(text, 1, 120)").as("head"))
+    val edKeys = FrameCache.cached(spark,
+      s"trigger_sweep_edkeys:$corpusDir") {
+      graft.operators.EdJoin.deletionKeys(heads, "doc_id", "head", 1)
+    }
+    edKeys.count()
+    for (t <- triggers) {
+      val pinned = replay(t) { (st, ckpt) =>
+        graft.operators.EdJoin.editProbeStream(
+          st.select(col("doc_id"),
+            expr("substring(text, 1, 120)").as("head")),
+          "doc_id", "head", edKeys, k = 1, ckpt) {
+          (hits, _) => hits.count(); ()
+        }.start()
+      }
+      val fold = {
+        val idx = graft.operators.EdJoin.foldingEdIndex(
+          heads, "doc_id", "head", k = 1, numPartitions = cpus.toInt)
+        replay(t) { (st, ckpt) =>
+          graft.operators.EdJoin.editIngestStream(
+            st.select(col("doc_id"),
+              expr("substring(text, 1, 120)").as("head")),
+            "doc_id", "head", idx, k = 1, ckpt) {
+            (hits, _) => hits.count(); ()
+          }.start()
+        }
+      }
+      report("edit", t, pinned, fold)
+      System.gc(); Thread.sleep(2000)
+    }
+    spark.stop()
+  }
+}

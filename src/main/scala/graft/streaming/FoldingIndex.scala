@@ -299,6 +299,24 @@ final class FoldingIndex private (
 
 object FoldingIndex {
 
+  /** ONE writer over MANY sources — the multi-writer front the
+    * single-writer contract prescribes as a constructor instead of a
+    * scaladoc warning (class doc, "Concurrency and ownership"): union
+    * the source streams BEFORE the folding ingest stream, so a single
+    * streaming query — one monotonic batchId sequence — owns every
+    * fold. Wiring two independent ingest streams to one index would
+    * interleave their batchId sequences and the idempotence watermark
+    * would read the slower stream's batches as redeliveries, silently
+    * skipping folds. Works for any same-schema streaming sources;
+    * arrivals from different sources land in the same micro-batches
+    * and probe each other's folded history exactly like same-source
+    * arrivals (`FoldingIndexSpec` pins the two-source agreement).
+    */
+  def mergedFront(sources: Seq[DataFrame]): DataFrame = {
+    require(sources.nonEmpty, "mergedFront needs at least one source")
+    sources.reduce(_ unionByName _)
+  }
+
   /** @param base        corpus index rows from the SAME builder
     *                     (caller-pinned; its column stamps become the
     *                     union's)

@@ -231,4 +231,42 @@ class FoldingIndexSpec extends SparkSpec {
     assert(fidx.buckets.meta.folds == 2L &&
       fidx.buckets.meta.foldedRows == 32L)
   }
+
+  test("mergedFront: two sources through ONE folding stream — an " +
+      "arrival from source B sees source A's folded history, and the " +
+      "final index ≡ rebuild on corpus + all accepted arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val fidx = Dedup.foldingMinhashIndex(sigsOf(corpusDocs),
+      bands = 16, rowsPerBand = 4, numPartitions = 4, compactEvery = 100)
+    val srcA = MemoryStream[(Long, String)]
+    val srcB = MemoryStream[(Long, String)]
+    val merged = FoldingIndex.mergedFront(Seq(
+      srcA.toDF().toDF("doc_id", "text"),
+      srcB.toDF().toDF("doc_id", "text")))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_merged_front").toString
+    val hits =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = Dedup.nearDupIngestStream(
+      merged, "doc_id", "text", fidx,
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      ckpt) { (h, _) =>
+      h.collect().foreach(r => hits.add((r.getLong(0), r.getLong(1))))
+    }.start()
+    try {
+      // source A delivers a novel doc; it folds in
+      srcA.addData((10L, novel))
+      q.processAllAvailable()
+      // source B delivers a near-dup of A's arrival + a clean doc:
+      // the hit proves cross-SOURCE fold visibility — exactly what
+      // two independent writer streams would silently lose
+      srcB.addData((12L, dupOfNovel), (13L, clean))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = hits.toArray(Array.empty[(Long, Long)]).toSet
+    assert(got == Set((12L, 10L)),
+      s"expected the cross-source earlier-arrival hit, got $got")
+    val rebuilt = sigsOf(corpusDocs ++ Seq((10L, novel), (13L, clean)))
+    assert(rows(fidx.sigs.current) == rows(rebuilt))
+  }
 }
