@@ -327,7 +327,7 @@ object Dedup {
     * arrivals, so probe-after-fold and probe-against-rebuilt-index
     * cannot diverge (`FoldingIndexSpec` pins the agreement). Probing
     * is per tier (FoldingIndex.currentTiers): the base bucket and
-    * signature tiers keep their checkpoint-preserved partitioning, so
+    * signature tiers keep their Pinned.byKey-reported partitioning, so
     * the per-batch corpus-side cost is a cache scan, never a re-band
     * or re-exchange.
     *

@@ -185,7 +185,7 @@ final class FoldingIndex private (
     * bucket-partitioned, so a probe joining [[current]] re-exchanges
     * the corpus-scale base tier on EVERY micro-batch; joining the
     * tiers separately and unioning the RESULTS keeps the base tier's
-    * checkpoint-preserved partitioning reused (only the micro-batch
+    * Pinned.byKey-reported partitioning reused (only the micro-batch
     * side exchanges — the pinned-probe contract) while each delta join
     * is micro-batch-sized on both sides. Semantically exact for every
     * probe in the family: an equi-join hit set or a covered-span set
@@ -211,7 +211,7 @@ final class FoldingIndex private (
     * scale bug), giving the already-present subset of the batch's
     * keys; one final batch-scale anti-join subtracts it. Every
     * exchange in the plan is batch-scale; the base tier streams
-    * through its checkpoint-preserved partitioning
+    * through its Pinned.byKey-reported partitioning
     * (`FoldingIndexSpec` pins the plan shape). Identity when
     * `dedupKeyCols` is empty.
     */
