@@ -73,15 +73,13 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame =
-    // tokens staged (shinglesOf note): the k-width fold's ~2k token
-    // references become row-slot reads instead of per-reference
-    // re-tokenizations (lambda-bearing trees are exempt from
-    // subexpression elimination)
+    // ONE compiled shingle pass (WordShinglesExpr — byte-identical to
+    // the staged-token shinglesOf fold, TextOpsSpec): signing is the
+    // dominant cost of every minhash batch query AND every streaming
+    // probe's per-batch work, so the per-row win multiplies
     df.select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("__mh_ts"))
-      .select(col("id"),
-        explode_outer(TextFunctions.shinglesOf(col("__mh_ts"), shingleSize))
-          .as("shingle"))
+        explode_outer(graft.functions.WordShingles
+          .wordShingles(col(textCol), shingleSize)).as("shingle"))
       // double hashing: each shingle costs 2 hashes; the 64 family
       // members are rotate-XOR combinations (cheap, overflow-free).
       .withColumn("h1", when(col("shingle").isNotNull,

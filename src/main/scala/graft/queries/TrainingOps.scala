@@ -301,11 +301,8 @@ object TrainingOps extends QueryPack {
       // shingle explosion runs once
       val sh = cachedFrame(s, s"d24sh:$dir")(
         docs.select(col("doc_id"),
-            graft.functions.TextFunctions.tokens(col("text")).as("ts"))
-          .select(col("doc_id"),
-            explode(array_distinct(
-              graft.functions.TextFunctions.shinglesOf(col("ts"), 3)))
-              .as("g")))
+            explode(array_distinct(graft.functions.WordShingles
+              .wordShingles(col("text"), 3))).as("g")))
       val edges = graft.operators.PpJoin.jaccardEdges(sh, "doc_id", "g")
       Dedup.nearDupSurvivors(docs, "doc_id", edges)
         .select(col("id"), col("component"), col("is_survivor"))
@@ -323,11 +320,8 @@ object TrainingOps extends QueryPack {
       val docs = t(s, dir, "documents")
       val sh = cachedFrame(s, s"d24sh:$dir")(
         docs.select(col("doc_id"),
-            graft.functions.TextFunctions.tokens(col("text")).as("ts"))
-          .select(col("doc_id"),
-            explode(array_distinct(
-              graft.functions.TextFunctions.shinglesOf(col("ts"), 3)))
-              .as("g")))
+            explode(array_distinct(graft.functions.WordShingles
+              .wordShingles(col("text"), 3))).as("g")))
       val edges = graft.operators.PpJoin.jaccardEdges(sh, "doc_id", "g")
       Dedup.nearDupSurvivors(docs, "doc_id", edges)
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))

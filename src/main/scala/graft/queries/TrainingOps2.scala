@@ -562,10 +562,8 @@ object TrainingOps2 extends QueryPack {
       val docs = t(s, dir, "documents")
       val sh = graft.FrameCache.cached(s, s"d24sh:$dir")(
         docs.select(col("doc_id"),
-            TextFunctions.tokens(col("text")).as("ts"))
-          .select(col("doc_id"),
-            explode(array_distinct(
-              TextFunctions.shinglesOf(col("ts"), 3))).as("g")))
+            explode(array_distinct(graft.functions.WordShingles
+              .wordShingles(col("text"), 3))).as("g")))
       val split = docs.select(col("doc_id"),
         (SamplingFunctions.hashBucket(col("text")) < 80).as("is_train"))
       val tagged = sh.join(split, Seq("doc_id"))
