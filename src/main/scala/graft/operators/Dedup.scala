@@ -293,9 +293,17 @@ object Dedup {
       sigs: graft.streaming.FoldingIndex,
       bands: Int, rowsPerBand: Int)
 
+  /** @param durablePath when set, both tiers persist under
+    *                     `<path>/buckets` and `<path>/sigs` (the
+    *                     FoldingIndex durable layout) and
+    *                     [[recoverMinhashIndex]] can resume them in a
+    *                     fresh session — the restart story at the
+    *                     operator surface, not just the index core.
+    */
   def foldingMinhashIndex(corpusSigs: DataFrame, bands: Int,
       rowsPerBand: Int, numPartitions: Int,
-      compactEvery: Int = 16): FoldingMinhashIndex =
+      compactEvery: Int = 16,
+      durablePath: Option[String] = None): FoldingMinhashIndex =
     FoldingMinhashIndex(
       graft.streaming.FoldingIndex(
         // Pinned.byKey, not repartition+localCheckpoint: the plain
@@ -305,13 +313,39 @@ object Dedup {
           numPartitions, "band", "band_hash"),
         df => bandedBuckets(df, bands, rowsPerBand),
         bucketCols = Seq("band", "band_hash"),
-        numPartitions = numPartitions, compactEvery = compactEvery),
+        numPartitions = numPartitions, compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/buckets")),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(corpusSigs.select(col("id"), col("sig")),
           numPartitions, "id"),
         df => df.select(col("id"), col("sig")),
         bucketCols = Seq("id"), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/sigs")),
+      bands, rowsPerBand)
+
+  /** Resume a durable [[FoldingMinhashIndex]] from disk in a fresh
+    * session ([[graft.streaming.FoldingIndex.recover]] per tier): both
+    * tiers re-bucket and re-pin, the batchId watermarks resume, and
+    * the banding stamp rides the parquet schema footer — so
+    * [[nearDupIngestStream]]'s stamp gate passes on the recovered
+    * index exactly as on the original (`FoldingDurabilitySpec` pins
+    * the end-to-end ingest restart).
+    */
+  def recoverMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      durablePath: String, bands: Int, rowsPerBand: Int,
+      numPartitions: Int, compactEvery: Int = 16,
+      resetWatermark: Boolean = false): FoldingMinhashIndex =
+    FoldingMinhashIndex(
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/buckets",
+        df => bandedBuckets(df, bands, rowsPerBand),
+        bucketCols = Seq("band", "band_hash"),
+        numPartitions = numPartitions, compactEvery = compactEvery,
+        resetWatermark = resetWatermark),
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/sigs",
+        df => df.select(col("id"), col("sig")),
+        bucketCols = Seq("id"), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
       bands, rowsPerBand)
 
   /** [[nearDupProbeStream]] with INCREMENTAL INDEX MAINTENANCE — the

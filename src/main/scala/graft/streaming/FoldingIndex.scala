@@ -102,12 +102,18 @@ final class FoldingIndex private (
   // the caller's frame
   private var baseTier: DataFrame = base
   // durable layout: <path>/base-<compactions>/ (parquet),
-  // <path>/delta-<batchId>/ (parquet, one per fold), <path>/_meta
-  // (java.util.Properties sidecar — counters + the tier list). The
-  // meta write is last and atomic (tmp + move), so a crash mid-write
-  // leaves the PREVIOUS consistent state readable.
+  // <path>/delta-<foldSeq>/ (parquet, one per fold), <path>/_meta
+  // (java.util.Properties sidecar — counters + the tier list). Delta
+  // dirs are named by the monotonic FOLD SEQUENCE, not the batchId: a
+  // resetWatermark recovery legitimately reuses batchIds, and a
+  // batchId-named dir would be clobbered while the meta still listed
+  // the old content. Crash-redelivery stays idempotent: a fold whose
+  // delta landed but whose meta write didn't re-runs with the SAME
+  // fold sequence (the meta never advanced), overwriting its own dir.
+  // The meta write is last and atomic (tmp + move), so a crash
+  // mid-write leaves the PREVIOUS consistent state readable.
   private var baseDirName: String = "base-0"
-  private var deltaBatchIds: Vector[Long] = Vector.empty
+  private var deltaDirNames: Vector[String] = Vector.empty
 
   private def durableDir(name: String): java.nio.file.Path =
     java.nio.file.Paths.get(durablePath.get, name)
@@ -120,7 +126,7 @@ final class FoldingIndex private (
     props.setProperty("foldedRows", foldedRows.toString)
     props.setProperty("compactions", compactions.toString)
     props.setProperty("baseDir", baseDirName)
-    props.setProperty("deltaBatchIds", deltaBatchIds.mkString(","))
+    props.setProperty("deltaDirs", deltaDirNames.mkString(","))
     props.setProperty("deltaRows",
       deltas.map(_._2).mkString(","))
     val dir = java.nio.file.Paths.get(p)
@@ -158,7 +164,7 @@ final class FoldingIndex private (
   private[streaming] def restoreState(last: Long, gen: Long, nFolds: Long,
       nRows: Long, nCompactions: Long, baseName: String,
       recoveredDeltas: Vector[(DataFrame, Long)],
-      recoveredIds: Vector[Long]): Unit = synchronized {
+      recoveredDirs: Vector[String]): Unit = synchronized {
     lastBatchId = last
     generation = gen
     folds = nFolds
@@ -166,7 +172,7 @@ final class FoldingIndex private (
     compactions = nCompactions
     baseDirName = baseName
     deltas = recoveredDeltas
-    deltaBatchIds = recoveredIds
+    deltaDirNames = recoveredDirs
   }
 
   def meta: Meta = synchronized {
@@ -248,12 +254,13 @@ final class FoldingIndex private (
       // durable-first: the delta parquet lands BEFORE the meta that
       // references it, so a crash between the two re-folds the batch
       // on redelivery (overwrite mode makes the re-write idempotent)
+      val deltaName = s"delta-$folds"
       durablePath.foreach { _ =>
         delta.write.mode("overwrite")
-          .parquet(durableDir(s"delta-$batchId").toString)
+          .parquet(durableDir(deltaName).toString)
       }
       deltas = deltas :+ ((delta, n))
-      deltaBatchIds = deltaBatchIds :+ batchId
+      deltaDirNames = deltaDirNames :+ deltaName
       lastBatchId = batchId
       generation += 1
       folds += 1
@@ -280,9 +287,9 @@ final class FoldingIndex private (
         folded.repartition(numPartitions).localCheckpoint(true)
       else graft.Pinned.byKey(folded, numPartitions, bucketCols: _*)
     val oldBase = baseDirName
-    val oldDeltas = deltaBatchIds
+    val oldDeltas = deltaDirNames
     deltas = Vector.empty
-    deltaBatchIds = Vector.empty
+    deltaDirNames = Vector.empty
     generation += 1
     compactions += 1
     durablePath.foreach { _ =>
@@ -292,7 +299,7 @@ final class FoldingIndex private (
       writeMeta()
       // superseded tiers dropped only after the meta flip
       dropDir(oldBase)
-      oldDeltas.foreach(id => dropDir(s"delta-$id"))
+      oldDeltas.foreach(dropDir)
     }
   }
 }
@@ -363,6 +370,14 @@ object FoldingIndex {
     * must match the writer's (same contract as every stamp `require`:
     * nothing here can validate a lambda, so the caller owns it; the
     * stamps in the recovered schema still gate the probes).
+    *
+    * WATERMARK CONTRACT: the restored watermark assumes the restarted
+    * stream resumes the SAME checkpoint (batchIds continue past it).
+    * A stream started with a NEW checkpoint restarts batchIds at 0,
+    * and every fold below the watermark would silently read as a
+    * redelivery and skip — pass `resetWatermark = true` for that case
+    * (safe only when the new stream's source does NOT replay content
+    * already folded; a replayed arrival would fold twice).
     */
   def recover(spark: org.apache.spark.sql.SparkSession,
               durablePath: String,
@@ -370,7 +385,8 @@ object FoldingIndex {
               bucketCols: Seq[String], numPartitions: Int,
               compactEvery: Int = 16,
               dedupKeyCols: Seq[String] = Nil,
-              compactor: Option[DataFrame => DataFrame] = None)
+              compactor: Option[DataFrame => DataFrame] = None,
+              resetWatermark: Boolean = false)
       : FoldingIndex = {
     require(compactEvery >= 1, s"compactEvery=$compactEvery must be >= 1")
     val dir = java.nio.file.Paths.get(durablePath)
@@ -381,30 +397,30 @@ object FoldingIndex {
     val in = java.nio.file.Files.newInputStream(metaPath)
     try props.load(in) finally in.close()
     val baseName = props.getProperty("baseDir")
-    def longs(key: String): Vector[Long] = {
-      val s = props.getProperty(key, "")
-      if (s.isEmpty) Vector.empty else s.split(",").map(_.toLong).toVector
-    }
     val rawBase = spark.read.parquet(dir.resolve(baseName).toString)
     val base =
       if (bucketCols.isEmpty)
         rawBase.repartition(numPartitions).localCheckpoint(true)
       else graft.Pinned.byKey(rawBase, numPartitions, bucketCols: _*)
-    val ids = longs("deltaBatchIds")
-    val recoveredDeltas = ids.map { id =>
-      val d = spark.read.parquet(dir.resolve(s"delta-$id").toString)
+    val deltaDirs = {
+      val s = props.getProperty("deltaDirs", "")
+      if (s.isEmpty) Vector.empty[String] else s.split(",").toVector
+    }
+    val recoveredDeltas = deltaDirs.map { name =>
+      val d = spark.read.parquet(dir.resolve(name).toString)
         .localCheckpoint(true)
       (d, d.count())
     }
     val idx = new FoldingIndex(builder, bucketCols, numPartitions,
       compactEvery, dedupKeyCols, compactor, base, Some(durablePath))
     idx.restoreState(
-      props.getProperty("lastBatchId").toLong,
+      if (resetWatermark) Long.MinValue
+      else props.getProperty("lastBatchId").toLong,
       props.getProperty("generation").toLong,
       props.getProperty("folds").toLong,
       props.getProperty("foldedRows").toLong,
       props.getProperty("compactions").toLong,
-      baseName, recoveredDeltas, ids)
+      baseName, recoveredDeltas, deltaDirs)
     idx
   }
 }

@@ -55,6 +55,14 @@ class FoldingDurabilitySpec extends SparkSpec {
     // new batches keep folding
     assert(recovered.foldIn(2L, kv(5L -> "e")) == 1L)
 
+    // a NEW-checkpoint consumer restarts batchIds at 0 — the default
+    // watermark reads those as redeliveries (documented contract);
+    // resetWatermark = true is the new-stream escape hatch
+    val freshStream = FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 100,
+      resetWatermark = true)
+    assert(freshStream.foldIn(0L, kv(6L -> "f")) == 1L)
+
     // ≡ a never-restarted run over the same batches
     val straight = FoldingIndex(
       kv(1L -> "a", 2L -> "b").repartition(2, col("k"))
@@ -112,6 +120,55 @@ class FoldingDurabilitySpec extends SparkSpec {
     assert(recovered.current.collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L, 4L))
     assert(recovered.current.count() == 4L)
+  }
+
+  test("end-to-end ingest restart: nearDupIngestStream folds into a " +
+      "durable index, a FRESH session-view recovers it, and a NEW " +
+      "stream catches a dup of the pre-restart accepted arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("ingest-restart")
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "the cat sleeps in the warm afternoon sun near the barn"
+    val novel = "a brand new arrival describing bloom filter pruning " +
+      "strategies for sort merge joins on clustered tables"
+    val corpusSigs = Dedup.minhashSignatures(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64)
+    val writer = Dedup.foldingMinhashIndex(corpusSigs, bands = 16,
+      rowsPerBand = 4, numPartitions = 2, durablePath = Some(dir))
+
+    def runBatch(idx: Dedup.FoldingMinhashIndex,
+                 docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ingest_restart").toString
+      val hits =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = Dedup.nearDupIngestStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        ckpt) { (h, _) =>
+        h.collect().foreach(r => hits.add((r.getLong(0), r.getLong(1))))
+      }.start()
+      try { input.addData(docs: _*); q.processAllAvailable() }
+      finally q.stop()
+      hits.toArray(Array.empty[(Long, Long)]).toSet
+    }
+
+    // pre-restart: the novel doc is accepted and folds in (durably)
+    assert(runBatch(writer, Seq((10L, novel))) == Set.empty)
+    assert(writer.sigs.meta.foldedRows == 1L)
+
+    // "restart": recover from the directory alone, run a NEW stream;
+    // a near-dup of the PRE-RESTART arrival must hit — the exact
+    // state a non-durable index loses
+    val recovered = Dedup.recoverMinhashIndex(spark, dir, bands = 16,
+      rowsPerBand = 4, numPartitions = 2)
+    val got = runBatch(recovered,
+      Seq((20L, novel.replace("clustered", "bucketed"))))
+    assert(got == Set((20L, 10L)),
+      s"recovered index must carry the pre-restart fold, got $got")
   }
 
   test("column-metadata stamps ride the parquet round-trip: a " +
