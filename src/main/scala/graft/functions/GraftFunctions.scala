@@ -16,25 +16,46 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
-    // compiled shingler on the SQL surface (r15): k must be an int
-    // literal — the expression bakes it into generated code
+    // compiled kernels on the SQL surface: the width/length argument
+    // must be an int literal — the expression bakes it into generated
+    // code. One extractor, shared by every (text, int) kernel, with
+    // the Column API's own lower-bound require (the kernels would
+    // silently widen k <= 0 and the two surfaces must agree).
+    def intLit(name: String)(exprs: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression]): Int = {
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"$name(text, n) takes exactly 2 arguments, got ${exprs.length}")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions
+          .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name(text, n): n must be an integer literal, got $other")
+      }
+      if (n < 1) throw new IllegalArgumentException(
+        s"$name(text, n): n must be >= 1, got $n")
+      n
+    }
     registry.createOrReplaceTempFunction(
-      "word_shingles", exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"word_shingles(text, k) takes exactly 2 arguments, " +
+      "word_shingles", exprs =>
+        WordShinglesExpr(exprs.head, intLit("word_shingles")(exprs)),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "word_shingle_hashes", exprs => WordShingleHashesExpr(
+        exprs.head, intLit("word_shingle_hashes")(exprs)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "gram_hashes", exprs =>
+        GramHashesExpr(exprs.head, intLit("gram_hashes")(exprs)),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "gram_rows", exprs =>
+        GramRowsExpr(exprs.head, intLit("gram_rows")(exprs)),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "quality_stats", exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"quality_stats(text) takes exactly 1 argument, " +
             s"got ${exprs.length}")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions
-            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"word_shingles(text, k): k must be an integer literal, " +
-              s"got $other")
-        }
-        // match the Column API's require — the kernel would silently
-        // widen k <= 0 to 1, and the two surfaces must agree
-        if (k < 1) throw new IllegalArgumentException(
-          s"word_shingles(text, k): k must be >= 1, got $k")
-        WordShinglesExpr(exprs.head, k)
+        QualityStatsExpr(exprs.head)
       }, "scala_udf")
 
     // column-composition functions registered as SQL macros via udfs
@@ -63,6 +84,13 @@ object GraftFunctions {
   def char_ngrams(c: Column, n: Int): Column = TextFunctions.charNGrams(c, n)
   def word_shingles(c: Column, k: Int): Column =
     TextFunctions.wordShingles(c, k)
+  def word_shingle_hashes(c: Column, k: Int): Column =
+    WordShingles.shingleHashes(c, k)
+  def gram_hashes(c: Column, length: Int): Column =
+    GramHash.gramHashes(c, length)
+  def gram_rows(c: Column, length: Int): Column =
+    GramHash.gramRows(c, length)
+  def quality_stats(c: Column): Column = QualityStats.qualityStats(c)
   def nature_voie_label(c: Column): Column =
     graft.sources.Fantoir.natureVoieLabel(c)
   def rolling_hash_mod(c: Column): Column =

@@ -175,6 +175,32 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getString(1) == "Code Departement")
     assert(r.getString(2) == "camel_case_name")
     assert(r.getString(3) == "code_departement")
+
+    // r16 kernels on the SQL surface ≡ their Column APIs
+    Seq("hello brave new world of spark").toDF("text")
+      .createOrReplaceTempView("gf_kernels")
+    val k = spark.sql(
+      """SELECT gram_hashes(text, 5) AS gh,
+                word_shingle_hashes(text, 2) AS wh,
+                quality_stats(text).n_tokens AS nt,
+                gram_rows(text, 5)[0].g AS g0
+         FROM gf_kernels""").collect()(0)
+    val viaCols = Seq("hello brave new world of spark").toDF("text")
+      .select(
+        graft.functions.GramHash.gramHashes(col("text"), 5).as("gh"),
+        graft.functions.WordShingles.shingleHashes(col("text"), 2)
+          .as("wh"),
+        graft.functions.QualityStats.qualityStats(col("text"))
+          .getField("n_tokens").as("nt")).collect()(0)
+    assert(k.getSeq[Long](0) == viaCols.getSeq[Long](0))
+    assert(k.getSeq[Long](1) == viaCols.getSeq[Long](1))
+    assert(k.getInt(2) == viaCols.getInt(2) && k.getInt(2) == 6)
+    assert(k.getString(3) == "hello")
+    // the int argument must be a literal on the SQL surface
+    intercept[Exception] {
+      spark.sql("SELECT gram_hashes(text, CAST(length(text) AS INT)) " +
+        "FROM gf_kernels").collect()
+    }
   }
 
   test("bandsFor hits the LSH S-curve crossover") {
