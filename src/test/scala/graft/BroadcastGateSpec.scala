@@ -64,7 +64,14 @@ class BroadcastGateSpec extends SparkSpec {
       "bounded (per-language rates, 1-row totals; decontam idx pinned r13)",
     "s13_label_centroid_stats" -> "bounded (per-label stats)",
     "s15_bm25_scores" -> "bounded (3-token DF frame)",
-    "w06_global_quantiles" -> "bounded (quantile boundary frames)")
+    "w06_global_quantiles" -> "bounded (quantile boundary frames)",
+    // deliberately broadcast (r16): the DIRECTED-probe explode runs on
+    // the QUERY side, which is bounded-small by the API contract
+    // (queries × probeBuckets rows, probeBuckets ≤ 1+p+p(p−1)/2 — at
+    // the bench surface 5 queries × ≤53 buckets); the corpus side
+    // never explodes. Same class as lshTopK's radius-1 probe list.
+    "s17_lsh_directed_topk" ->
+      "bounded (query-side probe-list explode, ≤ queries×probeBuckets)")
 
   test("no query outside the adjudicated allowlist broadcasts a " +
        "generated frame (sf0.1 plans, the sweep SF the allowlist was " +
