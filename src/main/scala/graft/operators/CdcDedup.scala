@@ -317,7 +317,8 @@ object CdcDedup {
     */
   def foldingSegmentIndex(reference: DataFrame, idCol: String,
       textCol: String, divisor: Int, numPartitions: Int,
-      compactEvery: Int = 16): graft.streaming.FoldingIndex =
+      compactEvery: Int = 16,
+      durablePath: Option[String] = None): graft.streaming.FoldingIndex =
     graft.streaming.FoldingIndex(
       // Pinned.byKey: a plain repartition+localCheckpoint reports
       // UnknownPartitioning under AQE (Pinned scaladoc)
@@ -325,7 +326,23 @@ object CdcDedup {
         numPartitions, "_d"),
       df => segmentIndex(df, idCol, textCol, divisor),
       bucketCols = Seq("_d"), numPartitions = numPartitions,
-      compactEvery = compactEvery, dedupKeyCols = Seq("_d"))
+      compactEvery = compactEvery, dedupKeyCols = Seq("_d"),
+      durablePath = durablePath)
+
+  /** Resume a durable segment index in a fresh session
+    * ([[graft.streaming.FoldingIndex.recover]]; the divisor stamp
+    * rides the parquet footer, so [[segmentIngestStream]]'s gate
+    * passes on the recovered index).
+    */
+  def recoverSegmentIndex(spark: org.apache.spark.sql.SparkSession,
+      durablePath: String, idCol: String, textCol: String,
+      divisor: Int, numPartitions: Int, compactEvery: Int = 16,
+      resetWatermark: Boolean = false): graft.streaming.FoldingIndex =
+    graft.streaming.FoldingIndex.recover(spark, durablePath,
+      df => segmentIndex(df, idCol, textCol, divisor),
+      bucketCols = Seq("_d"), numPartitions = numPartitions,
+      compactEvery = compactEvery, dedupKeyCols = Seq("_d"),
+      resetWatermark = resetWatermark)
 
   /** Fixed-width overlapping chunks with provenance — the context-window
     * shaping step of a training pipeline: `(id, chunk_idx, start_word,

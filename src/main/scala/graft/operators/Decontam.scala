@@ -245,7 +245,8 @@ object Decontam {
     * join key.
     */
   def foldingIndex(train: DataFrame, idCol: String, textCol: String,
-      numPartitions: Int, compactEvery: Int = 16)
+      numPartitions: Int, compactEvery: Int = 16,
+      durablePath: Option[String] = None)
       : FoldingDecontamIndex = {
     // Pinned.byKey (not repartition+localCheckpoint) on every tier:
     // the plain checkpoint REPORTS UnknownPartitioning under AQE and
@@ -256,7 +257,8 @@ object Decontam {
       graft.streaming.FoldingIndex(idxBase,
         df => gramIndexRows(df, idCol, textCol),
         bucketCols = Seq("h8"), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/idx")),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(
           idxBase.groupBy(col("h8")).agg(count(lit(1)).as("df")),
@@ -266,7 +268,8 @@ object Decontam {
         bucketCols = Seq("h8"), numPartitions = numPartitions,
         compactEvery = compactEvery,
         compactor = Some(df => df.groupBy(col("h8"))
-          .agg(sum(col("df")).as("df")))),
+          .agg(sum(col("df")).as("df"))),
+        durablePath = durablePath.map(p => s"$p/df")),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(
           train.select(col(idCol).as("train_id"),
@@ -275,9 +278,38 @@ object Decontam {
         df => df.select(col(idCol).as("train_id"),
           col(textCol).as("train_text")),
         bucketCols = Seq("train_id"), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/texts")),
       idCol, textCol)
   }
+
+  /** Resume a durable [[FoldingDecontamIndex]] in a fresh session —
+    * all three tiers (gram index, per-tier dfs with their sum
+    * compactor, verification texts).
+    */
+  def recoverFoldingIndex(spark: org.apache.spark.sql.SparkSession,
+      durablePath: String, idCol: String, textCol: String,
+      numPartitions: Int, compactEvery: Int = 16,
+      resetWatermark: Boolean = false): FoldingDecontamIndex =
+    FoldingDecontamIndex(
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/idx",
+        df => gramIndexRows(df, idCol, textCol),
+        bucketCols = Seq("h8"), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/df",
+        df => gramIndexRows(df, idCol, textCol)
+          .groupBy(col("h8")).agg(count(lit(1)).as("df")),
+        bucketCols = Seq("h8"), numPartitions = numPartitions,
+        compactEvery = compactEvery,
+        compactor = Some(df => df.groupBy(col("h8"))
+          .agg(sum(col("df")).as("df"))),
+        resetWatermark = resetWatermark),
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
+        df => df.select(col(idCol).as("train_id"),
+          col(textCol).as("train_text")),
+        bucketCols = Seq("train_id"), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
+      idCol, textCol)
 
   /** [[probeStream]] against a GROWING train index: the folding
     * index's current tiers are resolved per micro-batch, so train docs

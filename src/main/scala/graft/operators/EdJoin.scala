@@ -548,8 +548,8 @@ object EdJoin {
     * corpus (id, str) relation `_id`-bucketed.
     */
   def foldingEdIndex(corpus: DataFrame, idCol: String, strCol: String,
-      k: Int, numPartitions: Int,
-      compactEvery: Int = 16): FoldingEdIndex =
+      k: Int, numPartitions: Int, compactEvery: Int = 16,
+      durablePath: Option[String] = None): FoldingEdIndex =
     FoldingEdIndex(
       graft.streaming.FoldingIndex(
         // Pinned.byKey: a plain repartition+localCheckpoint reports
@@ -558,14 +558,35 @@ object EdJoin {
           numPartitions, "_key"),
         df => deletionKeys(df, idCol, strCol, k),
         bucketCols = Seq("_key"), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/keys")),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(
           corpus.select(col(idCol).as("_id"), col(strCol).as("_str")),
           numPartitions, "_id"),
         df => df.select(col(idCol).as("_id"), col(strCol).as("_str")),
         bucketCols = Seq("_id"), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/texts")),
+      k)
+
+  /** Resume a durable [[FoldingEdIndex]] in a fresh session (both
+    * tiers; the k stamp rides the parquet footer, so
+    * [[editIngestStream]]'s gate passes on the recovered index).
+    */
+  def recoverEdIndex(spark: org.apache.spark.sql.SparkSession,
+      durablePath: String, idCol: String, strCol: String, k: Int,
+      numPartitions: Int, compactEvery: Int = 16,
+      resetWatermark: Boolean = false): FoldingEdIndex =
+    FoldingEdIndex(
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/keys",
+        df => deletionKeys(df, idCol, strCol, k),
+        bucketCols = Seq("_key"), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
+        df => df.select(col(idCol).as("_id"), col(strCol).as("_str")),
+        bucketCols = Seq("_id"), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
       k)
 
   /** [[editProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT

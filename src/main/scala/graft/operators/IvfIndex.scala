@@ -424,7 +424,8 @@ object IvfIndex {
     */
   def foldingSemanticIndex(corpus: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame, numPartitions: Int,
-      compactEvery: Int = 16): graft.streaming.FoldingIndex =
+      compactEvery: Int = 16,
+      durablePath: Option[String] = None): graft.streaming.FoldingIndex =
     graft.streaming.FoldingIndex(
       // Pinned.byKey: a plain repartition+localCheckpoint reports
       // UnknownPartitioning under AQE (Pinned scaladoc)
@@ -433,5 +434,22 @@ object IvfIndex {
         numPartitions, "centroid_id"),
       df => buildSemanticIndex(df, idCol, vecCol, centroids),
       bucketCols = Seq("centroid_id"), numPartitions = numPartitions,
-      compactEvery = compactEvery)
+      compactEvery = compactEvery, durablePath = durablePath)
+
+  /** Resume a durable semantic index in a fresh session. `centroids`
+    * must be the SAME pinned trained family the writer assigned under
+    * — the centroid fingerprint stamp rides the parquet footer and
+    * [[semanticIngestStream]]'s gate rejects a mismatch (trained
+    * artifacts are never folded; drift = refit = new stamp =
+    * rebuild, so recovery takes the model from the caller, exactly
+    * like construction does).
+    */
+  def recoverSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+      durablePath: String, idCol: String, vecCol: String,
+      centroids: DataFrame, numPartitions: Int, compactEvery: Int = 16,
+      resetWatermark: Boolean = false): graft.streaming.FoldingIndex =
+    graft.streaming.FoldingIndex.recover(spark, durablePath,
+      df => buildSemanticIndex(df, idCol, vecCol, centroids),
+      bucketCols = Seq("centroid_id"), numPartitions = numPartitions,
+      compactEvery = compactEvery, resetWatermark = resetWatermark)
 }

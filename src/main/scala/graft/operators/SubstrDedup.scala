@@ -597,7 +597,8 @@ object SubstrDedup {
 
   def foldingRepeatIndex(corpus: DataFrame, idCol: String,
       textCol: String, minLen: Int, w: Int, numPartitions: Int,
-      compactEvery: Int = 16): FoldingRepeatIndex =
+      compactEvery: Int = 16,
+      durablePath: Option[String] = None): FoldingRepeatIndex =
     FoldingRepeatIndex(
       graft.streaming.FoldingIndex(
         // Pinned.byKey: a plain repartition+localCheckpoint reports
@@ -607,13 +608,34 @@ object SubstrDedup {
           numPartitions, "_h"),
         df => fingerprints(df, idCol, textCol, minLen, w),
         bucketCols = Seq("_h"), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/fps")),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(corpus.select(col(idCol), col(textCol)),
           numPartitions, idCol),
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/texts")),
+      minLen, w)
+
+  /** Resume a durable [[FoldingRepeatIndex]] in a fresh session (both
+    * tiers; the (minLen, w) stamp rides the parquet footer, so
+    * [[repeatIngestStream]]'s gate passes on the recovered index).
+    */
+  def recoverRepeatIndex(spark: org.apache.spark.sql.SparkSession,
+      durablePath: String, idCol: String, textCol: String,
+      minLen: Int, w: Int, numPartitions: Int, compactEvery: Int = 16,
+      resetWatermark: Boolean = false): FoldingRepeatIndex =
+    FoldingRepeatIndex(
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/fps",
+        df => fingerprints(df, idCol, textCol, minLen, w),
+        bucketCols = Seq("_h"), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
+        df => df.select(col(idCol), col(textCol)),
+        bucketCols = Seq(idCol), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
       minLen, w)
 
   /** [[repeatProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT
@@ -719,7 +741,8 @@ object SubstrDedup {
 
   def foldingScrubIndex(reference: DataFrame, idCol: String,
       textCol: String, L: Int, numPartitions: Int,
-      compactEvery: Int = 16): FoldingScrubIndex =
+      compactEvery: Int = 16,
+      durablePath: Option[String] = None): FoldingScrubIndex =
     FoldingScrubIndex(
       graft.streaming.FoldingIndex(
         // Pinned.byKey: a plain repartition+localCheckpoint reports
@@ -728,13 +751,34 @@ object SubstrDedup {
           numPartitions, "_gh"),
         df => scrubIndex(df, idCol, textCol, L),
         bucketCols = Seq("_gh"), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/idx")),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(reference.select(col(idCol), col(textCol)),
           numPartitions, idCol),
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
-        compactEvery = compactEvery),
+        compactEvery = compactEvery,
+        durablePath = durablePath.map(p => s"$p/texts")),
+      L)
+
+  /** Resume a durable [[FoldingScrubIndex]] in a fresh session (both
+    * tiers; the L stamp rides the parquet footer, so
+    * [[scrubIngestStream]]'s gate passes on the recovered index).
+    */
+  def recoverScrubIndex(spark: org.apache.spark.sql.SparkSession,
+      durablePath: String, idCol: String, textCol: String, L: Int,
+      numPartitions: Int, compactEvery: Int = 16,
+      resetWatermark: Boolean = false): FoldingScrubIndex =
+    FoldingScrubIndex(
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/idx",
+        df => scrubIndex(df, idCol, textCol, L),
+        bucketCols = Seq("_gh"), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
+      graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
+        df => df.select(col(idCol), col(textCol)),
+        bucketCols = Seq(idCol), numPartitions = numPartitions,
+        compactEvery = compactEvery, resetWatermark = resetWatermark),
       L)
 
   /** [[scrubProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT

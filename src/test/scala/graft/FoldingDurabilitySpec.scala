@@ -171,6 +171,71 @@ class FoldingDurabilitySpec extends SparkSpec {
       s"recovered index must carry the pre-restart fold, got $got")
   }
 
+  test("segment modality restart: the dedup-keyed digest set recovers " +
+      "and a post-restart batch sheds segments folded BEFORE the " +
+      "restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CdcDedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("segment-restart")
+    val reference = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val writer = CdcDedup.foldingSegmentIndex(reference, "doc_id",
+      "text", divisor = 2, numPartitions = 2,
+      durablePath = Some(dir))
+
+    def runBatch(idx: graft.streaming.FoldingIndex,
+                 docs: Seq[(Long, String)]): Map[Long, String] = {
+      val input = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_seg_restart").toString
+      val out = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      val q = CdcDedup.segmentIngestStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        divisor = 2, ckpt) { (cleaned, _) =>
+        cleaned.collect().foreach(r =>
+          out.put(r.getLong(0), r.getString(1)))
+      }.start()
+      try { input.addData(docs: _*); q.processAllAvailable() }
+      finally q.stop()
+      import scala.jdk.CollectionConverters._
+      out.asScala.toMap
+    }
+
+    // pre-restart batch: some novel content survives and folds durably
+    val batch1 = Seq((10L, "totally novel wording plus alpha beta"))
+    val first = runBatch(writer, batch1)
+    assert(first.contains(10L))
+    val accepted1 = first.toSeq.filter(_._2.nonEmpty)
+
+    // restart, then scrub a second batch against the RECOVERED set
+    val recovered = CdcDedup.recoverSegmentIndex(spark, dir,
+      "doc_id", "text", divisor = 2, numPartitions = 2)
+    val batch2 = Seq(
+      (20L, "totally novel wording plus something fresh entirely"))
+    val second = runBatch(recovered, batch2)
+
+    // ≡ the batch operator against the REBUILT reference
+    // (reference ∪ batch-1 accepted cleaned) — the FoldingIngestSpec
+    // agreement contract, across a restart
+    val rebuiltRef = reference.unionByName(
+      accepted1.map { case (id, t) => (id, t) }.toDF("doc_id", "text"))
+    val expected = CdcDedup.scrubSegments(
+        batch2.toDF("doc_id", "text"), "doc_id", "text",
+        CdcDedup.segmentIndex(rebuiltRef, "doc_id", "text", divisor = 2),
+        divisor = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(second == expected,
+      s"recovered scrub diverged from rebuilt-reference: $second " +
+        s"vs $expected")
+    // and the pre-restart fold is actually load-bearing: batch 2
+    // shares its head with batch 1's accepted content, so SOMETHING
+    // must have been shed relative to the base-only reference
+    assert(second(20L) != batch2.head._2,
+      "batch 2 must shed spans folded before the restart")
+  }
+
   test("column-metadata stamps ride the parquet round-trip: a " +
       "recovered minhash bucket index still satisfies the probe gate") {
     val dir = tmpDir("stamps")
