@@ -16,23 +16,73 @@ import json
 import re
 import sys
 
-ref_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r12.json"
-cur_path = sys.argv[2] if len(sys.argv) > 2 else "target/bench_full.json"
 
-ref = json.load(open(ref_path))
-tail = ref.get("tail", "")
-parsed = ref.get("parsed")
-if parsed:
-    ref_total = parsed["value"]
-    ref_q = {k: float(v) for k, v in parsed.get("queries", {}).items()}
-else:
+def load_driver_artifact(path):
+    """(total, {query: sec}) from a driver BENCH_rN.json."""
+    ref = json.load(open(path))
+    tail = ref.get("tail", "")
+    parsed = ref.get("parsed")
+    if parsed:
+        return parsed["value"], {k: float(v)
+                                 for k, v in parsed.get("queries", {}).items()}
     # parse the metric line out of the captured tail (its head may be
     # truncated; the end of the line is always intact)
     m = re.search(r'\\?"metric\\?":\\?"total\\?",\\?"value\\?":([0-9.]+)', tail)
-    ref_total = float(m.group(1)) if m else float("nan")
+    total = float(m.group(1)) if m else float("nan")
     qseg = tail[tail.rfind('queries'):]
-    ref_q = {k: float(v) for k, v in
-             re.findall(r'\\?"([a-z0-9_]+)\\?":([0-9.]+)', qseg)}
+    return total, {k: float(v) for k, v in
+                   re.findall(r'\\?"([a-z0-9_]+)\\?":([0-9.]+)', qseg)}
+
+
+def spikes(driver_path, close_paths):
+    """Driver-artifact spike adjudication (VERDICT r16 Next #6): flag
+    every query whose DRIVER reading exceeds its same-tree close-run
+    minimum by >3x — the d43/d55 class, where the driver artifact
+    carries run-context elevation none of the committed close runs
+    show. Mechanical output for STATUS: per suspect, the driver
+    reading, the close min, and every close sample.
+    Exit 0 always — spikes are adjudication input, not a gate."""
+    _, drv = load_driver_artifact(driver_path)
+    closes = {}
+    for p in close_paths:
+        b = json.load(open(p))
+        for k, v in b["queries"].items():
+            closes.setdefault(k, []).append((v["sec"], p))
+    suspects = []
+    for k, d in sorted(drv.items(), key=lambda kv: -kv[1]):
+        samples = closes.get(k)
+        if not samples or d <= 0:
+            continue
+        cmin = min(s for s, _ in samples)
+        # driver floor 1.0s: a sub-second driver reading at 3x a tiny
+        # close min is scheduler noise; a MULTI-second driver reading
+        # over a sub-second close min (the d55 class, 0.19s -> 3.41s)
+        # is exactly the context elevation this exists to catch
+        if d >= 1.0 and d > 3.0 * cmin:
+            suspects.append((k, d, cmin, [s for s, _ in samples]))
+    print(f"driver {driver_path} vs close min over {len(close_paths)} "
+          f"same-tree runs ({len(drv)} driver-visible queries)")
+    if not suspects:
+        print("no driver-artifact spikes >3x close min — "
+              "nothing to adjudicate")
+        return
+    print(f"{len(suspects)} SUSPECT(S) (driver >3x close min — record "
+          "in STATUS, per VERDICT r16 Next #6):")
+    for k, d, cmin, ss in suspects:
+        print(f"  {k:<28} driver {d:>7.3f}s  close_min {cmin:>7.3f}s  "
+              f"ratio {d / cmin:>5.2f}x  close samples "
+              f"{[round(s, 3) for s in sorted(ss)]}")
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--spikes":
+    # Usage: bench_diff.py --spikes BENCH_rN.json bench/bench_full_rN_*.json
+    spikes(sys.argv[2], sys.argv[3:])
+    sys.exit(0)
+
+ref_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r12.json"
+cur_path = sys.argv[2] if len(sys.argv) > 2 else "target/bench_full.json"
+
+ref_total, ref_q = load_driver_artifact(ref_path)
 
 cur = json.load(open(cur_path))
 cur_q = {k: v["sec"] for k, v in cur["queries"].items()}

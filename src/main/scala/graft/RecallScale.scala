@@ -112,6 +112,14 @@ object RecallScale {
         Similarity.lshTopKDirected(emb, queries, "vec_id", "embedding",
           k = 5, planes = planes, probeBuckets = pb))
     }.last._2
+    // radius-3 universe at the SAME top budget (VERDICT r16 stretch
+    // #8): does admitting triple flips — which only displace pairs
+    // when three margins are all narrow — buy one more cheap rung, at
+    // a FIXED candidate volume?
+    report(s"srp_lsh_planes${planes}_directed${1 + 4 * planes}_r3", 0.15,
+      Similarity.lshTopKDirected(emb, queries, "vec_id", "embedding",
+        k = 5, planes = planes, probeBuckets = 1 + 4 * planes,
+        maxRadius = 3))
 
     println(s"""{"metric":"recall_scale_summary","refined":${f(refined)},""" +
       s""""ivf":${f(ivf)},"lsh_mp":${f(lshMp)},"lsh_dir":${f(lshDir)},""" +

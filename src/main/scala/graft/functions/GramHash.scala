@@ -163,10 +163,17 @@ object GramHash {
     val n = offsets(text, offs)
     val cnt = n - L + 1
     if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
-    // one byte copy per row (getBytes may just return the backing
-    // array when the string is exactly array-aligned); every gram is a
-    // view into it
-    val bytes = text.getBytes
+    // one byte copy per row; every gram is a view into it. getBytes
+    // RETURNS THE BACKING ARRAY (no copy) when the string exactly
+    // spans it — a buffer the data source may reuse after this row —
+    // so force a defensive copy in that case (ADVICE r16): the gram
+    // views outlive the call as GenericInternalRow fields, and their
+    // safety must not depend on every downstream consumer copying into
+    // UnsafeRow before the buffer changes
+    val raw = text.getBytes
+    val bytes =
+      if (raw.asInstanceOf[AnyRef] eq text.getBaseObject) raw.clone()
+      else raw
     val out = new Array[Any](cnt)
     var p = 0
     while (p < cnt) {

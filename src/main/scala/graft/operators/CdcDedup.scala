@@ -303,9 +303,15 @@ object CdcDedup {
         val cleaned = scrubSegmentsTiered(arrivals, idCol, textCol,
           index.currentTiers, divisor).localCheckpoint(true)
         sink(cleaned, batchId)
-        index.foldIn(batchId,
-          cleaned.filter(length(col("clean_text")) > 0)
-            .select(col(idCol), col("clean_text").as(textCol)))
+        // fold tail (the r16 Next #3 discipline): a fully-covered batch
+        // — every arrival scrubbed to nothing, the self-replay steady
+        // state — must not pay the builder plan, the delta checkpoint,
+        // or the per-tier digest dedup; one scan of the pinned cleaned
+        // frame decides it
+        val accepted = cleaned.filter(length(col("clean_text")) > 0)
+          .select(col(idCol), col("clean_text").as(textCol))
+        if (accepted.isEmpty) index.foldInEmpty(batchId)
+        else index.foldIn(batchId, accepted)
         ()
       }
   }

@@ -225,8 +225,10 @@ object Decontam {
       val rows = gramIndexRows(newTrain, idCol, textCol)
         .localCheckpoint(true)
       // each tier enforces the batchId skip itself, so a redelivery
-      // is a no-op on all three without cross-tier coordination
-      val n = trainIdx.foldInRows(batchId, rows)
+      // is a no-op on all three without cross-tier coordination;
+      // the gram tier folds the pinned frame directly (the r16 Next #2
+      // discipline — no second batch-scale materialization)
+      val n = trainIdx.foldInPinned(batchId, rows)
       gramDf.foldInRows(batchId,
         rows.groupBy(col("h8")).agg(count(lit(1)).as("df")))
       trainTexts.foldInRows(batchId,

@@ -446,16 +446,33 @@ object Dedup {
           .agg(first(col("est_jaccard")).as("est_jaccard"))
           .localCheckpoint(true) // computed once: sink + accept both read it
         sink(hits, batchId)
-        val accepted = (
-          if (foldDuplicates) batchSigs
+        // fold tail (the r16 Next #2 discipline, minhash modality):
+        // when nothing was rejected the probe's pinned batchSigs IS the
+        // accepted set — skip the accept anti-join and its checkpoint;
+        // when everything was rejected, skip even the accept plan. The
+        // sigs tier folds the pinned accepted frame directly
+        // (foldInPinned — an identity projection needs no second
+        // materialization); the buckets tier re-derives band rows, so
+        // it folds through foldInRows.
+        val nHits = hits.count() // pinned above — a near-noop job
+        val accepted =
+          if (foldDuplicates || nHits == 0L) batchSigs
           else batchSigs.join(
-            hits.select(col("new_id").as("id")).distinct(),
-            Seq("id"), "left_anti")
-        ).localCheckpoint(true) // two folds read it
-        index.buckets.foldInRows(batchId,
-          bandedBuckets(accepted, bands, rowsPerBand))
-        index.sigs.foldInRows(batchId,
-          accepted.select(col("id"), col("sig")))
+              hits.select(col("new_id").as("id")).distinct(),
+              Seq("id"), "left_anti")
+            .localCheckpoint(true) // two folds read it
+        val nAccepted =
+          if (foldDuplicates || nHits == 0L) -1L // unknown, non-empty path
+          else accepted.count()
+        if (nAccepted == 0L) {
+          index.buckets.foldInEmpty(batchId)
+          index.sigs.foldInEmpty(batchId)
+        } else {
+          index.buckets.foldInRows(batchId,
+            bandedBuckets(accepted, bands, rowsPerBand))
+          index.sigs.foldInPinned(batchId,
+            accepted.select(col("id"), col("sig")))
+        }
         ()
       }
   }

@@ -667,18 +667,33 @@ object EdJoin {
           .distinct()
           .localCheckpoint(true)
         sink(hits, batchId)
-        val hitIds = hits.select(col("new_id")).distinct()
-        val acceptedKeys =
-          if (foldDuplicates) batchKeys
-          else batchKeys.join(hitIds, col("_id") === col("new_id"),
-            "left_anti")
-        val acceptedTexts =
-          if (foldDuplicates)
-            batch.select(col(idCol).as("_id"), col(strCol).as("_str"))
-          else batch.select(col(idCol).as("_id"), col(strCol).as("_str"))
+        // fold tail (the r16 Next #2 discipline, edit modality): when
+        // nothing was rejected the probe's pinned batchKeys IS the
+        // accepted key set (foldInPinned — no second materialization);
+        // the texts accept still folds through foldInRows because the
+        // raw batch frame is not pinned. When everything was rejected,
+        // skip the accept plans entirely.
+        val nHits = hits.count() // pinned above — a near-noop job
+        val batchTexts =
+          batch.select(col(idCol).as("_id"), col(strCol).as("_str"))
+        if (foldDuplicates || nHits == 0L) {
+          index.keys.foldInPinned(batchId, batchKeys)
+          index.texts.foldInRows(batchId, batchTexts)
+        } else {
+          val hitIds = hits.select(col("new_id")).distinct()
+          val acceptedTexts = batchTexts
             .join(hitIds, col("_id") === col("new_id"), "left_anti")
-        index.keys.foldInRows(batchId, acceptedKeys)
-        index.texts.foldInRows(batchId, acceptedTexts)
+            .localCheckpoint(true)
+          if (acceptedTexts.count() == 0L) {
+            index.keys.foldInEmpty(batchId)
+            index.texts.foldInEmpty(batchId)
+          } else {
+            index.keys.foldInRows(batchId,
+              batchKeys.join(hitIds, col("_id") === col("new_id"),
+                "left_anti"))
+            index.texts.foldInPinned(batchId, acceptedTexts)
+          }
+        }
         ()
       }
   }

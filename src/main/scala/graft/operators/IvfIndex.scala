@@ -406,12 +406,19 @@ object IvfIndex {
           .agg(first(col("cosine")).as("cosine"))
           .localCheckpoint(true)
         sink(hits, batchId)
-        val accepted =
-          if (foldDuplicates) arrivals
-          else arrivals.join(
-            hits.select(col("new_id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-        index.foldIn(batchId, accepted)
+        // fold tail (the r16 Next #2/#3 discipline): nothing rejected →
+        // fold the pinned arrivals with no accept plan; everything
+        // rejected → skip even the builder
+        val nHits = hits.count() // pinned above — a near-noop job
+        if (foldDuplicates || nHits == 0L) index.foldIn(batchId, arrivals)
+        else {
+          val accepted = arrivals.join(
+              hits.select(col("new_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          if (accepted.count() == 0L) index.foldInEmpty(batchId)
+          else index.foldIn(batchId, accepted)
+        }
         ()
       }
   }

@@ -161,13 +161,32 @@ object Similarity {
   def probeBudgetFor(planes: Int): Int =
     math.min(4 * planes + 1, 1 + planes + planes * (planes - 1) / 2)
 
+  /** @param maxRadius perturbation universe: 2 (default — single
+    *   flips and pairs, the r16 shape, results byte-identical) or 3,
+    *   which adds exactly ONE radius-3 perturbation: the triple of the
+    *   query's three NARROWEST margins (VERDICT r16 stretch #8's
+    *   literal question). The full C(n,3) triple universe was measured
+    *   and REJECTED: the summed-margin cost treats a 3-flip bucket
+    *   like any pair, but per-bucket hit probability decays with flip
+    *   count faster than the linear cost captures, so admitted triples
+    *   displaced productive pairs wholesale (recall 0.400 → 0.280 at
+    *   the same budget on the gate corpus). The one cheapest triple
+    *   bounds the displacement to a single bucket.
+    */
   def lshTopKDirected(corpus: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
-                      planes: Int, probeBuckets: Int): DataFrame = {
-    val maxProbes = 1 + planes + planes * (planes - 1) / 2
+                      planes: Int, probeBuckets: Int,
+                      maxRadius: Int = 2): DataFrame = {
+    require(maxRadius == 2 || maxRadius == 3,
+      s"maxRadius=$maxRadius: 2 (singles+pairs) or 3 (+the narrowest " +
+        "triple)")
+    require(maxRadius == 2 || planes >= 3,
+      s"maxRadius=3 needs planes >= 3, got $planes")
+    val maxProbes = 1 + planes + planes * (planes - 1) / 2 +
+      (if (maxRadius == 3) 1 else 0)
     require(probeBuckets >= 1 && probeBuckets <= maxProbes,
       s"probeBuckets=$probeBuckets outside [1, $maxProbes] " +
-        s"(radius <= 2 perturbations of $planes planes)")
+        s"(radius <= $maxRadius perturbations of $planes planes)")
     val bucketed = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("vec"), VectorFunctions.norm(col(vecCol)).as("nrm"),
       VectorFunctions.srpBucket(col(vecCol), planes).as("bucket"))
@@ -189,7 +208,21 @@ object Similarity {
       i <- 0 until planes; j <- (i + 1) until planes
     } yield struct((margin(i) + margin(j)).as("c"),
       lit((1L << i) | (1L << j)).as("m"))
-    val flips = slice(array_sort(array((singles ++ pairs): _*)),
+    val triples =
+      if (maxRadius < 3) Seq.empty
+      else {
+        // the ONE triple of the query's three narrowest margins:
+        // sort the single-flip structs by margin, fold the cheapest
+        // three into a (summed cost, OR'd mask) struct
+        val top3 = slice(array_sort(array(singles: _*)), lit(1), lit(3))
+        Seq(struct(
+          aggregate(top3, lit(0.0d),
+            (acc, x) => acc + x.getField("c")).as("c"),
+          aggregate(top3, lit(0L),
+            (acc, x) => acc.bitwiseOR(x.getField("m"))).as("m")))
+      }
+    val flips = slice(
+      array_sort(array((singles ++ pairs ++ triples): _*)),
       lit(1), lit(probeBuckets - 1))
     val q = broadcast(withProj
       .withColumn("_home", home)

@@ -712,13 +712,38 @@ object SubstrDedup {
           .distinct()
           .localCheckpoint(true)
         sink(hits, batchId)
-        val hitIds = hits.select(col("new_id")).distinct()
-        def accept(df: DataFrame, joinCol: String): DataFrame =
-          if (foldDuplicates) df
-          else df.join(hitIds, col(joinCol) === col("new_id"),
-            "left_anti")
-        index.fps.foldInRows(batchId, accept(batchFps, idCol))
-        index.texts.foldInRows(batchId, accept(arrivals, idCol))
+        // fold tail (VERDICT r16 Next #2): the r16 trigger sweep proved
+        // the winnow fold-in tax is PROPORTIONAL payload mass — the
+        // lockstep fps+texts double fold re-materialized batch-scale
+        // payloads (two accept anti-joins + two delta checkpoints +
+        // counts) every batch. The probe ALREADY pinned both payloads
+        // (`arrivals`, `batchFps`), so:
+        //  - nothing rejected (no hits, or foldDuplicates): the probe's
+        //    own pinned frames ARE the deltas — zero additional
+        //    batch-scale materialization (foldInPinned);
+        //  - everything rejected: no accept plan at all (foldInEmpty);
+        //  - mixed: ONE doc-granularity accept anti-join over the
+        //    pinned arrivals; the fps accept only runs when the
+        //    accepted set is known non-empty.
+        val nHits = hits.count() // pinned above — a near-noop job
+        if (foldDuplicates || nHits == 0L) {
+          index.fps.foldInPinned(batchId, batchFps)
+          index.texts.foldInPinned(batchId, arrivals)
+        } else {
+          val hitIds = hits.select(col("new_id")).distinct()
+          val accepted = arrivals
+            .join(hitIds, col(idCol) === col("new_id"), "left_anti")
+            .localCheckpoint(true)
+          if (accepted.count() == 0L) {
+            index.fps.foldInEmpty(batchId)
+            index.texts.foldInEmpty(batchId)
+          } else {
+            index.fps.foldInRows(batchId,
+              batchFps.join(hitIds, col(idCol) === col("new_id"),
+                "left_anti"))
+            index.texts.foldInPinned(batchId, accepted)
+          }
+        }
         ()
       }
   }
@@ -819,8 +844,17 @@ object SubstrDedup {
         val accepted = cleaned.filter(length(col("clean_text")) > 0)
           .select(col(idCol), col("clean_text").as(textCol))
           .localCheckpoint(true)
-        index.idx.foldIn(batchId, accepted)
-        index.texts.foldIn(batchId, accepted)
+        // fold tail (the r16 Next #2/#3 discipline): a fully-covered
+        // batch folds nothing — skip both builder plans; the text tier
+        // folds the pinned accepted frame directly (its builder is an
+        // identity projection — no second materialization)
+        if (accepted.count() == 0L) {
+          index.idx.foldInEmpty(batchId)
+          index.texts.foldInEmpty(batchId)
+        } else {
+          index.idx.foldIn(batchId, accepted)
+          index.texts.foldInPinned(batchId, accepted)
+        }
         ()
       }
   }

@@ -44,9 +44,27 @@ object CheckpointBridge {
     rdd.localCheckpoint()
     rdd.count() // eager: materialize now, fail now
     val output = qe.analyzed.output
-    val keyAttrs = keys.map(k => output.find(_.name == k).getOrElse(
-      throw new IllegalArgumentException(
-        s"checkpointPartitioned: no column '$k' in ${output.map(_.name)}")))
+    // resolve the key attributes from the repartition's OWN analyzed
+    // partition expressions (ADVICE r16): `repartition` already
+    // resolved the names through the session's resolver (case
+    // sensitivity, duplicate-name binding), so re-resolving here by
+    // exact name could disagree with the shuffle that just ran — the
+    // claimed HashPartitioning must provably use the same attributes,
+    // by exprId, that partitioned the data
+    val keyAttrs = qe.analyzed match {
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression =>
+        r.partitionExpressions.map {
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute => a
+          case other => throw new IllegalStateException(
+            s"checkpointPartitioned: non-attribute partition " +
+              s"expression $other — keys are passed as plain columns, " +
+              "so analysis must resolve them to attributes")
+        }
+      case other => throw new IllegalStateException(
+        "checkpointPartitioned: expected RepartitionByExpression at " +
+          s"the root of the analyzed plan, found ${other.nodeName}")
+    }
     ClassicDataset.ofRows(classic.sparkSession,
       LogicalRDD(output, rdd,
         HashPartitioning(keyAttrs, numPartitions))(classic.sparkSession))

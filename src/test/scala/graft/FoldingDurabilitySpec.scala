@@ -236,6 +236,145 @@ class FoldingDurabilitySpec extends SparkSpec {
       "batch 2 must shed spans folded before the restart")
   }
 
+  test("durable I/O rides the Hadoop FileSystem: a file: URI " +
+      "durablePath works end-to-end (the java.nio layout could not " +
+      "resolve a URI at all)") {
+    val local = tmpDir("hadoop-uri")
+    val uri = s"file://$local" // nio Paths.get(uri, name) would have
+    // produced a literal './file:' relative path, never this directory
+    val writer = FoldingIndex(
+      kv(1L -> "a").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 2, durablePath = Some(uri))
+    writer.foldIn(0L, kv(2L -> "b"))
+    writer.foldIn(1L, kv(3L -> "c")) // trips a compaction through the
+    // Hadoop dropDir path too
+    assert(writer.meta.compactions == 1L)
+    // the layout landed where the Hadoop FS resolves the URI — the
+    // plain local directory — and recovery reads it back via the URI
+    assert(Files.exists(java.nio.file.Paths.get(local, "_meta")))
+    assert(Files.exists(java.nio.file.Paths.get(local, "base-1")))
+    assert(!Files.exists(java.nio.file.Paths.get(local, "base-0")))
+    val recovered = FoldingIndex.recover(spark, uri, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 2)
+    assert(rowsOf(recovered.current) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(recovered.foldIn(1L, kv(9L -> "x")) == 0L,
+      "watermark must survive the URI round-trip")
+  }
+
+  test("apply() fails fast on a durablePath that already holds " +
+      "recoverable state; overwriteDurable discards the WHOLE layout " +
+      "(ADVICE r16)") {
+    val dir = tmpDir("clobber")
+    val first = FoldingIndex(
+      kv(1L -> "a").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 100, durablePath = Some(dir))
+    first.foldIn(0L, kv(2L -> "b"))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "delta-0")))
+    // the constructor must not silently reset the watermark and
+    // orphan delta-0 — recover() is the restart path
+    val ex = intercept[IllegalArgumentException] {
+      FoldingIndex(
+        kv(9L -> "z").repartition(2, col("k")).localCheckpoint(true),
+        builder, bucketCols = Seq("k"), numPartitions = 2,
+        compactEvery = 100, durablePath = Some(dir))
+    }
+    assert(ex.getMessage.contains("recover"))
+    // deliberate overwrite: prior tiers are gone, not orphaned
+    val fresh = FoldingIndex(
+      kv(9L -> "z").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 100, durablePath = Some(dir),
+      overwriteDurable = true)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "delta-0")),
+      "overwrite must discard prior tiers, not orphan them")
+    assert(fresh.meta.folds == 0L)
+    assert(rowsOf(FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2).current) ==
+      Set(9L -> "z"))
+  }
+
+  test("empty folds write NO delta dir but their watermark survives " +
+      "recovery (VERDICT r16 Next #3, durable view)") {
+    val dir = tmpDir("empty-folds")
+    val writer = FoldingIndex(
+      kv(1L -> "a").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 2, durablePath = Some(dir))
+    // two empty folds: with the pre-r17 shape these would have written
+    // two delta dirs AND tripped compactEvery = 2 — a corpus-scale
+    // compaction bought by zero rows
+    assert(writer.foldIn(0L, kv()) == 0L)
+    assert(writer.foldIn(1L, kv()) == 0L)
+    assert(writer.meta.folds == 2L && writer.meta.compactions == 0L)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "delta-0")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "delta-1")))
+    val recovered = FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 2)
+    assert(recovered.meta.folds == 2L && recovered.meta.tiers == 1)
+    // the empty folds' batchIds are WATERMARKED: redelivery skips
+    assert(recovered.foldIn(1L, kv(9L -> "x")) == 0L)
+    assert(recovered.foldIn(2L, kv(3L -> "c")) == 1L)
+  }
+
+  test("mergedFront end-to-end (VERDICT r16 stretch): two sources " +
+      "through ONE durable folding ingest, restart, two NEW sources — " +
+      "a post-restart arrival on source B hits source A's pre-restart " +
+      "fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("merged-restart")
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "the cat sleeps in the warm afternoon sun near the barn"
+    val novel = "a brand new arrival describing bloom filter pruning " +
+      "strategies for sort merge joins on clustered tables"
+    val corpusSigs = Dedup.minhashSignatures(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64)
+    val writer = Dedup.foldingMinhashIndex(corpusSigs, bands = 16,
+      rowsPerBand = 4, numPartitions = 2, durablePath = Some(dir))
+
+    def runMerged(idx: Dedup.FoldingMinhashIndex,
+                  a: Seq[(Long, String)], b: Seq[(Long, String)])
+        : Set[(Long, Long)] = {
+      val srcA = MemoryStream[(Long, String)]
+      val srcB = MemoryStream[(Long, String)]
+      val merged = FoldingIndex.mergedFront(Seq(
+        srcA.toDF().toDF("doc_id", "text"),
+        srcB.toDF().toDF("doc_id", "text")))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_merged_restart").toString
+      val hits =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = Dedup.nearDupIngestStream(merged, "doc_id", "text", idx,
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        ckpt) { (h, _) =>
+        h.collect().foreach(r => hits.add((r.getLong(0), r.getLong(1))))
+      }.start()
+      try {
+        if (a.nonEmpty) { srcA.addData(a: _*); q.processAllAvailable() }
+        if (b.nonEmpty) { srcB.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      hits.toArray(Array.empty[(Long, Long)]).toSet
+    }
+
+    // pre-restart: source A's novel arrival is accepted, folds durably
+    assert(runMerged(writer, Seq((10L, novel)), Seq.empty) == Set.empty)
+    assert(writer.sigs.meta.foldedRows == 1L)
+
+    // restart: recover from disk alone; a NEW merged stream (fresh
+    // checkpoint, fresh sources) delivers a near-dup on source B —
+    // the single-watermark contract must survive merge + recovery
+    val recovered = Dedup.recoverMinhashIndex(spark, dir, bands = 16,
+      rowsPerBand = 4, numPartitions = 2)
+    val got = runMerged(recovered, Seq.empty,
+      Seq((20L, novel.replace("clustered", "bucketed"))))
+    assert(got == Set((20L, 10L)),
+      s"source B must see source A's pre-restart fold, got $got")
+  }
+
   test("column-metadata stamps ride the parquet round-trip: a " +
       "recovered minhash bucket index still satisfies the probe gate") {
     val dir = tmpDir("stamps")

@@ -128,19 +128,25 @@ class FoldingIndexSpec extends SparkSpec {
     assert(plan2.collect().map(_.getLong(0)).toSet == Set(6L))
   }
 
-  test("currentTiers: base always present, empty deltas skipped, " +
-      "per-tier union ≡ current") {
+  test("currentTiers: base always present, empty folds append NO tier " +
+      "(fast path) but still advance the watermark; per-tier union ≡ " +
+      "current") {
     val b: DataFrame => DataFrame = df => df.select(col("k"))
     val fidx = FoldingIndex(Seq(1L, 2L).toDF("k"), b,
       bucketCols = Seq("k"), numPartitions = 2, compactEvery = 100)
     assert(fidx.currentTiers.size == 1)
 
-    // an empty fold appends a zero-row delta: counted as a fold (the
-    // batchId idempotence contract) but SKIPPED by the probe snapshot
-    // — probing a relation that cannot produce rows only adds stages
+    // an empty fold takes the fast path (VERDICT r16 Next #3): counted
+    // as a fold (the batchId idempotence contract — redelivery of
+    // batch 0 must still skip) but NO tier is appended, no compaction
+    // tick is consumed, and the probe snapshot is untouched
     assert(fidx.foldIn(0L, Seq.empty[Long].toDF("k")) == 0L)
-    assert(fidx.meta.folds == 1L && fidx.meta.tiers == 2)
-    assert(fidx.currentTiers.size == 1, "empty delta must be skipped")
+    assert(fidx.meta.folds == 1L && fidx.meta.tiers == 1)
+    assert(fidx.currentTiers.size == 1, "empty fold must append no tier")
+    // watermark advanced: redelivery of batch 0 is a no-op even with
+    // non-empty content
+    assert(fidx.foldIn(0L, Seq(9L).toDF("k")) == 0L)
+    assert(fidx.meta.folds == 1L)
 
     assert(fidx.foldIn(1L, Seq(3L).toDF("k")) == 1L)
     assert(fidx.currentTiers.size == 2)

@@ -91,4 +91,30 @@ class GramHashSpec extends SparkSpec {
       .as[Seq[Long]].collect()
     assert(out.forall(_.isEmpty))
   }
+
+  test("rows: gram views survive mutation of an exactly-spanning " +
+      "input buffer (ADVICE r16 — getBytes aliases the backing array)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // fromBytes over the WHOLE array: getBytes returns the array
+    // itself (no copy) — the aliasing case a reused source buffer hits
+    val buf = "abcdefgh".getBytes("UTF-8")
+    val text = UTF8String.fromBytes(buf)
+    val arr = GramHash.rows(text, 3)
+    val grams = (0 until arr.numElements()).map(i =>
+      arr.getStruct(i, 2).getUTF8String(0).toString)
+    assert(grams == Seq("abc", "bcd", "cde", "def", "efg", "fgh"))
+    // the data source reuses its buffer for the "next record"
+    java.util.Arrays.fill(buf, 'z'.toByte)
+    val after = (0 until arr.numElements()).map(i =>
+      arr.getStruct(i, 2).getUTF8String(0).toString)
+    assert(after == grams,
+      "gram views must not alias a caller-owned buffer")
+    // and the non-aliasing path (offset slice) still avoids per-gram
+    // copies semantically: values match the hostile-unicode contract
+    val slice = UTF8String.fromBytes("xxabcdefghxx".getBytes("UTF-8"), 2, 8)
+    val arr2 = GramHash.rows(slice, 3)
+    val grams2 = (0 until arr2.numElements()).map(i =>
+      arr2.getStruct(i, 2).getUTF8String(0).toString)
+    assert(grams2 == grams)
+  }
 }

@@ -148,5 +148,30 @@ class RecallSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(directedHome == single,
       "probeBuckets=1 must equal the single-bucket probe exactly")
+
+    // narrowest-triple rung (VERDICT r16 stretch #8): at FULL budget
+    // the r3 probe set is the r2 universe plus one bucket, and ranking
+    // is by true cosine — extra candidates can only add true
+    // neighbors, never evict one — so full-budget recall dominates.
+    // (At a FIXED budget the triple DISPLACES a pair; whether that
+    // trades up is the sf10 RecallScale measurement, not a gate-SF
+    // assertion — the full-triple universe already measured as a
+    // wholesale trade-down and was rejected, see lshTopKDirected.)
+    val r2Max = 1 + planes + planes * (planes - 1) / 2
+    val fullR2 = recallOf(graft.operators.Similarity.lshTopKDirected(
+      emb, queries, "vec_id", "embedding", k = 5, planes = planes,
+      probeBuckets = r2Max))
+    val fullR3 = recallOf(graft.operators.Similarity.lshTopKDirected(
+      emb, queries, "vec_id", "embedding", k = 5, planes = planes,
+      probeBuckets = r2Max + 1, maxRadius = 3))
+    val fixedR3 = recallOf(graft.operators.Similarity.lshTopKDirected(
+      emb, queries, "vec_id", "embedding", k = 5, planes = planes,
+      probeBuckets = 1 + 2 * planes, maxRadius = 3))
+    info(f"full-r2 $fullR2%.3f full-r3 $fullR3%.3f " +
+      f"fixed-budget-r3 $fixedR3%.3f")
+    assert(fullR3 >= fullR2,
+      f"radius-3 at full budget reads $fullR3%.3f below radius-2's " +
+        f"full-universe $fullR2%.3f — probing MORE buckets lost a " +
+        "true neighbor, which the cosine ranking makes impossible")
   }
 }
