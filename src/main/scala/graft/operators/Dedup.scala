@@ -448,31 +448,29 @@ object Dedup {
         sink(hits, batchId)
         // fold tail (the r16 Next #2 discipline, minhash modality):
         // when nothing was rejected the probe's pinned batchSigs IS the
-        // accepted set — skip the accept anti-join and its checkpoint;
-        // when everything was rejected, skip even the accept plan. The
-        // sigs tier folds the pinned accepted frame directly
-        // (foldInPinned — an identity projection needs no second
-        // materialization); the buckets tier re-derives band rows, so
-        // it folds through foldInRows.
+        // accepted set — the sigs tier folds it directly (foldInPinned,
+        // an identity projection) and only the band fan-out
+        // materializes. Lazy (non-materialized) deltas were measured
+        // and REJECTED: a delta is probed ~compactEvery times before
+        // compaction collapses it, so deferring the anti-join to probe
+        // time multiplies it by tier lifetime (trigger sweep r17:
+        // winnow fold-in/pinned fell 0.21 -> 0.15 at trigger 3).
         val nHits = hits.count() // pinned above — a near-noop job
         val accepted =
-          if (foldDuplicates || nHits == 0L) batchSigs
+          if (foldDuplicates || nHits == 0L) batchSigs // pinned: no
+          // accept plan at all when nothing was rejected
           else batchSigs.join(
               hits.select(col("new_id").as("id")).distinct(),
               Seq("id"), "left_anti")
             .localCheckpoint(true) // two folds read it
-        val nAccepted =
-          if (foldDuplicates || nHits == 0L) -1L // unknown, non-empty path
-          else accepted.count()
-        if (nAccepted == 0L) {
-          index.buckets.foldInEmpty(batchId)
-          index.sigs.foldInEmpty(batchId)
-        } else {
-          index.buckets.foldInRows(batchId,
-            bandedBuckets(accepted, bands, rowsPerBand))
-          index.sigs.foldInPinned(batchId,
-            accepted.select(col("id"), col("sig")))
-        }
+        // no pre-count gate: appendFold's own count is the empty-fold
+        // fast path, and a pre-gate is one extra job on every
+        // NON-empty batch (the common case) to save two cheap
+        // empty-frame folds on the rare all-rejected one
+        index.buckets.foldInRows(batchId,
+          bandedBuckets(accepted, bands, rowsPerBand))
+        index.sigs.foldInPinned(batchId,
+          accepted.select(col("id"), col("sig")))
         ()
       }
   }

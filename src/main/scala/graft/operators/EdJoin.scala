@@ -669,9 +669,10 @@ object EdJoin {
         sink(hits, batchId)
         // fold tail (the r16 Next #2 discipline, edit modality): when
         // nothing was rejected the probe's pinned batchKeys IS the
-        // accepted key set (foldInPinned — no second materialization);
-        // the texts accept still folds through foldInRows because the
-        // raw batch frame is not pinned. When everything was rejected,
+        // accepted key set (foldInPinned — no second materialization
+        // of the len+1-variant fan-out); otherwise the accepted deltas
+        // materialize once each (lazy deltas measured and rejected —
+        // see the minhash fold tail). When everything was rejected,
         // skip the accept plans entirely.
         val nHits = hits.count() // pinned above — a near-noop job
         val batchTexts =
@@ -680,19 +681,15 @@ object EdJoin {
           index.keys.foldInPinned(batchId, batchKeys)
           index.texts.foldInRows(batchId, batchTexts)
         } else {
+          // no pre-count gate (see the minhash fold tail): appendFold's
+          // own count IS the empty-fold fast path
           val hitIds = hits.select(col("new_id")).distinct()
-          val acceptedTexts = batchTexts
-            .join(hitIds, col("_id") === col("new_id"), "left_anti")
-            .localCheckpoint(true)
-          if (acceptedTexts.count() == 0L) {
-            index.keys.foldInEmpty(batchId)
-            index.texts.foldInEmpty(batchId)
-          } else {
-            index.keys.foldInRows(batchId,
-              batchKeys.join(hitIds, col("_id") === col("new_id"),
-                "left_anti"))
-            index.texts.foldInPinned(batchId, acceptedTexts)
-          }
+          index.keys.foldInRows(batchId,
+            batchKeys.join(hitIds, col("_id") === col("new_id"),
+              "left_anti"))
+          index.texts.foldInRows(batchId,
+            batchTexts.join(hitIds, col("_id") === col("new_id"),
+              "left_anti"))
         }
         ()
       }

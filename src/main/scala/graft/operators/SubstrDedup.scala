@@ -670,11 +670,18 @@ object SubstrDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NO eager arrivals checkpoint (r17): the probe pipeline reads
+        // the micro-batch source lazily — column-pruned and
+        // page-cached — so the ONLY full-text materialization per
+        // batch is the accepted texts DELTA itself (fold tail below).
+        // The r16 shape copied every batch's text to the block store
+        // up front and then copied the accepted subset AGAIN at fold
+        // time; at a ~90%-accept replay that doubled the dominant
+        // payload for nothing.
         val arrivals = batch.select(col(idCol), col(textCol))
-          .localCheckpoint(true)
         val eligible = arrivals.filter(length(col(textCol)) >= minLen)
         val batchFps = fingerprints(eligible, idCol, textCol, minLen, w)
-          .localCheckpoint(true)
+          .localCheckpoint(true) // probe + fold share it: sign ONCE
         val probes = batchFps.select(col("_h"),
           col(idCol).as("new_id"), col("_pos").as("pb"))
         // PER-TIER probing (FoldingIndex.currentTiers): the union
@@ -684,7 +691,7 @@ object SubstrDedup {
         // doc's fingerprints all live in the tier it was folded at, so
         // the (new_id, corpus_id) anchor groups never span tiers and
         // grouping after the union is exact.
-        val cand = index.fps.currentTiers.map { t =>
+        val candPlan = index.fps.currentTiers.map { t =>
           t.select(col("_h"), col(idCol).as("corpus_id"),
               col("_pos").as("pa"))
             .join(probes.hint("shuffle_hash"), Seq("_h"))
@@ -692,11 +699,17 @@ object SubstrDedup {
         }.reduce(_ unionByName _)
           .groupBy(col("new_id"), col("corpus_id"))
           .agg(collect_list(struct(col("pa"), col("pb"))).as("anchors"))
-          // pinned (the scrubSegmentsTiered discipline): the anchor
-          // plan embeds the base-tier fingerprint join; without the
-          // checkpoint each text-tier branch below re-executes it once
-          // per tier if exchange reuse fails to dedupe the subtrees
-          .localCheckpoint(true)
+        // pinned (the scrubSegmentsTiered discipline) — but only when
+        // MORE THAN ONE text tier will consume it: the anchor plan
+        // embeds the base-tier fingerprint join, and without the
+        // checkpoint each text-tier branch below re-executes it once
+        // per tier if exchange reuse fails to dedupe the subtrees.
+        // With a single text tier there is exactly one consumer and
+        // the checkpoint is a pure extra materialization.
+        val cand =
+          if (index.texts.currentTiers.size > 1)
+            candPlan.localCheckpoint(true)
+          else candPlan
         val hits = index.texts.currentTiers.map { t =>
           t.select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
             .join(cand.hint("shuffle_hash"), Seq("corpus_id"))
@@ -712,37 +725,29 @@ object SubstrDedup {
           .distinct()
           .localCheckpoint(true)
         sink(hits, batchId)
-        // fold tail (VERDICT r16 Next #2): the r16 trigger sweep proved
-        // the winnow fold-in tax is PROPORTIONAL payload mass — the
-        // lockstep fps+texts double fold re-materialized batch-scale
-        // payloads (two accept anti-joins + two delta checkpoints +
-        // counts) every batch. The probe ALREADY pinned both payloads
-        // (`arrivals`, `batchFps`), so:
-        //  - nothing rejected (no hits, or foldDuplicates): the probe's
-        //    own pinned frames ARE the deltas — zero additional
-        //    batch-scale materialization (foldInPinned);
-        //  - everything rejected: no accept plan at all (foldInEmpty);
-        //  - mixed: ONE doc-granularity accept anti-join over the
-        //    pinned arrivals; the fps accept only runs when the
-        //    accepted set is known non-empty.
+        // fold tail (VERDICT r16 Next #2): each tier's accepted delta
+        // materializes exactly ONCE — the fps accept rides the pinned
+        // batchFps (signed once, shared with the probe), the texts
+        // accept reads the source lazily so its delta checkpoint is
+        // the batch's FIRST and only full-text copy. Lazy
+        // (non-materialized) deltas were measured and rejected: a
+        // delta is probed ~compactEvery times before compaction, so
+        // deferring the anti-join to probe time multiplies it by tier
+        // lifetime (r17 sweep: winnow ratio fell 0.21 -> 0.15 at
+        // trigger 3).
         val nHits = hits.count() // pinned above — a near-noop job
         if (foldDuplicates || nHits == 0L) {
+          // nothing rejected: the pinned fps frame IS its delta
           index.fps.foldInPinned(batchId, batchFps)
-          index.texts.foldInPinned(batchId, arrivals)
+          index.texts.foldInRows(batchId, arrivals)
         } else {
           val hitIds = hits.select(col("new_id")).distinct()
-          val accepted = arrivals
-            .join(hitIds, col(idCol) === col("new_id"), "left_anti")
-            .localCheckpoint(true)
-          if (accepted.count() == 0L) {
-            index.fps.foldInEmpty(batchId)
-            index.texts.foldInEmpty(batchId)
-          } else {
-            index.fps.foldInRows(batchId,
-              batchFps.join(hitIds, col(idCol) === col("new_id"),
-                "left_anti"))
-            index.texts.foldInPinned(batchId, accepted)
-          }
+          index.fps.foldInRows(batchId,
+            batchFps.join(hitIds, col(idCol) === col("new_id"),
+              "left_anti"))
+          index.texts.foldInRows(batchId,
+            arrivals.join(hitIds, col(idCol) === col("new_id"),
+              "left_anti"))
         }
         ()
       }

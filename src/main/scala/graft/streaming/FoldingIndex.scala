@@ -285,9 +285,22 @@ final class FoldingIndex private (
     * copy of the payload IS the delta tier (VERDICT r16 Next #2: the
     * fold must not re-materialize what the batch already pinned). The
     * count is a near-noop job over block-manager partitions. `rows`
-    * MUST outlive the batch (checkpointed, or a projection rooted at a
-    * checkpoint); a raw foreachBatch plan would be unreadable after
+    * MUST outlive the batch (checkpointed, or a plan rooted ONLY at
+    * checkpoints); a raw foreachBatch plan would be unreadable after
     * its batch ends.
+    *
+    * Lazy-delta contract: a PROJECTION over pinned frames (e.g. the
+    * accept anti-join of a probe's pinned batch against its pinned
+    * hits) is a first-class delta — fold time executes it exactly once
+    * for the count and copies nothing; every later probe of the tier
+    * re-executes it on top of the pinned scan. That trade is right
+    * when the projection is micro-batch-scale and the alternative is
+    * re-materializing a batch-scale payload per fold; compaction
+    * collapses the accumulated projections back into one pinned
+    * relation every `compactEvery` folds, bounding the re-execution
+    * depth. The projection must be DETERMINISTIC (checkpoint-rooted
+    * joins/filters/maps are; sampling is not) or tier content would
+    * drift between probes.
     */
   def foldInPinned(batchId: Long, rows: DataFrame): Long = synchronized {
     if (batchId <= lastBatchId) 0L
