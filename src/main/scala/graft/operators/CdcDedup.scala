@@ -298,8 +298,12 @@ object CdcDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // no eager arrivals checkpoint (the r17 winnow discipline):
+        // scrubSegmentsTiered reads arrivals twice (segment pass +
+        // rebuild pass) — two column-pruned, page-cached source scans
+        // beat a full-text block-store copy per batch; `cleaned` below
+        // is the batch's only full-text materialization
         val arrivals = batch.select(col(idCol), col(textCol))
-          .localCheckpoint(true)
         val cleaned = scrubSegmentsTiered(arrivals, idCol, textCol,
           index.currentTiers, divisor).localCheckpoint(true)
         sink(cleaned, batchId)

@@ -839,8 +839,11 @@ object SubstrDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // no eager arrivals checkpoint (the r17 winnow discipline):
+        // the covered-span probe and the cut each re-read the source
+        // lazily; `cleaned` below is the batch's only full-text
+        // materialization
         val arrivals = batch.select(col(idCol), col(textCol))
-          .localCheckpoint(true)
         val cleaned = applyCut(arrivals, idCol, textCol,
           coveredByCorpusTiered(arrivals, idCol, textCol,
             index.idx.currentTiers, index.texts.currentTiers, L), L)
