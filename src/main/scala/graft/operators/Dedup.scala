@@ -415,17 +415,22 @@ object Dedup {
         // read path): a corpus id's buckets and signature live in the
         // tier it folded at, so the unioned candidate set and the
         // per-tier sig joins partition the hit set exactly
-        val cands = index.buckets.currentTiers.map { t =>
+        val candPlan = index.buckets.currentTiers.map { t =>
           t.join(probes.hint("shuffle_hash"), Seq("band", "band_hash"))
             .filter(col("new_id") =!= col("id"))
             .select(col("new_id"), col("id").as("corpus_id"))
         }.reduce(_ unionByName _)
           .distinct()
-          // pinned (the scrubSegmentsTiered discipline): the candidate
-          // plan embeds the base-tier bucket join; without the
-          // checkpoint each sig-tier branch below re-executes it once
-          // per tier if exchange reuse fails to dedupe the subtrees
-          .localCheckpoint(true)
+        // pinned (the scrubSegmentsTiered discipline) — but only when
+        // MORE THAN ONE sig tier consumes it: the candidate plan
+        // embeds the base-tier bucket join, and without the checkpoint
+        // each sig-tier branch below re-executes it once per tier if
+        // exchange reuse fails to dedupe the subtrees; with a single
+        // sig tier the checkpoint is a pure extra materialization
+        val cands =
+          if (index.sigs.currentTiers.size > 1)
+            candPlan.localCheckpoint(true)
+          else candPlan
         val hits = index.sigs.currentTiers.map { t =>
           t.select(col("id").as("corpus_id"), col("sig").as("corpus_sig"))
             .join(cands.hint("shuffle_hash"), Seq("corpus_id"))

@@ -636,18 +636,23 @@ object EdJoin {
         // variants live in exactly one tier, so the unioned candidate
         // set (and its distinct) is identical to the union-relation
         // join's.
-        val cands = index.keys.currentTiers.map { t =>
+        val candPlan = index.keys.currentTiers.map { t =>
           t.select(col("_key"), col("_id").as("corpus_id"))
             .join(probes.hint("shuffle_hash"), Seq("_key"))
             .filter(col("new_id") =!= col("corpus_id"))
             .select(col("new_id"), col("new_str"), col("corpus_id"))
         }.reduce(_ unionByName _)
           .distinct()
-          // pinned (the scrubSegmentsTiered discipline): the candidate
-          // plan embeds the base-tier key join; without the checkpoint
-          // each text-tier branch below re-executes it once per tier
-          // if exchange reuse fails to dedupe the subtrees
-          .localCheckpoint(true)
+        // pinned (the scrubSegmentsTiered discipline) — but only when
+        // MORE THAN ONE text tier consumes it: the candidate plan
+        // embeds the base-tier key join, and without the checkpoint
+        // each text-tier branch below re-executes it once per tier if
+        // exchange reuse fails to dedupe the subtrees; with a single
+        // text tier the checkpoint is a pure extra materialization
+        val cands =
+          if (index.texts.currentTiers.size > 1)
+            candPlan.localCheckpoint(true)
+          else candPlan
         // candidates hash-build; each folded text tier streams through
         // its own partitioning (a corpus id's text lives in one tier,
         // so the per-tier inner joins partition the hit set)
