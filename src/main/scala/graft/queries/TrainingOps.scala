@@ -266,6 +266,19 @@ object TrainingOps extends QueryPack {
         "vec_id", "embedding", k = 5, planes = planes,
         probeBuckets = Similarity.probeBudgetFor(planes))
     },
+    "s18_lsh_directed_r3_topk" -> { (s, dir) =>
+      // s17 plus the ONE radius-3 perturbation (the query's three
+      // narrowest margins) at the SAME bucket budget — the tier's
+      // measured ceiling (sf10: 0.334 vs s17's 0.322, r17 recall
+      // artifact). Same rows-only check class as s17; RecallSpec pins
+      // full-budget dominance and the fixed-budget reading.
+      val emb = t(s, dir, "embeddings")
+      val planes = Similarity.planesFor(embCount(s, dir), floor = 4)
+      Similarity.lshTopKDirected(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, planes = planes,
+        probeBuckets = Similarity.probeBudgetFor(planes),
+        maxRadius = 3)
+    },
     "d11_dedup_survivors" -> { (s, dir) =>
       // full dedup decision: minhash pairs → connected components →
       // one survivor per near-dup cluster (signatures shared with d06)
