@@ -71,6 +71,11 @@ class BroadcastGateSpec extends SparkSpec {
     // the bench surface 5 queries × ≤53 buckets); the corpus side
     // never explodes. Same class as lshTopK's radius-1 probe list.
     "s17_lsh_directed_topk" ->
+      "bounded (query-side probe-list explode, ≤ queries×probeBuckets)",
+    // r17: s17 plus ONE radius-3 bucket per query at the same budget —
+    // identical adjudication, the explode stays query-side and the
+    // probe list grows by at most one mask
+    "s18_lsh_directed_r3_topk" ->
       "bounded (query-side probe-list explode, ≤ queries×probeBuckets)")
 
   test("no query outside the adjudicated allowlist broadcasts a " +
