@@ -286,6 +286,15 @@ object CdcDedup {
     * multiplicities (its `n_segs` count) exact. Probe-after-fold ≡
     * scrub-against-rebuilt-index on reference ∪ accepted-cleaned docs
     * (`FoldingIngestSpec`).
+    *
+    * SOURCE CONTRACT (ADVICE r17): the micro-batch source plan is read
+    * more than once per batch ([[scrubSegmentsTiered]]'s segment pass
+    * + rebuild pass) instead of being checkpointed up front — the
+    * measured r17 win. The source must therefore re-execute
+    * DETERMINISTICALLY within a batch (file sources; Kafka inside its
+    * retention window). A non-replayable or retention-expiring source
+    * could yield inconsistent segment and rebuild passes — front it
+    * with a durable staging sink, or checkpoint arrivals upstream.
     */
   def segmentIngestStream(stream: DataFrame, idCol: String,
       textCol: String, index: graft.streaming.FoldingIndex,

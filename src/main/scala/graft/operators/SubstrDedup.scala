@@ -647,6 +647,13 @@ object SubstrDedup {
     * [[anchorsVerified]] predicate, same string-free candidate join —
     * so probe-after-fold ≡ probe-against-rebuilt-index
     * (`FoldingIngestSpec`).
+    *
+    * SOURCE CONTRACT (ADVICE r17): the micro-batch source plan is read
+    * more than once per batch (fingerprint pass + accepted-texts fold)
+    * instead of being checkpointed up front — the measured r17 win.
+    * The source must therefore re-execute DETERMINISTICALLY within a
+    * batch (file sources; Kafka inside retention). Front a
+    * non-replayable source with a durable staging sink first.
     */
   def repeatIngestStream(stream: DataFrame, idCol: String,
       textCol: String, index: FoldingRepeatIndex, minLen: Int, w: Int,
@@ -819,6 +826,16 @@ object SubstrDedup {
     * with exactly what survived the door. Representatives of folded
     * docs point into their CLEANED text, which is what the folded text
     * tier holds — the verification contract stays exact.
+    *
+    * SOURCE CONTRACT (ADVICE r17): the micro-batch source plan is read
+    * MORE THAN ONCE per batch (covered-span probe + cut) instead of
+    * being checkpointed up front — the measured r17 win. Correctness
+    * therefore requires the source to re-execute DETERMINISTICALLY
+    * within a batch: true of file sources and of Kafka inside its
+    * retention window; a non-replayable source (a socket, a topic
+    * aging past retention mid-batch) could yield inconsistent probe
+    * and cut passes. Front such a source with a durable staging sink,
+    * or checkpoint arrivals upstream, before this ingest.
     */
   def scrubIngestStream(stream: DataFrame, idCol: String,
       textCol: String, index: FoldingScrubIndex, L: Int,

@@ -18,6 +18,10 @@ class PinnedSpec extends SparkSpec {
   import spark.implicits._
 
   private def assertNoExchangeAboveScan(df: DataFrame): Unit = {
+    // restore the PRIOR value, not a hard-coded "true" (ADVICE r17:
+    // a literal restore silently flips session config for any suite
+    // running with AQE disabled)
+    val prior = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = df.queryExecution.executedPlan
@@ -29,7 +33,10 @@ class PinnedSpec extends SparkSpec {
           plan.treeString.take(2000))
       assert(plan.collect { case r: RDDScanExec => r }.nonEmpty,
         "the pinned relation must appear in the plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("a keyed aggregation over the pinned frame plans zero exchanges") {
