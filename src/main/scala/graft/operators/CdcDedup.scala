@@ -346,7 +346,8 @@ object CdcDedup {
       df => segmentIndex(df, idCol, textCol, divisor),
       bucketCols = Seq("_d"), numPartitions = numPartitions,
       compactEvery = compactEvery, dedupKeyCols = Seq("_d"),
-      durablePath = durablePath)
+      durablePath = durablePath,
+      builderTag = s"cdc-segments-d$divisor")
 
   /** Resume a durable segment index in a fresh session
     * ([[graft.streaming.FoldingIndex.recover]]; the divisor stamp
@@ -361,7 +362,8 @@ object CdcDedup {
       df => segmentIndex(df, idCol, textCol, divisor),
       bucketCols = Seq("_d"), numPartitions = numPartitions,
       compactEvery = compactEvery, dedupKeyCols = Seq("_d"),
-      resetWatermark = resetWatermark)
+      resetWatermark = resetWatermark,
+      builderTag = s"cdc-segments-d$divisor")
 
   /** Fixed-width overlapping chunks with provenance — the context-window
     * shaping step of a training pipeline: `(id, chunk_idx, start_word,

@@ -260,7 +260,8 @@ object Decontam {
         df => gramIndexRows(df, idCol, textCol),
         bucketCols = Seq("h8"), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/idx")),
+        durablePath = durablePath.map(p => s"$p/idx"),
+        builderTag = "decontam-idx"),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(
           idxBase.groupBy(col("h8")).agg(count(lit(1)).as("df")),
@@ -271,7 +272,8 @@ object Decontam {
         compactEvery = compactEvery,
         compactor = Some(df => df.groupBy(col("h8"))
           .agg(sum(col("df")).as("df"))),
-        durablePath = durablePath.map(p => s"$p/df")),
+        durablePath = durablePath.map(p => s"$p/df"),
+        builderTag = "decontam-df"),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(
           train.select(col(idCol).as("train_id"),
@@ -281,7 +283,8 @@ object Decontam {
           col(textCol).as("train_text")),
         bucketCols = Seq("train_id"), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/texts")),
+        durablePath = durablePath.map(p => s"$p/texts"),
+        builderTag = "decontam-texts"),
       idCol, textCol)
   }
 
@@ -297,7 +300,8 @@ object Decontam {
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/idx",
         df => gramIndexRows(df, idCol, textCol),
         bucketCols = Seq("h8"), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = "decontam-idx"),
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/df",
         df => gramIndexRows(df, idCol, textCol)
           .groupBy(col("h8")).agg(count(lit(1)).as("df")),
@@ -305,12 +309,14 @@ object Decontam {
         compactEvery = compactEvery,
         compactor = Some(df => df.groupBy(col("h8"))
           .agg(sum(col("df")).as("df"))),
-        resetWatermark = resetWatermark),
+        resetWatermark = resetWatermark,
+        builderTag = "decontam-df"),
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
         df => df.select(col(idCol).as("train_id"),
           col(textCol).as("train_text")),
         bucketCols = Seq("train_id"), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = "decontam-texts"),
       idCol, textCol)
 
   /** [[probeStream]] against a GROWING train index: the folding

@@ -314,14 +314,16 @@ object Dedup {
         df => bandedBuckets(df, bands, rowsPerBand),
         bucketCols = Seq("band", "band_hash"),
         numPartitions = numPartitions, compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/buckets")),
+        durablePath = durablePath.map(p => s"$p/buckets"),
+        builderTag = s"minhash-buckets-b${bands}r$rowsPerBand"),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(corpusSigs.select(col("id"), col("sig")),
           numPartitions, "id"),
         df => df.select(col("id"), col("sig")),
         bucketCols = Seq("id"), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/sigs")),
+        durablePath = durablePath.map(p => s"$p/sigs"),
+        builderTag = "minhash-sigs"),
       bands, rowsPerBand)
 
   /** Resume a durable [[FoldingMinhashIndex]] from disk in a fresh
@@ -341,11 +343,13 @@ object Dedup {
         df => bandedBuckets(df, bands, rowsPerBand),
         bucketCols = Seq("band", "band_hash"),
         numPartitions = numPartitions, compactEvery = compactEvery,
-        resetWatermark = resetWatermark),
+        resetWatermark = resetWatermark,
+        builderTag = s"minhash-buckets-b${bands}r$rowsPerBand"),
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/sigs",
         df => df.select(col("id"), col("sig")),
         bucketCols = Seq("id"), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = "minhash-sigs"),
       bands, rowsPerBand)
 
   /** [[nearDupProbeStream]] with INCREMENTAL INDEX MAINTENANCE — the

@@ -441,7 +441,8 @@ object IvfIndex {
         numPartitions, "centroid_id"),
       df => buildSemanticIndex(df, idCol, vecCol, centroids),
       bucketCols = Seq("centroid_id"), numPartitions = numPartitions,
-      compactEvery = compactEvery, durablePath = durablePath)
+      compactEvery = compactEvery, durablePath = durablePath,
+      builderTag = "ivf-semantic")
 
   /** Resume a durable semantic index in a fresh session. `centroids`
     * must be the SAME pinned trained family the writer assigned under
@@ -458,5 +459,6 @@ object IvfIndex {
     graft.streaming.FoldingIndex.recover(spark, durablePath,
       df => buildSemanticIndex(df, idCol, vecCol, centroids),
       bucketCols = Seq("centroid_id"), numPartitions = numPartitions,
-      compactEvery = compactEvery, resetWatermark = resetWatermark)
+      compactEvery = compactEvery, resetWatermark = resetWatermark,
+      builderTag = "ivf-semantic")
 }

@@ -609,14 +609,16 @@ object SubstrDedup {
         df => fingerprints(df, idCol, textCol, minLen, w),
         bucketCols = Seq("_h"), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/fps")),
+        durablePath = durablePath.map(p => s"$p/fps"),
+        builderTag = s"winnow-fps-m${minLen}w$w"),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(corpus.select(col(idCol), col(textCol)),
           numPartitions, idCol),
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/texts")),
+        durablePath = durablePath.map(p => s"$p/texts"),
+        builderTag = "winnow-texts"),
       minLen, w)
 
   /** Resume a durable [[FoldingRepeatIndex]] in a fresh session (both
@@ -631,11 +633,13 @@ object SubstrDedup {
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/fps",
         df => fingerprints(df, idCol, textCol, minLen, w),
         bucketCols = Seq("_h"), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = s"winnow-fps-m${minLen}w$w"),
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = "winnow-texts"),
       minLen, w)
 
   /** [[repeatProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT
@@ -789,14 +793,16 @@ object SubstrDedup {
         df => scrubIndex(df, idCol, textCol, L),
         bucketCols = Seq("_gh"), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/idx")),
+        durablePath = durablePath.map(p => s"$p/idx"),
+        builderTag = s"scrub-idx-L$L"),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(reference.select(col(idCol), col(textCol)),
           numPartitions, idCol),
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/texts")),
+        durablePath = durablePath.map(p => s"$p/texts"),
+        builderTag = "scrub-texts"),
       L)
 
   /** Resume a durable [[FoldingScrubIndex]] in a fresh session (both
@@ -811,11 +817,13 @@ object SubstrDedup {
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/idx",
         df => scrubIndex(df, idCol, textCol, L),
         bucketCols = Seq("_gh"), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = s"scrub-idx-L$L"),
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
         df => df.select(col(idCol), col(textCol)),
         bucketCols = Seq(idCol), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = "scrub-texts"),
       L)
 
   /** [[scrubProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT

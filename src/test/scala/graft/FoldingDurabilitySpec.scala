@@ -292,7 +292,8 @@ class FoldingDurabilitySpec extends SparkSpec {
       "overwrite must discard prior tiers, not orphan them")
     assert(fresh.meta.folds == 0L)
     assert(rowsOf(FoldingIndex.recover(spark, dir, builder,
-      bucketCols = Seq("k"), numPartitions = 2).current) ==
+      bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 100).current) ==
       Set(9L -> "z"))
   }
 
@@ -373,6 +374,54 @@ class FoldingDurabilitySpec extends SparkSpec {
       Seq((20L, novel.replace("clustered", "bucketed"))))
     assert(got == Set((20L, 10L)),
       s"source B must see source A's pre-restart fold, got $got")
+  }
+
+  test("writer identity is stamped in the durable meta: recover() " +
+      "refuses a mismatched builder tag or knob set, naming both " +
+      "sides (VERDICT r17 Next #5)") {
+    val dir = tmpDir("identity")
+    val writer = FoldingIndex(
+      kv(1L -> "a").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 4, durablePath = Some(dir),
+      builderTag = "kv-spec-v1")
+    writer.foldIn(0L, kv(2L -> "b"))
+    // the matching recovery works
+    assert(rowsOf(FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 4,
+      builderTag = "kv-spec-v1").current) ==
+      Set(1L -> "a", 2L -> "b"))
+    // a wrong TAG fails fast, naming writer and caller — the check a
+    // builder lambda itself cannot provide
+    val tagEx = intercept[IllegalArgumentException] {
+      FoldingIndex.recover(spark, dir, builder,
+        bucketCols = Seq("k"), numPartitions = 2, compactEvery = 4,
+        builderTag = "kv-spec-v2")
+    }
+    assert(tagEx.getMessage.contains("kv-spec-v1") &&
+      tagEx.getMessage.contains("kv-spec-v2"))
+    // and so does every stored knob: bucketCols, numPartitions,
+    // compactEvery, dedupKeyCols
+    assert(intercept[IllegalArgumentException] {
+      FoldingIndex.recover(spark, dir, builder,
+        bucketCols = Seq("v"), numPartitions = 2, compactEvery = 4,
+        builderTag = "kv-spec-v1")
+    }.getMessage.contains("bucketCols"))
+    assert(intercept[IllegalArgumentException] {
+      FoldingIndex.recover(spark, dir, builder,
+        bucketCols = Seq("k"), numPartitions = 3, compactEvery = 4,
+        builderTag = "kv-spec-v1")
+    }.getMessage.contains("numPartitions"))
+    assert(intercept[IllegalArgumentException] {
+      FoldingIndex.recover(spark, dir, builder,
+        bucketCols = Seq("k"), numPartitions = 2, compactEvery = 5,
+        builderTag = "kv-spec-v1")
+    }.getMessage.contains("compactEvery"))
+    assert(intercept[IllegalArgumentException] {
+      FoldingIndex.recover(spark, dir, builder,
+        bucketCols = Seq("k"), numPartitions = 2, compactEvery = 4,
+        dedupKeyCols = Seq("k"), builderTag = "kv-spec-v1")
+    }.getMessage.contains("dedupKeyCols"))
   }
 
   test("column-metadata stamps ride the parquet round-trip: a " +
