@@ -543,9 +543,29 @@ object EdJoin {
                                   texts: graft.streaming.FoldingIndex,
                                   k: Int)
 
-  /** Build the [[FoldingEdIndex]]: keys = [[deletionKeys]] output
-    * `_key`-bucketed (the probe join's partitioning), texts = the
-    * corpus (id, str) relation `_id`-bucketed.
+  /** STRING-FREE folding key rows: [[deletionKeys]] projected to
+    * (_key, _id) — the winnow fps/texts split applied to the edit
+    * modality (VERDICT r17 Next #1). The r17 keys tier folded FULL
+    * deletionKeys output, so every ≤k-deletion variant row carried the
+    * document head VERBATIM: a ~(len+1)× replicated copy of every text
+    * materialized into the batch checkpoint at probe time, written
+    * again as the delta parquet, and — the per-batch term — re-read
+    * from block-store tiers on EVERY later batch's candidate join
+    * (checkpointed rows are stored whole; only a COLUMNAR cache could
+    * prune `_str` at scan, which is why the pinned probe never paid
+    * this). The candidate join itself only ever needed (_key, _id);
+    * texts for the few verified candidates live in the `texts` tier.
+    * The k stamp rides `_key`'s metadata through the projection, so
+    * [[editIngestStream]]'s gate still holds.
+    */
+  private def foldingKeyRows(strs: DataFrame, idCol: String,
+      strCol: String, k: Int): DataFrame =
+    deletionKeys(strs, idCol, strCol, k).select(col("_key"), col("_id"))
+
+  /** Build the [[FoldingEdIndex]]: keys = string-free
+    * [[foldingKeyRows]] `_key`-bucketed (the probe join's
+    * partitioning), texts = the corpus (id, str) relation
+    * `_id`-bucketed.
     */
   def foldingEdIndex(corpus: DataFrame, idCol: String, strCol: String,
       k: Int, numPartitions: Int, compactEvery: Int = 16,
@@ -554,12 +574,13 @@ object EdJoin {
       graft.streaming.FoldingIndex(
         // Pinned.byKey: a plain repartition+localCheckpoint reports
         // UnknownPartitioning under AQE (Pinned scaladoc)
-        graft.Pinned.byKey(deletionKeys(corpus, idCol, strCol, k),
+        graft.Pinned.byKey(foldingKeyRows(corpus, idCol, strCol, k),
           numPartitions, "_key"),
-        df => deletionKeys(df, idCol, strCol, k),
+        df => foldingKeyRows(df, idCol, strCol, k),
         bucketCols = Seq("_key"), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/keys")),
+        durablePath = durablePath.map(p => s"$p/keys"),
+        builderTag = s"edjoin-keys-k$k"),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(
           corpus.select(col(idCol).as("_id"), col(strCol).as("_str")),
@@ -567,7 +588,8 @@ object EdJoin {
         df => df.select(col(idCol).as("_id"), col(strCol).as("_str")),
         bucketCols = Seq("_id"), numPartitions = numPartitions,
         compactEvery = compactEvery,
-        durablePath = durablePath.map(p => s"$p/texts")),
+        durablePath = durablePath.map(p => s"$p/texts"),
+        builderTag = "edjoin-texts"),
       k)
 
   /** Resume a durable [[FoldingEdIndex]] in a fresh session (both
@@ -580,29 +602,47 @@ object EdJoin {
       resetWatermark: Boolean = false): FoldingEdIndex =
     FoldingEdIndex(
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/keys",
-        df => deletionKeys(df, idCol, strCol, k),
+        df => foldingKeyRows(df, idCol, strCol, k),
         bucketCols = Seq("_key"), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = s"edjoin-keys-k$k"),
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/texts",
         df => df.select(col(idCol).as("_id"), col(strCol).as("_str")),
         bucketCols = Seq("_id"), numPartitions = numPartitions,
-        compactEvery = compactEvery, resetWatermark = resetWatermark),
+        compactEvery = compactEvery, resetWatermark = resetWatermark,
+        builderTag = "edjoin-texts"),
       k)
 
   /** [[editProbeStream]] with INCREMENTAL INDEX MAINTENANCE (VERDICT
     * r14 Next #1, character-edit modality): each micro-batch's
-    * deletion variants are built ONCE (they feed the probe AND the
-    * fold), probed against the CURRENT folding key index, hits
-    * emitted, and the accepted (no-hit) arrivals' variants and texts
-    * folded in for the next batches.
+    * deletion-variant KEYS are built once (string-free — they feed
+    * the probe AND the key fold), probed against the CURRENT folding
+    * key index, hits emitted, and the accepted (no-hit) arrivals'
+    * keys and texts folded in for the next batches.
     *
-    * Differences from the pinned-index probe, both deliberate: the
+    * Differences from the pinned-index probe, all deliberate: the
     * corpus TEXT relation is the folding text index (corpus-scaled, so
     * the candidate join hash-builds on the CANDIDATE side rather than
     * broadcasting), and the driver-side length-profile prefilters are
     * dropped — they are a pinned-corpus optimization whose profile
     * would go stale under fold-in; correctness never depended on them
     * (they only pruned probes that could match nothing).
+    *
+    * r18 plan shape (the winnow string-free discipline): the variant
+    * join carries NO text on either side — candidate (new_id,
+    * corpus_id) pairs dedup BEFORE any text is fetched (a pair meets
+    * on up to k+1 shared variants; r17 deduped rows still carrying
+    * new_str), the batch texts join back from a lazy column-pruned
+    * source re-read, and corpus texts stream from the text tiers
+    * against a candidate-side hash build. The r17 shape instead
+    * checkpointed FULL deletionKeys output per batch — the (len+1)×
+    * variant fan-out with the head string aboard on every row — and
+    * folded that as the keys delta, so the text payload was
+    * materialized ~(len+1)× per batch and re-deserialized from every
+    * key tier on all later batches. SOURCE CONTRACT (ADVICE r17): the
+    * micro-batch source is read twice per batch (variant keys + text
+    * fetch/fold) and must re-execute deterministically within the
+    * batch (file sources; Kafka inside retention).
     */
   def editIngestStream(stream: DataFrame, idCol: String, strCol: String,
       index: FoldingEdIndex, k: Int, checkpoint: String,
@@ -623,11 +663,15 @@ object EdJoin {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val batchKeys = deletionKeys(
+        // STRING-FREE batch keys (r18, the dominant r17 term): the
+        // (len+1)-variant fan-out materializes as 16-byte (_key, _id)
+        // rows — never carrying the head text it used to replicate
+        // onto every variant row. Probe and key fold share the pin.
+        val batchKeys = foldingKeyRows(
           batch.select(col(idCol), col(strCol)), idCol, strCol, k)
           .localCheckpoint(true)
         val probes = batchKeys.select(col("_key"),
-          col("_id").as("new_id"), col("_str").as("new_str"))
+          col("_id").as("new_id"))
         // PER-TIER probing (the FoldingIndex.currentTiers contract): a
         // probe against the union relation re-exchanges the
         // corpus-scale key index every batch, because Union drops the
@@ -635,40 +679,49 @@ object EdJoin {
         // the base join exchange-free on the corpus side; a string's
         // variants live in exactly one tier, so the unioned candidate
         // set (and its distinct) is identical to the union-relation
-        // join's.
+        // join's. Pair-dedup runs HERE, before any text is fetched —
+        // a true pair meets on up to k+1 shared variants, and the r17
+        // shape deduped rows already carrying new_str.
         val candPlan = index.keys.currentTiers.map { t =>
           t.select(col("_key"), col("_id").as("corpus_id"))
             .join(probes.hint("shuffle_hash"), Seq("_key"))
             .filter(col("new_id") =!= col("corpus_id"))
-            .select(col("new_id"), col("new_str"), col("corpus_id"))
+            .select(col("new_id"), col("corpus_id"))
         }.reduce(_ unionByName _)
           .distinct()
+        // batch texts join back from the lazy source re-read
+        // (column-pruned, page-cached — the r17 source-lazy
+        // discipline); both sides are micro-batch-scale
+        val withNewPlan = candPlan.join(
+          batch.select(col(idCol).as("new_id"),
+            col(strCol).as("new_str")).hint("shuffle_hash"),
+          Seq("new_id"))
         // pinned (the scrubSegmentsTiered discipline) — but only when
         // MORE THAN ONE text tier consumes it: the candidate plan
         // embeds the base-tier key join, and without the checkpoint
         // each text-tier branch below re-executes it once per tier if
         // exchange reuse fails to dedupe the subtrees; with a single
         // text tier the checkpoint is a pure extra materialization
-        val cands =
+        val withNew =
           if (index.texts.currentTiers.size > 1)
-            candPlan.localCheckpoint(true)
-          else candPlan
+            withNewPlan.localCheckpoint(true)
+          else withNewPlan
         // candidates hash-build; each folded text tier streams through
         // its own partitioning (a corpus id's text lives in one tier,
         // so the per-tier inner joins partition the hit set)
         val hits = index.texts.currentTiers.map { t =>
           t.select(col("_id").as("corpus_id"), col("_str").as("corpus_str"))
-            .join(cands.hint("shuffle_hash"), Seq("corpus_id"))
+            .join(withNew.hint("shuffle_hash"), Seq("corpus_id"))
         }.reduce(_ unionByName _)
           .withColumn("dist",
             levenshtein(col("new_str"), col("corpus_str"), k))
           .filter(col("dist") >= 0)
           .select(col("new_id"), col("corpus_id"), col("dist"))
-          // pair-dedup: a re-delivered accepted id (self-matches are
-          // id-filtered, so the copy re-folds) puts its text in two
-          // tiers, and the per-tier text joins would emit the pair
-          // once per tier; dist is deterministic, so distinct
-          // collapses the copies
+          // pair-dedup AGAIN, post-verification: a re-delivered
+          // accepted id (self-matches are id-filtered, so the copy
+          // re-folds) puts its text in two tiers, and the per-tier
+          // text joins would emit the pair once per tier; dist is
+          // deterministic, so distinct collapses the copies
           .distinct()
           .localCheckpoint(true)
         sink(hits, batchId)

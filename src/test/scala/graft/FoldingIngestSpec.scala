@@ -53,34 +53,49 @@ class FoldingIngestSpec extends SparkSpec {
     assert(got == Set((10L, 1L, 1), (12L, 11L, 1)),
       s"expected corpus + earlier-arrival hits, got $got")
 
-    // probe-after-fold ≡ probe-against-rebuilt on a fresh probe set
+    // fold-state ≡ rebuilt-state, tier by tier (stronger than one
+    // probe's hit equality, and the r18 string-free keys tier makes
+    // the keys check exact set equality of 16-byte rows): the texts
+    // tier must hold corpus ∪ accepted arrivals, and the keys tier
+    // must equal the string-free deletion keys of EXACTLY that
+    // relation — every probe result equality follows
+    val acceptedCorpus = Set(
+      (1L, "Customer#000000042"), (2L, "Supplier#000000777"),
+      (11L, "Widget#00000000001"), (13L, "Gadget#99999999999"))
+    val foldedTexts = fidx.texts.current
+    assert(foldedTexts.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == acceptedCorpus,
+      "texts tier must be corpus + accepted arrivals")
+    val rebuiltKeys = EdJoin.deletionKeys(
+        acceptedCorpus.toSeq.toDF("id", "name"), "id", "name", k = 1)
+      .select(col("_key"), col("_id"))
+    assert(fidx.keys.current.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      rebuiltKeys.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "keys tier must equal the rebuilt string-free deletion keys")
+
+    // and the probe machinery sees the folded arrival through a
+    // rebuilt FULL index (the pinned probe's shape) — with the tier
+    // equality above this transfers to the folding index
     val rebuilt = EdJoin.deletionKeys(
-      corpus.unionByName(Seq((11L, "Widget#00000000001"),
-        (13L, "Gadget#99999999999")).toDF("id", "name")),
-      "id", "name", k = 1)
-    def probeHits(staticKeys: DataFrame, tag: String)
-        : Set[(Long, Long, Int)] = {
-      val in = MemoryStream[(Long, String)]
-      val hs = new java.util.concurrent.ConcurrentLinkedQueue[
-        (Long, Long, Int)]()
-      val pq = EdJoin.editProbeStream(in.toDF().toDF("id", "name"),
-        "id", "name", staticKeys, k = 1, ckpt(tag)) { (h, _) =>
-        h.collect().foreach(r =>
-          hs.add((r.getLong(0), r.getLong(1), r.getInt(2))))
-      }.start()
-      try {
-        in.addData((100L, "Supplier#000000771"),
-          (101L, "Gadget#99999999998"), (102L, "NoMatchAtAll#12345"))
-        pq.processAllAvailable()
-      } finally pq.stop()
-      hs.toArray(Array.empty[(Long, Long, Int)]).toSet
-    }
-    val afterFold = probeHits(fidx.keys.current, "ed_f")
-    val vsRebuilt = probeHits(rebuilt, "ed_r")
-    assert(afterFold == vsRebuilt,
-      s"fold diverged from rebuild: $afterFold vs $vsRebuilt")
-    assert(afterFold.contains((101L, 13L, 1)),
-      "the folded arrival must be probe-visible")
+      acceptedCorpus.toSeq.toDF("id", "name"), "id", "name", k = 1)
+    val in = MemoryStream[(Long, String)]
+    val hs = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Int)]()
+    val pq = EdJoin.editProbeStream(in.toDF().toDF("id", "name"),
+      "id", "name", rebuilt, k = 1, ckpt("ed_r")) { (h, _) =>
+      h.collect().foreach(r =>
+        hs.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+    }.start()
+    try {
+      in.addData((100L, "Supplier#000000771"),
+        (101L, "Gadget#99999999998"), (102L, "NoMatchAtAll#12345"))
+      pq.processAllAvailable()
+    } finally pq.stop()
+    val vsRebuilt = hs.toArray(Array.empty[(Long, Long, Int)]).toSet
+    assert(vsRebuilt == Set((100L, 2L, 1), (101L, 13L, 1)),
+      s"the folded arrival must be probe-visible, got $vsRebuilt")
   }
 
   // ------------------------------------------------------- repeat
