@@ -63,6 +63,10 @@ object StreamBench {
       .select(col("doc_id"), col("text"))
 
     val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
+    // calm gate (VERDICT r17 Next #2): every reading records the load
+    // its measured window started at and a calm flag; round-over-round
+    // comparisons cite calm readings only (ScaleBench's protocol)
+    val load1 = Calm.awaitCalm()
     val query = Dedup.nearDupProbeStream(
       stream, "doc_id", "text", sigs,
       shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.7,
@@ -84,7 +88,7 @@ object StreamBench {
     println(s"""{"metric":"stream_docs_per_sec","value":${f1(docsSec)},""" +
       s""""unit":"docs/sec","corpus_docs":$corpusN,""" +
       s""""batches":${progress.length},"hits":${hitCount.get()},""" +
-      s""""sf":"$corpusDir"}""")
+      s"""${Calm.jsonFields(load1)},"sf":"$corpusDir"}""")
 
     // Second modality: the character-level probe (EdJoin deletion
     // neighborhoods, k=1 over 120-char heads) on the same replay —
@@ -108,6 +112,7 @@ object StreamBench {
       .parquet(s"$corpusDir/documents.parquet")
       .select(col("doc_id"), expr("substring(text, 1, 120)").as("head"))
     val edHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val load2 = Calm.awaitCalm()
     val edQuery = graft.operators.EdJoin.editProbeStream(
       edStream, "doc_id", "head", edIndex, k = 1, edCheckpoint) {
       (hits, _) => edHits.addAndGet(hits.count())
@@ -123,7 +128,8 @@ object StreamBench {
     println(s"""{"metric":"stream_edit_docs_per_sec",""" +
       s""""value":${f1(edDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${edProgress.length},""" +
-      s""""hits":${edHits.get()},"sf":"$corpusDir"}""")
+      s""""hits":${edHits.get()},${Calm.jsonFields(load2)},""" +
+      s""""sf":"$corpusDir"}""")
 
     // Third modality: the verbatim-run probe (winnowed fingerprints,
     // minLen=59/w=20 over full texts) on the same replay — the ingest
@@ -152,6 +158,7 @@ object StreamBench {
       .parquet(s"$corpusDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val subHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val load3 = Calm.awaitCalm()
     val subQuery = graft.operators.SubstrDedup.repeatProbeStream(
       subStream, "doc_id", "text", subIndex, subTexts,
       minLen = 59, w = 20, subCheckpoint) {
@@ -169,7 +176,8 @@ object StreamBench {
     println(s"""{"metric":"stream_substr_docs_per_sec",""" +
       s""""value":${f1(subDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${subProgress.length},""" +
-      s""""hits":${subHits.get()},"sf":"$corpusDir"}""")
+      s""""hits":${subHits.get()},${Calm.jsonFields(load3)},""" +
+      s""""sf":"$corpusDir"}""")
 
     // Fourth modality: scrub-on-ingest (the TRANSFORMATION probe — the
     // other three report, this one emits cleaned text). Self-replay
@@ -192,6 +200,7 @@ object StreamBench {
       .parquet(s"$corpusDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val scrubbedEmpty = new java.util.concurrent.atomic.AtomicLong(0)
+    val load4 = Calm.awaitCalm()
     val scrubQuery = graft.operators.SubstrDedup.scrubProbeStream(
       scrubStream, "doc_id", "text", scrubIdx, subTexts, L = 59,
       scrubCheckpoint) { (cleaned, _) =>
@@ -211,7 +220,8 @@ object StreamBench {
     println(s"""{"metric":"stream_scrub_docs_per_sec",""" +
       s""""value":${f1(scrubDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${scrubProgress.length},""" +
-      s""""fully_scrubbed":${scrubbedEmpty.get()},"sf":"$corpusDir"}""")
+      s""""fully_scrubbed":${scrubbedEmpty.get()},""" +
+      s"""${Calm.jsonFields(load4)},"sf":"$corpusDir"}""")
 
     // Fifth modality: segment-scrub-on-ingest (content-defined
     // boundaries, divisor 16 — d50's operator at the segment grain).
@@ -235,6 +245,7 @@ object StreamBench {
       .parquet(s"$corpusDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val segScrubbed = new java.util.concurrent.atomic.AtomicLong(0)
+    val load5 = Calm.awaitCalm()
     val segQuery = graft.operators.CdcDedup.segmentProbeStream(
       segStream, "doc_id", "text", segIdx, 16, segCheckpoint) {
       (cleaned, _) =>
@@ -254,7 +265,8 @@ object StreamBench {
     println(s"""{"metric":"stream_segment_docs_per_sec",""" +
       s""""value":${f1(segDocsSec)},"unit":"docs/sec",""" +
       s""""corpus_docs":$corpusN,"batches":${segProgress.length},""" +
-      s""""fully_scrubbed":${segScrubbed.get()},"sf":"$corpusDir"}""")
+      s""""fully_scrubbed":${segScrubbed.get()},""" +
+      s"""${Calm.jsonFields(load5)},"sf":"$corpusDir"}""")
 
     // Sixth modality: semantic decontam-on-ingest — IVF-probed cosine
     // hits of each arriving embedding against the pinned corpus index
@@ -289,6 +301,7 @@ object StreamBench {
     // tau matches s03's near-dup contract (0.4): this corpus has no
     // cosine-0.8 pairs at all, and a zero-hit replay would leave the
     // join's probe->hit path unexercised in the measured window
+    val load6 = Calm.awaitCalm()
     val semQuery = graft.operators.IvfIndex.semanticProbeStream(
       semStream, "vec_id", "embedding", semIdx, semCentroids,
       tau = 0.4, nProbe = 2, semCheckpoint) { (hits, _) =>
@@ -306,7 +319,8 @@ object StreamBench {
     println(s"""{"metric":"stream_semantic_vecs_per_sec",""" +
       s""""value":${f1(semVecsSec)},"unit":"vecs/sec",""" +
       s""""corpus_vecs":$vecN,"batches":${semProgress.length},""" +
-      s""""hits":${semHits.get()},"sf":"$corpusDir"}""")
+      s""""hits":${semHits.get()},${Calm.jsonFields(load6)},""" +
+      s""""sf":"$corpusDir"}""")
 
     // Seventh reading: FOLD-IN ingest (incremental index maintenance,
     // r15) — the minhash ingest stream pays probe + accepted-signature
@@ -327,6 +341,7 @@ object StreamBench {
       .parquet(s"$corpusDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val ingHits = new java.util.concurrent.atomic.AtomicLong(0)
+    val load7 = Calm.awaitCalm()
     val ingQuery = Dedup.nearDupIngestStream(
       ingStream, "doc_id", "text", foldIdx,
       shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.7,
@@ -349,7 +364,8 @@ object StreamBench {
       s""""corpus_docs":$corpusN,"batches":${ingProgress.length},""" +
       s""""hits":${ingHits.get()},"folds":${fm.folds},""" +
       s""""folded_rows":${fm.foldedRows},""" +
-      s""""compactions":${fm.compactions},"sf":"$corpusDir"}""")
+      s""""compactions":${fm.compactions},""" +
+      s"""${Calm.jsonFields(load7)},"sf":"$corpusDir"}""")
 
     // Readings 8-12: fold-in ingest for the remaining five symmetric
     // modalities (r15 completes the pricing story the minhash reading
@@ -382,6 +398,7 @@ object StreamBench {
         .parquet(path)
         .select(selectCols: _*)
       val nHits = new java.util.concurrent.atomic.AtomicLong(0)
+      val load = Calm.awaitCalm()
       val q = start(st, ckpt, nHits)
       q.processAllAvailable()
       q.stop()
@@ -397,7 +414,8 @@ object StreamBench {
         s""""unit":"$unit","corpus_docs":$corpusRows,""" +
         s""""batches":${prog.length},"hits":${nHits.get()},""" +
         s""""folds":${m.folds},"folded_rows":${m.foldedRows},""" +
-        s""""compactions":${m.compactions},"sf":"$corpusDir"}""")
+        s""""compactions":${m.compactions},""" +
+        s"""${Calm.jsonFields(load)},"sf":"$corpusDir"}""")
     }
 
     val docPath = s"$corpusDir/documents.parquet"

@@ -43,8 +43,13 @@ object TriggerSweep {
     val corpusN = docs.count()
     val docPath = s"$corpusDir/documents.parquet"
 
+    // each replay is calm-gated (VERDICT r17 Next #2): wait for the
+    // 1-min load to drop under the line, record what it actually was —
+    // the fold-in/pinned ratio is only honest when BOTH windows ran
+    // calm, so the report carries each side's load and a joint flag
     def replay(filesPerTrigger: Int)(
-        start: (DataFrame, String) => StreamingQuery): Double = {
+        start: (DataFrame, String) => StreamingQuery)
+        : (Double, Double) = {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_trigger_sweep_ckpt").toString
       val st = spark.readStream
@@ -52,25 +57,31 @@ object TriggerSweep {
         .option("maxFilesPerTrigger", filesPerTrigger)
         .parquet(docPath)
         .select(col("doc_id"), col("text"))
+      val load = Calm.awaitCalm()
       val q = start(st, ckpt)
       q.processAllAvailable()
       q.stop()
       val steady = q.recentProgress.filter(_.numInputRows > 0).drop(1)
-      if (steady.isEmpty) 0.0
-      else steady.map(_.numInputRows).sum.toDouble /
-        (steady.map(_.durationMs.get("triggerExecution").toLong)
-          .sum / 1e3)
+      val rate =
+        if (steady.isEmpty) 0.0
+        else steady.map(_.numInputRows).sum.toDouble /
+          (steady.map(_.durationMs.get("triggerExecution").toLong)
+            .sum / 1e3)
+      (rate, load)
     }
     def f1(v: Double): String =
       "%.1f".formatLocal(java.util.Locale.US, v)
     def f3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.US, v)
-    def report(modality: String, trigger: Int, pinned: Double,
-               foldin: Double): Unit =
+    def report(modality: String, trigger: Int,
+               pinned: (Double, Double), foldin: (Double, Double)): Unit =
       println(s"""{"metric":"trigger_sweep","modality":"$modality",""" +
         s""""files_per_trigger":$trigger,"pinned_docs_per_sec":${
-          f1(pinned)},"foldin_docs_per_sec":${f1(foldin)},"ratio":${
-          f3(if (pinned > 0) foldin / pinned else 0.0)},""" +
+          f1(pinned._1)},"foldin_docs_per_sec":${f1(foldin._1)},"ratio":${
+          f3(if (pinned._1 > 0) foldin._1 / pinned._1 else 0.0)},""" +
+        s""""pinned_load":${f1(pinned._2)},"foldin_load":${f1(foldin._2)},""" +
+        s""""calm":${pinned._2 < Calm.threshold &&
+          foldin._2 < Calm.threshold},""" +
         s""""corpus_docs":$corpusN,"sf":"$corpusDir"}""")
 
     // winnow modality (the r15 0.16× subject): pinned artifacts are
