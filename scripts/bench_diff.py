@@ -59,7 +59,7 @@ def spikes(driver_path, close_paths):
         # over a sub-second close min (the d55 class, 0.19s -> 3.41s)
         # is exactly the context elevation this exists to catch
         if d >= 1.0 and d > 3.0 * cmin:
-            suspects.append((k, d, cmin, [s for s, _ in samples]))
+            suspects.append((k, d, cmin, samples))
     print(f"driver {driver_path} vs close min over {len(close_paths)} "
           f"same-tree runs ({len(drv)} driver-visible queries)")
     if not suspects:
@@ -68,10 +68,21 @@ def spikes(driver_path, close_paths):
         return
     print(f"{len(suspects)} SUSPECT(S) (driver >3x close min — record "
           "in STATUS, per VERDICT r16 Next #6):")
-    for k, d, cmin, ss in suspects:
+    import os
+    for k, d, cmin, samples in suspects:
+        ss = [s for s, _ in samples]
+        # per-query run coverage (VERDICT r17 stretch #9): close runs
+        # from an earlier tree may predate a query entirely — say
+        # which runs actually contain it so suspect ratios never
+        # silently mix trees
+        n_runs = len(set(p for _, p in samples))
+        cover = f"runs {n_runs}/{len(close_paths)}"
+        if n_runs < len(close_paths):
+            cover += " (" + ",".join(sorted(
+                os.path.basename(p) for _, p in samples)) + ")"
         print(f"  {k:<28} driver {d:>7.3f}s  close_min {cmin:>7.3f}s  "
               f"ratio {d / cmin:>5.2f}x  close samples "
-              f"{[round(s, 3) for s in sorted(ss)]}")
+              f"{[round(s, 3) for s in sorted(ss)]}  {cover}")
 
 
 if len(sys.argv) > 1 and sys.argv[1] == "--spikes":
