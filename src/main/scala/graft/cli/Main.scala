@@ -11,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Without `--jdbc-url` the run is a dry run: the full SQL transcript is
   * printed instead of executed (the reference's FakeConnection behavior).
+  *
+  * The LLM-curation funnel has the same face (VERDICT r17 Next #6):
+  *
+  *   graft.cli.Main -s curate -p <docs parquet> -o <out dir> \
+  *     [--min-words N] [--max-words N] [--min-mean-word-len X] \
+  *     [--max-mean-word-len X] [--min-stopword-hits N] \
+  *     [--min-alpha-frac X] [--train-pct N] [--val-pct N]
+  *
+  * quality gate → exact dedup → leak-free split → decontamination →
+  * parquet partitioned by split ([[graft.pipelines.Curate]]); the
+  * printed transcript is the per-stage count report.
   */
 object Main {
 
@@ -46,6 +57,28 @@ object Main {
       case "fantoir" => Pipelines.importFantoir(spark, path, rdbms, jdbcUrl)
       case "deces" =>
         Map("deces" -> Pipelines.importDeces(spark, path, rdbms, jdbcUrl))
+      case "curate" =>
+        val out = opts.getOrElse("out",
+          fail("missing -o <outDir> for curate"))
+        import graft.queries.QualityOps.QualityGateConfig
+        val defaults = QualityGateConfig()
+        val cfg = QualityGateConfig(
+          minWords = opts.get("minWords").map(_.toLong)
+            .getOrElse(defaults.minWords),
+          maxWords = opts.get("maxWords").map(_.toLong)
+            .getOrElse(defaults.maxWords),
+          minMeanWordLen = opts.get("minMeanWordLen").map(_.toDouble)
+            .getOrElse(defaults.minMeanWordLen),
+          maxMeanWordLen = opts.get("maxMeanWordLen").map(_.toDouble)
+            .getOrElse(defaults.maxMeanWordLen),
+          minStopwordHits = opts.get("minStopwordHits").map(_.toLong)
+            .getOrElse(defaults.minStopwordHits),
+          minAlphaFrac = opts.get("minAlphaFrac").map(_.toDouble)
+            .getOrElse(defaults.minAlphaFrac))
+        val report = graft.pipelines.Curate.run(spark, path, out, cfg,
+          trainPct = opts.get("trainPct").map(_.toInt).getOrElse(80),
+          valPct = opts.get("valPct").map(_.toInt).getOrElse(10))
+        Map("curate" -> report.lines)
       case other => fail(s"unknown source: $other")
     }
     transcripts.toSeq.sortBy(_._1).foreach { case (table, statements) =>
@@ -68,13 +101,33 @@ object Main {
         parseArgs(rest, acc + ("path" -> v))
       case "--jdbc-url" :: v :: rest =>
         parseArgs(rest, acc + ("jdbcUrl" -> v))
+      case ("-o" | "--out") :: v :: rest =>
+        parseArgs(rest, acc + ("out" -> v))
+      case "--min-words" :: v :: rest =>
+        parseArgs(rest, acc + ("minWords" -> v))
+      case "--max-words" :: v :: rest =>
+        parseArgs(rest, acc + ("maxWords" -> v))
+      case "--min-mean-word-len" :: v :: rest =>
+        parseArgs(rest, acc + ("minMeanWordLen" -> v))
+      case "--max-mean-word-len" :: v :: rest =>
+        parseArgs(rest, acc + ("maxMeanWordLen" -> v))
+      case "--min-stopword-hits" :: v :: rest =>
+        parseArgs(rest, acc + ("minStopwordHits" -> v))
+      case "--min-alpha-frac" :: v :: rest =>
+        parseArgs(rest, acc + ("minAlphaFrac" -> v))
+      case "--train-pct" :: v :: rest =>
+        parseArgs(rest, acc + ("trainPct" -> v))
+      case "--val-pct" :: v :: rest =>
+        parseArgs(rest, acc + ("valPct" -> v))
       case other :: _ => fail(s"unknown argument: $other")
     }
 
   private def fail(msg: String): Nothing = {
     System.err.println(s"error: $msg")
-    System.err.println("usage: graft.cli.Main -s sirene|fantoir|deces " +
-      "-r pg|mariadb|sqlite -p <path> [--jdbc-url <url>]")
+    System.err.println("usage: graft.cli.Main " +
+      "-s sirene|fantoir|deces|curate " +
+      "-r pg|mariadb|sqlite -p <path> [--jdbc-url <url>] " +
+      "[-o <outDir> --min-words N --max-words N ... for curate]")
     sys.exit(2)
   }
 }

@@ -1,0 +1,102 @@
+package graft.pipelines
+
+import graft.functions.SamplingFunctions
+import graft.operators.Decontam
+import graft.queries.QualityOps
+import graft.queries.QualityOps.QualityGateConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The curation funnel as a RUNNABLE PIPELINE (VERDICT r17 Next #6):
+  * the reference's deliverable is an end-to-end script
+  * (`dg_tools_script.py:28-75` — argparse → import → load), and the
+  * repo's capstone d51 funnel was reachable only through the library
+  * surface; this gives it the same CLI face the sirene/fantoir/deces
+  * importers have (`graft.cli.Main -s curate`).
+  *
+  * Stages, each the d51/d54-proven shape (scale audit in
+  * `queries/Curation.scala`): quality gate (the d54 Gopher-style rule
+  * battery, knobs = [[QualityGateConfig]]) → exact dedup (md5 digest
+  * groupBy, min-id winners — text never shuffles) → leak-free
+  * content-hash split (deterministic, no RNG) → decontamination (drop
+  * every TRAIN doc containing a val/test survivor verbatim;
+  * [[Decontam.probeAll]], so sub-8-token eval docs take the broadcast
+  * branch instead of being silently unscreened) → parquet out,
+  * partitioned by split. Extra input columns ride through to the
+  * output unchanged.
+  */
+object Curate {
+
+  /** Per-stage counts — the pipeline's transcript (the progress-report
+    * shape of the reference's per-table load counts). */
+  final case class Report(input: Long, gated: Long, deduped: Long,
+                          leakyTrainDropped: Long,
+                          written: Map[String, Long]) {
+    def lines: Seq[String] = Seq(
+      s"input docs:            $input",
+      s"passed quality gate:   $gated",
+      s"after exact dedup:     $deduped",
+      s"leaky train dropped:   $leakyTrainDropped") ++
+      written.toSeq.sortBy(_._1).map { case (s, n) =>
+        f"written [$s%-5s]:       $n" }
+  }
+
+  /** Run the funnel: parquet docs at `inPath` (columns `idCol`,
+    * `textCol`, anything else rides along) → `outPath`/split=… parquet.
+    */
+  def run(spark: SparkSession, inPath: String, outPath: String,
+          cfg: QualityGateConfig = QualityGateConfig(),
+          idCol: String = "doc_id", textCol: String = "text",
+          trainPct: Int = 80, valPct: Int = 10): Report = {
+    val docs = spark.read.parquet(inPath)
+    require(docs.columns.contains(idCol) &&
+      docs.columns.contains(textCol),
+      s"curate input needs ($idCol, $textCol) columns; " +
+        s"found ${docs.columns.mkString(", ")}")
+    val nInput = docs.count()
+
+    // stage 1 — quality gate: map-side flags at the scan, survivors
+    // keep their full input row (gateFlags normalizes names, so gate
+    // on ids and semi-join back — the flags frame carries only
+    // (doc_id, text) while the input may carry arbitrary extras)
+    val passing = QualityOps.gateFlags(docs, idCol, textCol, cfg)
+      .filter(col("passes")).select(col("doc_id").as(idCol))
+    val gated = docs.join(passing.hint("shuffle_hash"), Seq(idCol),
+      "left_semi")
+    val nGated = gated.count()
+
+    // stage 2 — exact dedup, keep-first (d01 shape): one winner
+    // (min id) per distinct text; 16-byte digests shuffle, text stays
+    val winners = gated
+      .groupBy(md5(col(textCol)).as("_d"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val deduped = gated.join(winners.hint("shuffle_hash"), Seq(idCol),
+      "left_semi")
+    val nDeduped = deduped.count()
+
+    // stage 3 — leak-free split by content hash (d15 shape):
+    // deterministic across cluster layouts and retries
+    val labeled = deduped.withColumn("split",
+      SamplingFunctions.splitLabel(
+        SamplingFunctions.hashBucket(col(textCol)),
+        trainPct, valPct))
+
+    // stage 4 — decontamination (d23 shape, via probeAll so short
+    // eval docs are screened too): drop every train doc containing a
+    // val/test survivor verbatim (word-aligned)
+    val idx = Decontam.buildIndex(
+      labeled.filter(col("split") === "train"), idCol, textCol)
+    val leaky = Decontam.probeAll(idx,
+        labeled.filter(col("split") =!= "train"), idCol, textCol)
+      .select(col("train_id").as(idCol)).distinct()
+    val clean = labeled.join(leaky, Seq(idCol), "left_anti")
+    val nLeaky = leaky.count()
+
+    clean.write.mode("overwrite").partitionBy("split").parquet(outPath)
+    val written = spark.read.parquet(outPath)
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Report(nInput, nGated, nDeduped, nLeaky, written)
+  }
+}

@@ -280,9 +280,22 @@ object QualityOps extends QueryPack {
     * staged tokenize, floor-gated like the rest of the battery.
     */
   private[graft] def qualityGateQuery(cfg: QualityGateConfig)(
-      s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
-      TextFunctions.tokens(col("text")).as("ts"))
+      s: SparkSession, dir: String): DataFrame =
+    gateFlags(t(s, dir, "documents"), "doc_id", "text", cfg)
+      .drop("text")
+
+  /** Frame-level face of the d54 gate (shared with the CLI curate
+    * pipeline, VERDICT r17 Next #6): per-rule flags + the composite
+    * `passes` verdict appended to (idCol, textCol) rows. Pure
+    * map-side, one staged tokenize — the exact plan d54 has always
+    * run, just parameterized over its input relation.
+    */
+  private[graft] def gateFlags(input: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      cfg: QualityGateConfig): org.apache.spark.sql.DataFrame = {
+    val docs = input.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
     val ts = col("ts")
     val nWords = size(ts).cast("long")
     val totChars = sumLens(ts)
@@ -297,7 +310,7 @@ object QualityOps extends QueryPack {
       meanWlen <= cfg.maxMeanWordLen
     val okStop = nStop >= cfg.minStopwordHits
     val okAlpha = alphaFrac >= cfg.minAlphaFrac
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), col("text"),
       nWords.as("n_words"), meanWlen.as("mean_wlen"),
       nStop.cast("long").as("n_stop"), alphaFrac.as("alpha_frac"),
       okWords.as("ok_words"), okMwl.as("ok_mwl"),
