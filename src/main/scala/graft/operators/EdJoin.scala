@@ -515,16 +515,26 @@ object EdJoin {
         val inRange = batch.select(col(idCol), col(strCol))
           .filter(length(col(strCol))
             .isin(docLenOk.toSeq.map(Int.box): _*))
+        // STRING-FREE variant join (r18, mirroring the fold path's
+        // measured fix): the probe side shuffles 16-byte (_key,
+        // new_id) rows — the r17 shape carried new_str onto every
+        // variant row, so the exchange and every pre-dedup candidate
+        // row paid the text width ~(len+1)× per doc. Pairs dedup
+        // FIRST; the few survivors fetch new_str from a second
+        // column-pruned read of the micro-batch source (the family's
+        // documented replayable-source contract).
         val probes = deletionKeys(inRange, idCol, strCol, k)
           .filter(col("_vlen").isin(variantLens: _*))
-          .select(col("_key"), col("_id").as("new_id"),
-            col("_str").as("new_str"))
+          .select(col("_key"), col("_id").as("new_id"))
         val hits = corpus.join(probes.hint("shuffle_hash"), Seq("_key"))
           .filter(col("new_id") =!= col("corpus_id"))
           // candidate pairs first (a pair can meet on many variants —
           // dedup BEFORE fetching text and running the distance once)
-          .select(col("new_id"), col("new_str"), col("corpus_id"))
+          .select(col("new_id"), col("corpus_id"))
           .distinct()
+          .join(inRange.select(col(idCol).as("new_id"),
+            col(strCol).as("new_str")).hint("shuffle_hash"),
+            Seq("new_id"))
           .join(corpusTexts, Seq("corpus_id"))
           .withColumn("dist",
             levenshtein(col("new_str"), col("corpus_str"), k))
