@@ -47,16 +47,18 @@ object TriggerSweep {
     // 1-min load to drop under the line, record what it actually was —
     // the fold-in/pinned ratio is only honest when BOTH windows ran
     // calm, so the report carries each side's load and a joint flag
-    def replay(filesPerTrigger: Int)(
+    def replayOver(schema: org.apache.spark.sql.types.StructType,
+        path: String, cols: Seq[org.apache.spark.sql.Column])(
+        filesPerTrigger: Int)(
         start: (DataFrame, String) => StreamingQuery)
         : (Double, Double) = {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_trigger_sweep_ckpt").toString
       val st = spark.readStream
-        .schema(docs.schema)
+        .schema(schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
-        .parquet(docPath)
-        .select(col("doc_id"), col("text"))
+        .parquet(path)
+        .select(cols: _*)
       val load = Calm.awaitCalm()
       val q = start(st, ckpt)
       q.processAllAvailable()
@@ -69,6 +71,11 @@ object TriggerSweep {
             .sum / 1e3)
       (rate, load)
     }
+    def replay(filesPerTrigger: Int)(
+        start: (DataFrame, String) => StreamingQuery)
+        : (Double, Double) =
+      replayOver(docs.schema, docPath,
+        Seq(col("doc_id"), col("text")))(filesPerTrigger)(start)
     def f1(v: Double): String =
       "%.1f".formatLocal(java.util.Locale.US, v)
     def f3(v: Double): String =
@@ -153,6 +160,52 @@ object TriggerSweep {
         }
       }
       report("edit", t, pinned, fold)
+      System.gc(); Thread.sleep(2000)
+    }
+
+    // semantic modality (r18): the embedding-space rung — per-batch
+    // payload is ~1 KB/vector, so FIXED per-batch jobs (not bytes)
+    // dominate the fold-in price at small triggers; added when the
+    // r18 full replays read fold-in/pinned ~0.3 here and the fold
+    // tail shed its eager arrivals + raw-accepted checkpoints
+    val emb = Tables.load(spark, corpusDir, "embeddings")
+    val vecN = emb.count()
+    val embPath = s"$corpusDir/embeddings.parquet"
+    val semCent = FrameCache.cached(spark,
+      s"trigger_sweep_semcent:$corpusDir", persist = false) {
+      graft.operators.IvfIndex.fit(emb, "vec_id", "embedding",
+        k = graft.operators.IvfIndex.kFor(vecN), iters = 3)
+    }
+    val semIdx = FrameCache.cached(spark,
+      s"trigger_sweep_semidx:$corpusDir") {
+      graft.operators.IvfIndex.buildSemanticIndex(
+        emb, "vec_id", "embedding", semCent)
+        .repartition(cpus.toInt, col("centroid_id"))
+    }
+    semIdx.count()
+    val semReplay = replayOver(emb.schema, embPath,
+      Seq(col("vec_id"), col("embedding"))) _
+    for (t <- triggers) {
+      val pinned = semReplay(t) { (st, ckpt) =>
+        graft.operators.IvfIndex.semanticProbeStream(
+          st, "vec_id", "embedding", semIdx, semCent,
+          tau = 0.4, nProbe = 2, ckpt) { (hits, _) =>
+          hits.count(); ()
+        }.start()
+      }
+      val fold = {
+        val idx = graft.operators.IvfIndex.foldingSemanticIndex(
+          emb, "vec_id", "embedding", semCent,
+          numPartitions = cpus.toInt)
+        semReplay(t) { (st, ckpt) =>
+          graft.operators.IvfIndex.semanticIngestStream(
+            st, "vec_id", "embedding", idx, semCent,
+            tau = 0.4, nProbe = 2, ckpt) { (hits, _) =>
+            hits.count(); ()
+          }.start()
+        }
+      }
+      report("semantic", t, pinned, fold)
       System.gc(); Thread.sleep(2000)
     }
     spark.stop()

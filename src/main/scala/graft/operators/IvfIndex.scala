@@ -372,6 +372,19 @@ object IvfIndex {
     * `index` must be a [[graft.streaming.FoldingIndex]] whose base is
     * [[buildSemanticIndex]] output for these centroids and whose
     * builder assigns with them (see [[foldingSemanticIndex]]).
+    *
+    * SOURCE CONTRACT (the r17 source-lazy discipline, applied to this
+    * modality in r18): the micro-batch source plan is read more than
+    * once per batch (one probe-assignment pass per tier + the fold's
+    * builder pass) instead of being checkpointed up front, so the
+    * source must re-execute DETERMINISTICALLY within a batch (file
+    * sources; Kafka inside retention). The r17 shape eagerly
+    * checkpointed `arrivals` AND re-checkpointed the accepted subset
+    * raw before the builder checkpointed its output a THIRD time —
+    * at a few-hundred-vector trigger those fixed per-batch jobs, not
+    * bytes, were the fold-in tax (the batch payload is ~1 KB/vector).
+    * Now the ONLY batch-scale materialization is the assigned delta
+    * itself, inside `foldIn`.
     */
   def semanticIngestStream(stream: DataFrame, idCol: String,
       vecCol: String, index: graft.streaming.FoldingIndex,
@@ -384,10 +397,10 @@ object IvfIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // a micro-batch plan is only valid during its batch — pin it,
-        // it feeds the probe AND the fold
+        // NO eager arrivals checkpoint: the probe pipeline reads the
+        // micro-batch source lazily (column-pruned, page-cached) —
+        // see the SOURCE CONTRACT above
         val arrivals = batch.select(col(idCol), col(vecCol))
-          .localCheckpoint(true)
         // PER-TIER probing (FoldingIndex.currentTiers): the union
         // relation drops the base tier's centroid_id partitioning and
         // re-exchanges the corpus-scale index every batch; per-tier
@@ -404,21 +417,18 @@ object IvfIndex {
           .reduce(_ unionByName _)
           .groupBy(col("new_id"), col("corpus_id"))
           .agg(first(col("cosine")).as("cosine"))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // sink + count + accept all read it
         sink(hits, batchId)
         // fold tail (the r16 Next #2/#3 discipline): nothing rejected →
-        // fold the pinned arrivals with no accept plan; everything
-        // rejected → skip even the builder
+        // fold the arrivals with no accept plan; otherwise fold the
+        // lazy accepted projection — foldIn's own count IS the
+        // empty-fold fast path, and its checkpoint of the ASSIGNED
+        // rows is the batch's only payload materialization
         val nHits = hits.count() // pinned above — a near-noop job
         if (foldDuplicates || nHits == 0L) index.foldIn(batchId, arrivals)
-        else {
-          val accepted = arrivals.join(
-              hits.select(col("new_id").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-            .localCheckpoint(true)
-          if (accepted.count() == 0L) index.foldInEmpty(batchId)
-          else index.foldIn(batchId, accepted)
-        }
+        else index.foldIn(batchId,
+          arrivals.join(hits.select(col("new_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti"))
         ()
       }
   }
