@@ -42,6 +42,12 @@ object TriggerSweep {
     val docs = Tables.load(spark, corpusDir, "documents")
     val corpusN = docs.count()
     val docPath = s"$corpusDir/documents.parquet"
+    // modality filter (r18): SPARK_GRAFT_SWEEP_MODALITIES="edit,minhash"
+    // runs a subset — a single-modality decomposition should not pay
+    // the whole ladder
+    val modalities = sys.env.get("SPARK_GRAFT_SWEEP_MODALITIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("winnow", "edit", "semantic", "minhash"))
 
     // each replay is calm-gated (VERDICT r17 Next #2): wait for the
     // 1-min load to drop under the line, record what it actually was —
@@ -104,7 +110,7 @@ object TriggerSweep {
       s"trigger_sweep_docs:$corpusDir")(docs.select(col("doc_id"),
       col("text")))
     corpusPinned.count()
-    for (t <- triggers) {
+    for (t <- triggers if modalities("winnow")) {
       val pinned = replay(t) { (st, ckpt) =>
         graft.operators.SubstrDedup.repeatProbeStream(
           st, "doc_id", "text", staticFps, corpusPinned,
@@ -138,7 +144,7 @@ object TriggerSweep {
       graft.operators.EdJoin.deletionKeys(heads, "doc_id", "head", 1)
     }
     edKeys.count()
-    for (t <- triggers) {
+    for (t <- triggers if modalities("edit")) {
       val pinned = replay(t) { (st, ckpt) =>
         graft.operators.EdJoin.editProbeStream(
           st.select(col("doc_id"),
@@ -185,7 +191,7 @@ object TriggerSweep {
     semIdx.count()
     val semReplay = replayOver(emb.schema, embPath,
       Seq(col("vec_id"), col("embedding"))) _
-    for (t <- triggers) {
+    for (t <- triggers if modalities("semantic")) {
       val pinned = semReplay(t) { (st, ckpt) =>
         graft.operators.IvfIndex.semanticProbeStream(
           st, "vec_id", "embedding", semIdx, semCent,
@@ -206,6 +212,43 @@ object TriggerSweep {
         }
       }
       report("semantic", t, pinned, fold)
+      System.gc(); Thread.sleep(2000)
+    }
+
+    // minhash modality (r18): the flagship near-dup family read
+    // fold-in/pinned ~0.33 in all three r18 full replays (trigger 3)
+    // with no sweep rung to separate amortization from proportional
+    // cost — this gives r19 the decomposition data. The fold path
+    // pays a TWO-tier lockstep fold (signatures + 16x banded
+    // buckets) per batch.
+    lazy val mhSigs = FrameCache.cached(spark,
+      s"trigger_sweep_mhsigs:$corpusDir") {
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64)
+    }
+    if (modalities("minhash")) mhSigs.count()
+    for (t <- triggers if modalities("minhash")) {
+      val pinned = replay(t) { (st, ckpt) =>
+        graft.operators.Dedup.nearDupProbeStream(
+          st, "doc_id", "text", mhSigs,
+          shingleSize = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.7, ckpt) { (hits, _) =>
+          hits.count(); ()
+        }.start()
+      }
+      val fold = {
+        val idx = graft.operators.Dedup.foldingMinhashIndex(mhSigs,
+          bands = 16, rowsPerBand = 4, numPartitions = cpus.toInt)
+        replay(t) { (st, ckpt) =>
+          graft.operators.Dedup.nearDupIngestStream(
+            st, "doc_id", "text", idx,
+            shingleSize = 3, bands = 16, rowsPerBand = 4,
+            threshold = 0.7, ckpt) { (hits, _) =>
+            hits.count(); ()
+          }.start()
+        }
+      }
+      report("minhash", t, pinned, fold)
       System.gc(); Thread.sleep(2000)
     }
     spark.stop()
