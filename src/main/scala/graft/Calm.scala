@@ -44,10 +44,13 @@ object Calm {
   }
 
   /** The JSON fields every gated reading appends: observed load and
-    * whether the window started calm. */
-  def jsonFields(load: Double): String = {
-    val l = if (load.isNaN) "null"
-      else "%.2f".formatLocal(java.util.Locale.US, load)
-    s""""load":$l,"calm":${load < threshold}"""
-  }
+    * whether the window started calm. An UNREADABLE load (non-Linux —
+    * gating disabled per [[loadAvg1]]) reports `calm: null` (unknown),
+    * never `false`: false means MEASURED-LOUD, and calm-readings-only
+    * comparisons must not silently drop every reading from a host that
+    * simply cannot report load (ADVICE r18). */
+  def jsonFields(load: Double): String =
+    if (load.isNaN) """"load":null,"calm":null"""
+    else s""""load":${"%.2f".formatLocal(java.util.Locale.US, load)
+      },"calm":${load < threshold}"""
 }

@@ -44,10 +44,23 @@ object TriggerSweep {
     val docPath = s"$corpusDir/documents.parquet"
     // modality filter (r18): SPARK_GRAFT_SWEEP_MODALITIES="edit,minhash"
     // runs a subset — a single-modality decomposition should not pay
-    // the whole ladder
+    // the whole ladder. Unknown names fail fast (a typo must not
+    // silently sweep nothing — ADVICE r18), and every modality's
+    // ARTIFACT construction below is gated on the same set, so a
+    // minhash-only sweep no longer pays the semantic k-means fit or
+    // any other family's index build.
+    val knownModalities = Set("winnow", "edit", "semantic", "minhash")
     val modalities = sys.env.get("SPARK_GRAFT_SWEEP_MODALITIES")
-      .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("winnow", "edit", "semantic", "minhash"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(knownModalities)
+    val unknownModalities = modalities -- knownModalities
+    if (unknownModalities.nonEmpty) {
+      System.err.println("[trigger_sweep] unknown " +
+        s"SPARK_GRAFT_SWEEP_MODALITIES names: ${
+          unknownModalities.mkString(",")} (known: ${
+          knownModalities.toSeq.sorted.mkString(",")})")
+      spark.stop(); sys.exit(1)
+    }
 
     // each replay is calm-gated (VERDICT r17 Next #2): wait for the
     // 1-min load to drop under the line, record what it actually was —
@@ -87,29 +100,39 @@ object TriggerSweep {
     def f3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.US, v)
     def report(modality: String, trigger: Int,
-               pinned: (Double, Double), foldin: (Double, Double)): Unit =
+               pinned: (Double, Double), foldin: (Double, Double)): Unit = {
+      // joint calm is NULL (unknown), not false, when either side's
+      // load was unreadable (ADVICE r18: calm=false must mean
+      // measured-loud, or calm-readings-only comparisons silently drop
+      // every reading on hosts without /proc/loadavg)
+      val calm =
+        if (pinned._2.isNaN || foldin._2.isNaN) "null"
+        else (pinned._2 < Calm.threshold &&
+          foldin._2 < Calm.threshold).toString
+      def fl(v: Double): String = if (v.isNaN) "null" else f1(v)
       println(s"""{"metric":"trigger_sweep","modality":"$modality",""" +
         s""""files_per_trigger":$trigger,"pinned_docs_per_sec":${
           f1(pinned._1)},"foldin_docs_per_sec":${f1(foldin._1)},"ratio":${
           f3(if (pinned._1 > 0) foldin._1 / pinned._1 else 0.0)},""" +
-        s""""pinned_load":${f1(pinned._2)},"foldin_load":${f1(foldin._2)},""" +
-        s""""calm":${pinned._2 < Calm.threshold &&
-          foldin._2 < Calm.threshold},""" +
+        s""""pinned_load":${fl(pinned._2)},"foldin_load":${fl(foldin._2)},""" +
+        s""""calm":$calm,""" +
         s""""corpus_docs":$corpusN,"sf":"$corpusDir"}""")
+    }
 
     // winnow modality (the r15 0.16× subject): pinned artifacts are
     // built once and shared across trigger sizes; each fold-in run
-    // gets a FRESH folding index (it grows during the replay)
-    val staticFps = FrameCache.cached(spark,
+    // gets a FRESH folding index (it grows during the replay).
+    // lazy + gated builds (the mhSigs pattern, ADVICE r18): a sweep
+    // that skips the modality must not pay its artifacts
+    lazy val staticFps = FrameCache.cached(spark,
       s"trigger_sweep_fps:$corpusDir") {
       graft.operators.SubstrDedup.fingerprints(docs, "doc_id", "text",
         minLen = 59, w = 20)
     }
-    staticFps.count()
-    val corpusPinned = FrameCache.cached(spark,
+    lazy val corpusPinned = FrameCache.cached(spark,
       s"trigger_sweep_docs:$corpusDir")(docs.select(col("doc_id"),
       col("text")))
-    corpusPinned.count()
+    if (modalities("winnow")) { staticFps.count(); corpusPinned.count() }
     for (t <- triggers if modalities("winnow")) {
       val pinned = replay(t) { (st, ckpt) =>
         graft.operators.SubstrDedup.repeatProbeStream(
@@ -139,11 +162,11 @@ object TriggerSweep {
     // show the same shape more strongly)
     val heads = docs.select(col("doc_id"),
       expr("substring(text, 1, 120)").as("head"))
-    val edKeys = FrameCache.cached(spark,
+    lazy val edKeys = FrameCache.cached(spark,
       s"trigger_sweep_edkeys:$corpusDir") {
       graft.operators.EdJoin.deletionKeys(heads, "doc_id", "head", 1)
     }
-    edKeys.count()
+    if (modalities("edit")) edKeys.count()
     for (t <- triggers if modalities("edit")) {
       val pinned = replay(t) { (st, ckpt) =>
         graft.operators.EdJoin.editProbeStream(
@@ -174,22 +197,21 @@ object TriggerSweep {
     // dominate the fold-in price at small triggers; added when the
     // r18 full replays read fold-in/pinned ~0.3 here and the fold
     // tail shed its eager arrivals + raw-accepted checkpoints
-    val emb = Tables.load(spark, corpusDir, "embeddings")
-    val vecN = emb.count()
+    lazy val emb = Tables.load(spark, corpusDir, "embeddings")
     val embPath = s"$corpusDir/embeddings.parquet"
-    val semCent = FrameCache.cached(spark,
+    lazy val semCent = FrameCache.cached(spark,
       s"trigger_sweep_semcent:$corpusDir", persist = false) {
       graft.operators.IvfIndex.fit(emb, "vec_id", "embedding",
-        k = graft.operators.IvfIndex.kFor(vecN), iters = 3)
+        k = graft.operators.IvfIndex.kFor(emb.count()), iters = 3)
     }
-    val semIdx = FrameCache.cached(spark,
+    lazy val semIdx = FrameCache.cached(spark,
       s"trigger_sweep_semidx:$corpusDir") {
       graft.operators.IvfIndex.buildSemanticIndex(
         emb, "vec_id", "embedding", semCent)
         .repartition(cpus.toInt, col("centroid_id"))
     }
-    semIdx.count()
-    val semReplay = replayOver(emb.schema, embPath,
+    if (modalities("semantic")) semIdx.count()
+    lazy val semReplay = replayOver(emb.schema, embPath,
       Seq(col("vec_id"), col("embedding"))) _
     for (t <- triggers if modalities("semantic")) {
       val pinned = semReplay(t) { (st, ckpt) =>

@@ -472,14 +472,36 @@ object Dedup {
               hits.select(col("new_id").as("id")).distinct(),
               Seq("id"), "left_anti")
             .localCheckpoint(true) // two folds read it
-        // no pre-count gate: appendFold's own count is the empty-fold
-        // fast path, and a pre-gate is one extra job on every
-        // NON-empty batch (the common case) to save two cheap
-        // empty-frame folds on the rare all-rejected one
-        index.buckets.foldInRows(batchId,
-          bandedBuckets(accepted, bands, rowsPerBand))
-        index.sigs.foldInPinned(batchId,
-          accepted.select(col("id"), col("sig")))
+        // r19 (the winnow/edit fixed-jobs shed, applied to the one
+        // modality that folds TWO tiers in lockstep): the r18 tail
+        // checkpointed the 16x banded-bucket fan-out per batch
+        // (foldInRows) and paid its count job, plus the sigs fold's
+        // own count — 1 batch-scale materialization + 2 jobs on top of
+        // the accept checkpoint, every batch. But BOTH deltas are
+        // deterministic projections over the SAME pinned `accepted`
+        // frame, i.e. first-class lazy deltas per the foldInPinned
+        // contract — a narrow select for sigs, a fixed-fan-out
+        // posexplode for buckets (exactly `bands` rows per signature
+        // row: the band-hash array is a literal-length array of
+        // never-null xxhash64s, exploded non-outer). So the batch pays
+        // ONE fold job — a near-noop count over the pinned frame —
+        // feeding both folds, with the bucket delta's count DERIVED
+        // (nAcc x bands), not measured; an all-rejected batch's zero
+        // count rides appendFold's own empty-fold fast path for both
+        // tiers. Unlike the lazy deltas
+        // measured-and-rejected above, nothing here defers a JOIN to
+        // probe time — later probes re-execute only the posexplode on
+        // top of the pinned scan, and the probe-side exchange they
+        // always paid is unchanged.
+        // ONE measured count (near-noop over the pinned frame), never
+        // a fold's return value: foldInPinned returns 0 on a
+        // redelivery watermark skip too, and a crash between the two
+        // folds must leave the second re-foldable with its true count
+        val nAcc = accepted.count()
+        index.sigs.foldInPinnedCounted(batchId,
+          accepted.select(col("id"), col("sig")), nAcc)
+        index.buckets.foldInPinnedCounted(batchId,
+          bandedBuckets(accepted, bands, rowsPerBand), nAcc * bands)
         ()
       }
   }

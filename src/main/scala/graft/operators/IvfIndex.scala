@@ -316,7 +316,18 @@ object IvfIndex {
       vecCol: String, centroids: DataFrame, tau: Double,
       nProbe: Int): DataFrame = {
     requireStamp(index, centroids)
-    val pr = probes(batch, idCol, vecCol, centroids, nProbe)
+    tierHits(index, probes(batch, idCol, vecCol, centroids, nProbe), tau)
+  }
+
+  /** The probed-lists join + exact-cosine verify of [[semanticHits]]
+    * over a PREBUILT probe frame ([[probes]] output) — factored out so
+    * the fold-in ingest can assign each micro-batch ONCE and join the
+    * SAME probe subtree against every tier (the r18 shape rebuilt the
+    * probe pipeline per tier, defeating exchange reuse across the tier
+    * joins and re-running the stamp gate's centroid collect per tier).
+    */
+  private def tierHits(index: DataFrame, pr: DataFrame,
+      tau: Double): DataFrame =
     index.join(pr.hint("shuffle_hash"), Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -326,7 +337,6 @@ object IvfIndex {
       .filter(col("cosine") >= tau)
       .select(col("query_id").as("new_id"), col("corpus_id"),
         col("cosine"))
-  }
 
   /** Streaming face of [[semanticHits]] — semantic decontam-on-ingest,
     * the sixth ingest modality (token near-dup, char-edit, verbatim
@@ -401,6 +411,20 @@ object IvfIndex {
         // micro-batch source lazily (column-pruned, page-cached) —
         // see the SOURCE CONTRACT above
         val arrivals = batch.select(col(idCol), col(vecCol))
+        // ONE probe-assignment subtree per batch (r19, the VERDICT r18
+        // Next #2 residue): the r18 shape called semanticHits per
+        // tier, so every tier join got a FRESH probe pipeline — the
+        // batch re-assigned (k centroid distances per vector) per
+        // tier, a probe-side exchange per tier that ReuseExchange
+        // cannot unify across structurally distinct subtrees, and the
+        // stamp gate's centroid collect re-run per tier per batch.
+        // Sharing the SAME `pr` frame across the tier joins makes the
+        // probe-side exchanges identical subplans (executed once,
+        // reused), and the stamp gate runs once per batch — tiers are
+        // built by the same stamped builder, so one check covers them
+        // (the union schema IS the base tier's, stamp included).
+        requireStamp(index.current, centroids)
+        val pr = probes(arrivals, idCol, vecCol, centroids, nProbe)
         // PER-TIER probing (FoldingIndex.currentTiers): the union
         // relation drops the base tier's centroid_id partitioning and
         // re-exchanges the corpus-scale index every batch; per-tier
@@ -411,9 +435,7 @@ object IvfIndex {
         // discipline): if an id's vector sits in two tiers — a
         // self-replay folds a corpus twin — both copies match and the
         // same (new, corpus) pair would emit twice
-        val hits = index.currentTiers.map(t =>
-            semanticHits(t, arrivals, idCol, vecCol, centroids,
-              tau, nProbe))
+        val hits = index.currentTiers.map(t => tierHits(t, pr, tau))
           .reduce(_ unionByName _)
           .groupBy(col("new_id"), col("corpus_id"))
           .agg(first(col("cosine")).as("cosine"))

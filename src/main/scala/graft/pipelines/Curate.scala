@@ -48,6 +48,13 @@ object Curate {
           cfg: QualityGateConfig = QualityGateConfig(),
           idCol: String = "doc_id", textCol: String = "text",
           trainPct: Int = 80, valPct: Int = 10): Report = {
+    // split percentages feed a mod-100 hash bucket: trainPct+valPct
+    // over 100 silently empties the test split and negative values
+    // skew the assignment (ADVICE r18)
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"curate split percentages must satisfy 0 <= trainPct, " +
+        s"0 <= valPct, trainPct + valPct <= 100; got trainPct=" +
+        s"$trainPct valPct=$valPct")
     val docs = spark.read.parquet(inPath)
     require(docs.columns.contains(idCol) &&
       docs.columns.contains(textCol),
@@ -55,14 +62,14 @@ object Curate {
         s"found ${docs.columns.mkString(", ")}")
     val nInput = docs.count()
 
-    // stage 1 — quality gate: map-side flags at the scan, survivors
-    // keep their full input row (gateFlags normalizes names, so gate
-    // on ids and semi-join back — the flags frame carries only
-    // (doc_id, text) while the input may carry arbitrary extras)
-    val passing = QualityOps.gateFlags(docs, idCol, textCol, cfg)
-      .filter(col("passes")).select(col("doc_id").as(idCol))
-    val gated = docs.join(passing.hint("shuffle_hash"), Seq(idCol),
-      "left_semi")
+    // stage 1 — quality gate IN PLACE (VERDICT r18 Next #3): the gate
+    // is pure map-side, so survivors are a scan → tokenize → filter
+    // with every rider column riding through — ZERO exchanges. The
+    // previous shape gated on ids and semi-joined the full corpus
+    // back purely to preserve rider columns: a corpus-wide shuffle of
+    // text-bearing rows, invisible at fixture scale and a full extra
+    // pass at 100 TB.
+    val gated = QualityOps.gatePassing(docs, idCol, textCol, cfg)
     val nGated = gated.count()
 
     // stage 2 — exact dedup, keep-first (d01 shape): one winner
@@ -76,11 +83,16 @@ object Curate {
     val nDeduped = deduped.count()
 
     // stage 3 — leak-free split by content hash (d15 shape):
-    // deterministic across cluster layouts and retries
+    // deterministic across cluster layouts and retries. Pinned
+    // (lineage-truncating checkpoint): FOUR consumers read it — the
+    // decontam index build, the probe, the anti-join + final write,
+    // and the leaky count — and each would otherwise re-execute the
+    // whole gate → dedup funnel upstream (ADVICE r18)
     val labeled = deduped.withColumn("split",
       SamplingFunctions.splitLabel(
         SamplingFunctions.hashBucket(col(textCol)),
         trainPct, valPct))
+      .localCheckpoint(true)
 
     // stage 4 — decontamination (d23 shape, via probeAll so short
     // eval docs are screened too): drop every train doc containing a

@@ -296,12 +296,31 @@ object QualityOps extends QueryPack {
     val docs = input.select(col(idCol).as("doc_id"),
       col(textCol).as("text"),
       TextFunctions.tokens(col(textCol)).as("ts"))
-    val ts = col("ts")
+    val r = gateRules(col("text"), col("ts"), cfg)
+    docs.select(col("doc_id"), col("text"),
+      r.nWords.as("n_words"), r.meanWlen.as("mean_wlen"),
+      r.nStop.cast("long").as("n_stop"), r.alphaFrac.as("alpha_frac"),
+      r.okWords.as("ok_words"), r.okMwl.as("ok_mwl"),
+      r.okStop.as("ok_stop"), r.okAlpha.as("ok_alpha"),
+      r.passes.as("passes"))
+  }
+
+  /** The gate's rule expressions over a (text, staged-tokens) pair —
+    * the single definition both [[gateFlags]] (the d54 query shape) and
+    * [[gatePassing]] (the curate funnel's in-place filter) evaluate, so
+    * the two faces cannot drift. */
+  private final case class GateRules(
+      nWords: Column, meanWlen: Column, nStop: Column, alphaFrac: Column,
+      okWords: Column, okMwl: Column, okStop: Column, okAlpha: Column,
+      passes: Column)
+
+  private def gateRules(text: Column, ts: Column,
+      cfg: QualityGateConfig): GateRules = {
     val nWords = size(ts).cast("long")
     val totChars = sumLens(ts)
     val meanWlen = when(nWords > 0,
       totChars.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
-    val nStop = TextFunctions.vocabHits(col("text"), cfg.stopwords)
+    val nStop = TextFunctions.vocabHits(text, cfg.stopwords)
     val nAlpha = size(filter(ts, w => w.rlike("[a-zA-Z]")))
     val alphaFrac = when(nWords > 0,
       nAlpha.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
@@ -310,12 +329,29 @@ object QualityOps extends QueryPack {
       meanWlen <= cfg.maxMeanWordLen
     val okStop = nStop >= cfg.minStopwordHits
     val okAlpha = alphaFrac >= cfg.minAlphaFrac
-    docs.select(col("doc_id"), col("text"),
-      nWords.as("n_words"), meanWlen.as("mean_wlen"),
-      nStop.cast("long").as("n_stop"), alphaFrac.as("alpha_frac"),
-      okWords.as("ok_words"), okMwl.as("ok_mwl"),
-      okStop.as("ok_stop"), okAlpha.as("ok_alpha"),
-      (okWords && okMwl && okStop && okAlpha).as("passes"))
+    GateRules(nWords, meanWlen, nStop, alphaFrac,
+      okWords, okMwl, okStop, okAlpha,
+      okWords && okMwl && okStop && okAlpha)
+  }
+
+  /** The gate applied IN PLACE: keep exactly the rows [[gateFlags]]
+    * would flag `passes`, with every input column — rider columns
+    * included — unchanged. Zero exchanges: scan → staged tokenize →
+    * filter → drop the helper column (VERDICT r18 Next #3 — the curate
+    * funnel's stage 1 used to gate on ids and semi-join the full corpus
+    * back, a corpus-wide shuffle of text-bearing rows paid purely to
+    * preserve rider columns). */
+  private[graft] def gatePassing(input: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      cfg: QualityGateConfig): org.apache.spark.sql.DataFrame = {
+    val tsCol = "__gate_ts"
+    require(!input.columns.contains(tsCol),
+      s"gatePassing stages tokens under a '$tsCol' column, which the " +
+        "input already carries — rename it")
+    input
+      .withColumn(tsCol, TextFunctions.tokens(col(textCol)))
+      .filter(gateRules(col(textCol), col(tsCol), cfg).passes)
+      .drop(tsCol)
   }
 
   /** The d04 English stopword set — the gate's "contains at least two

@@ -330,6 +330,27 @@ final class FoldingIndex private (
     else appendFold(batchId, rows, rows.count())
   }
 
+  /** [[foldInPinned]] for a delta whose row count the caller already
+    * KNOWS structurally — a fixed-fan-out projection over a frame whose
+    * count another fold just paid for (the minhash banded buckets:
+    * exactly `bands` rows per signature row, posexplode of a
+    * fixed-length literal array). Skips this fold's count job — at a
+    * small trigger the per-batch FIXED jobs are the fold-in tax
+    * (measured r17/r18, winnow and edit decompositions) — while
+    * keeping every other obligation (idempotence watermark, dedup,
+    * durability, compaction ticks). The caller owns the count's
+    * exactness: `rowCount` feeds foldedRows, the empty-tier probe skip,
+    * and recovery's deltaRows, so derive it structurally (fan-out ×
+    * counted rows), never estimate. Same lazy-delta contract as
+    * [[foldInPinned]]: `rows` must be deterministic over frames that
+    * outlive the batch.
+    */
+  def foldInPinnedCounted(batchId: Long, rows: DataFrame,
+      rowCount: Long): Long = synchronized {
+    if (batchId <= lastBatchId) 0L
+    else appendFold(batchId, rows, rowCount)
+  }
+
   /** Advance the idempotence watermark for a batch that folds NOTHING
     * — every arrival was rejected at the door — without building,
     * deduping, or writing anything: only the watermark and meta move.
@@ -621,6 +642,20 @@ object FoldingIndex {
           s"$key='$stored' but recover() was called with " +
           s"$key='$expected' — builder and knobs must match the writer")
     }
+    // builderTag is stricter than the other knobs (ADVICE r18 medium):
+    // an ABSENT stored tag (a pre-tag-era meta) recovered by a caller
+    // that supplies a non-empty tag may span a builder whose OUTPUT
+    // SCHEMA changed since the meta was written (the edit keys tier
+    // dropped its _str column in r18) — the gate would pass and the
+    // failure surface as an unionByName AnalysisException at the next
+    // compaction instead of here. Refuse loudly; an empty caller tag
+    // still accepts legacy state deliberately.
+    require(props.getProperty("builderTag") != null || builderTag.isEmpty,
+      s"durable FoldingIndex at $durablePath carries no builderTag " +
+        "(written before writer-identity stamps) but recover() was " +
+        s"called with builderTag='$builderTag' — the builder's output " +
+        "schema may have changed since this state was written; rebuild " +
+        "the index, or pass an empty builderTag to accept it deliberately")
     checkKnob("builderTag", builderTag)
     checkKnob("bucketCols", bucketCols.mkString(","))
     checkKnob("numPartitions", numPartitions.toString)

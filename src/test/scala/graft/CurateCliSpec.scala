@@ -117,4 +117,34 @@ class CurateCliSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == result.map(t => (t._1, t._3)).toSet)
   }
+
+  test("stage 1 is zero-shuffle: the gate filters the corpus in place " +
+      "— no Exchange precedes the dedup stage (VERDICT r18 Next #3)") {
+    val in = fixture()
+    // the exact stage-1 frame Curate.run builds: gatePassing over the
+    // raw input (the r18 shape semi-joined the full corpus back on id
+    // purely to preserve rider columns — a corpus-wide shuffle)
+    val gated = graft.queries.QualityOps.gatePassing(
+      spark.read.parquet(in), "doc_id", "text",
+      graft.queries.QualityOps.QualityGateConfig(
+        minWords = 5L, maxWords = 1000L))
+    val p = gated.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).isEmpty,
+      s"the curate gate stage must not shuffle:\n${p.take(500)}")
+    assert(!p.contains("Join"), "the curate gate stage must not join")
+    assert(gated.count() == 82L) // the funnel's asserted stage-1 count
+  }
+
+  test("split percentages are validated: negative or >100 totals fail " +
+      "fast instead of silently emptying a split (ADVICE r18)") {
+    val in = fixture()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate_badpct").toString
+    for ((t, v) <- Seq((80, 30), (-1, 10), (80, -1), (101, 0)))
+      assert(intercept[IllegalArgumentException] {
+        graft.pipelines.Curate.run(spark, in, out,
+          trainPct = t, valPct = v)
+      }.getMessage.contains("split percentages"))
+  }
 }

@@ -424,6 +424,45 @@ class FoldingDurabilitySpec extends SparkSpec {
     }.getMessage.contains("dedupKeyCols"))
   }
 
+  test("a pre-stamp meta (no builderTag key) is REFUSED when recover() " +
+      "supplies a non-empty tag: a schema-changed builder family must " +
+      "fail at recovery, not at the next compaction (ADVICE r18)") {
+    val dir = tmpDir("pretag")
+    val writer = FoldingIndex(
+      kv(1L -> "a").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 4, durablePath = Some(dir))
+    writer.foldIn(0L, kv(2L -> "b"))
+    // strip the writer-identity keys, simulating a meta written before
+    // the stamps existed
+    val metaPath = java.nio.file.Paths.get(dir, "_meta")
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(metaPath)
+    try props.load(in) finally in.close()
+    Seq("builderTag", "bucketCols", "numPartitions", "compactEvery",
+      "dedupKeyCols").foreach(props.remove)
+    val buf = new java.io.ByteArrayOutputStream()
+    props.store(buf, "pre-stamp meta (spec-forged)")
+    buf.write("#graft-meta-complete\n".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    java.nio.file.Files.write(metaPath, buf.toByteArray)
+    // the raw rewrite bypassed the Hadoop checksummed FS — drop the
+    // stale .crc sidecar so the recovery read isn't a ChecksumException
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._meta.crc"))
+    // a non-empty caller tag refuses the unstamped state, naming it
+    val ex = intercept[IllegalArgumentException] {
+      FoldingIndex.recover(spark, dir, builder, bucketCols = Seq("k"),
+        numPartitions = 2, compactEvery = 4, builderTag = "kv-spec-v9")
+    }
+    assert(ex.getMessage.contains("builderTag") &&
+      ex.getMessage.contains("kv-spec-v9"))
+    // an EMPTY caller tag still accepts legacy state deliberately
+    assert(rowsOf(FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 4)
+      .current) == Set(1L -> "a", 2L -> "b"))
+  }
+
   test("column-metadata stamps ride the parquet round-trip: a " +
       "recovered minhash bucket index still satisfies the probe gate") {
     val dir = tmpDir("stamps")

@@ -67,6 +67,29 @@ class FoldingIndexSpec extends SparkSpec {
     assert(rows(fidx.current) == rows(rebuilt))
   }
 
+  test("foldInPinnedCounted: the caller-derived count feeds foldedRows " +
+      "and the empty-fold fast path; redeliveries skip; tier content " +
+      "is the lazy delta's") {
+    val fidx = FoldingIndex(sigsOf(corpusDocs), builder,
+      bucketCols = Seq("id"), numPartitions = 4, compactEvery = 100)
+    // a lazy delta: a projection over a pinned frame, its count known
+    // to the caller (here trivially — two signature rows)
+    val pinned = sigsOf(Seq((10L, novel), (11L, clean)))
+      .localCheckpoint(true)
+    assert(fidx.foldInPinnedCounted(0L, pinned.select(col("id"),
+      col("sig")), 2L) == 2L)
+    assert(fidx.meta.foldedRows == 2L && fidx.meta.tiers == 2)
+    assert(rows(fidx.current) ==
+      rows(sigsOf(corpusDocs ++ Seq((10L, novel), (11L, clean)))))
+    // at-least-once redelivery: no-op
+    assert(fidx.foldInPinnedCounted(0L, pinned, 2L) == 0L)
+    assert(fidx.meta.folds == 1L && fidx.meta.tiers == 2)
+    // a zero count rides the empty-fold fast path: watermark advances,
+    // NO tier appends
+    assert(fidx.foldInPinnedCounted(1L, pinned.limit(0), 0L) == 0L)
+    assert(fidx.meta.folds == 2L && fidx.meta.tiers == 2)
+  }
+
   test("dedupKeyCols: a distinct-set index never re-admits a row " +
       "already present in a lower tier") {
     val b: DataFrame => DataFrame = df => df.select(col("k")).distinct()
@@ -233,9 +256,17 @@ class FoldingIndexSpec extends SparkSpec {
     val rebuilt = sigsOf(corpusDocs ++ Seq((11L, novel), (13L, clean)))
     assert(rows(fidx.sigs.current) == rows(rebuilt))
     assert(fidx.sigs.meta.folds == 2L && fidx.sigs.meta.foldedRows == 2L)
-    // the bucket tier folds in lockstep: 16 bands per accepted doc
+    // the bucket tier folds in lockstep: 16 bands per accepted doc —
+    // since r19 a LAZY fan-out delta with a DERIVED count, so pin both
+    // the bookkeeping and the materialized tier content (≡ banding the
+    // rebuilt signature relation)
     assert(fidx.buckets.meta.folds == 2L &&
       fidx.buckets.meta.foldedRows == 32L)
+    def bucketRows(df: DataFrame): Set[(Int, Long, Long)] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketRows(fidx.buckets.current) ==
+      bucketRows(Dedup.bandedBuckets(rebuilt, 16, 4)))
   }
 
   test("mergedFront: two sources through ONE folding stream — an " +

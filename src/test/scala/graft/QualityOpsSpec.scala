@@ -220,6 +220,35 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("gatePassing: exactly gateFlags' passing set, rider columns " +
+      "ride through, and the plan is exchange- and join-free " +
+      "(VERDICT r18 Next #3)") {
+    import graft.queries.QualityOps
+    val cfg = QualityOps.QualityGateConfig()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("rider",
+        org.apache.spark.sql.functions.concat_ws("#",
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("source")))
+    val inPlace = QualityOps.gatePassing(docs, "doc_id", "text", cfg)
+    // same schema as the input — riders intact, no helper column
+    assert(inPlace.columns.toSeq == docs.columns.toSeq)
+    // same survivors as the flags face
+    val viaFlags = QualityOps.gateFlags(docs, "doc_id", "text", cfg)
+      .filter(org.apache.spark.sql.functions.col("passes"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = inPlace.select("doc_id", "rider").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).toSet == viaFlags)
+    assert(got.forall { case (_, rider) => rider.contains("#") })
+    // zero exchanges, zero joins: scan → tokenize → filter
+    val p = inPlace.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).isEmpty,
+      s"gatePassing must not shuffle:\n${p.take(500)}")
+    assert(!p.contains("Join"), "gatePassing must not join")
+  }
+
   test("all four are shuffle-free map-side projections") {
     for (q <- Seq("d52_top_ngram_char_frac", "d53_dup_ngram_cover",
         "d54_quality_gate", "d55_dup_ngram_cover_wide")) {
