@@ -234,15 +234,30 @@ final class FoldingIndex private (
     * the corpus-scale base tier on EVERY micro-batch; joining the
     * tiers separately and unioning the RESULTS keeps the base tier's
     * Pinned.byKey-reported partitioning reused (only the micro-batch
-    * side exchanges — the pinned-probe contract) while each delta join
-    * is micro-batch-sized on both sides. Semantically exact for every
-    * probe in the family: an equi-join hit set or a covered-span set
-    * against base ∪ deltas IS the union of the per-tier sets. Empty
-    * deltas are skipped (a probe against them cannot produce rows);
-    * the base tier is always included.
+    * side exchanges — the pinned-probe contract). Semantically exact
+    * for every probe in the family: an equi-join hit set or a
+    * covered-span set against base ∪ deltas IS the union of the
+    * per-tier sets (joins distribute over union, as MULTISETS — an id
+    * duplicated across deltas emits per copy either way, which the
+    * probes' pair-dedup already handles).
+    *
+    * r19: all live DELTAS are returned as ONE grouped relation, so the
+    * snapshot is `[base]` or `[base, Δ₁∪…∪Δₙ]` — never one entry per
+    * delta. Only the BASE tier has partitioning worth preserving; the
+    * deltas are micro-batch-sized and their union stays bounded by
+    * compactEvery × trigger, but probing them separately cost one
+    * join — its exchanges and stages — PER DELTA PER BATCH (up to
+    * compactEvery − 1 extra joins between compactions, with AQE
+    * unavailable under streaming to coalesce any of it). Grouping cuts
+    * every probe and every fold-path dedup to at most two joins per
+    * tier family regardless of fold count. Empty deltas are skipped
+    * (a probe against them cannot produce rows); the base tier is
+    * always included and always the head.
     */
   def currentTiers: Seq[DataFrame] = synchronized {
-    baseTier +: deltas.collect { case (d, n) if n > 0 => d }
+    val live = deltas.collect { case (d, n) if n > 0 => d }
+    if (live.isEmpty) Seq(baseTier)
+    else Seq(baseTier, live.reduce(_ unionByName _))
   }
 
   /** The fold-path dedup plan for distinct-set indexes: rows already
