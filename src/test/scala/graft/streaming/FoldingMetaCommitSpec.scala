@@ -133,6 +133,69 @@ class FoldingMetaCommitSpec extends graft.SparkSpec {
       "watermark must ride the tmp fallback")
   }
 
+  test("end-to-end: an ingest stream folding durably over the " +
+      "delete+rename fallback scheme crashes in the commit window; a " +
+      "fresh recovery heals the meta and a RESTARTED stream sees the " +
+      "pre-crash fold (VERDICT r18 stretch #7)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    hconf.set("fs.graftnofc.impl", classOf[NoFcLocalFileSystem].getName)
+    val local = Files.createTempDirectory("graft-nofc-e2e").toString
+    val uri = s"graftnofc:$local"
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "the cat sleeps in the warm afternoon sun near the barn"
+    val novel = "a brand new arrival describing bloom filter pruning " +
+      "strategies for sort merge joins on clustered tables"
+    val corpusSigs = Dedup.minhashSignatures(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64)
+    val writer = Dedup.foldingMinhashIndex(corpusSigs, bands = 16,
+      rowsPerBand = 4, numPartitions = 2, durablePath = Some(uri))
+
+    def runBatch(idx: Dedup.FoldingMinhashIndex,
+                 docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val ckpt = Files.createTempDirectory("graft_nofc_e2e_ckpt").toString
+      val hits =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = Dedup.nearDupIngestStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        ckpt) { (h, _) =>
+        h.collect().foreach(r => hits.add((r.getLong(0), r.getLong(1))))
+      }.start()
+      try { input.addData(docs: _*); q.processAllAvailable() }
+      finally q.stop()
+      hits.toArray(Array.empty[(Long, Long)]).toSet
+    }
+
+    // pre-crash: the novel doc is accepted and both tiers fold,
+    // committing their metas through the delete+rename fallback
+    assert(runBatch(writer, Seq((10L, novel))) == Set.empty)
+    assert(writer.sigs.meta.foldedRows == 1L)
+
+    // the crash window on the SIGS tier's meta commit: the delete
+    // happened, the rename didn't — no _meta, a COMPLETE _meta.tmp
+    // (the writer closes the tmp before any delete starts)
+    val sigsMeta = java.nio.file.Paths.get(local, "sigs", "_meta")
+    Files.move(sigsMeta,
+      java.nio.file.Paths.get(local, "sigs", "_meta.tmp"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(!Files.exists(sigsMeta))
+
+    // restart: recovery heals the window (re-commits the tmp) and a
+    // NEW stream catches a near-dup of the PRE-CRASH accepted arrival
+    val recovered = Dedup.recoverMinhashIndex(spark, uri, bands = 16,
+      rowsPerBand = 4, numPartitions = 2)
+    assert(Files.exists(sigsMeta),
+      "recovery must re-commit the healed meta")
+    val got = runBatch(recovered,
+      Seq((20L, novel.replace("clustered", "bucketed"))))
+    assert(got == Set((20L, 10L)),
+      s"the healed recovery must carry the pre-crash fold, got $got")
+  }
+
   test("a truncated _meta.tmp (no completeness trailer) with no _meta " +
       "is refused — Properties.load must not half-load it") {
     val dir = Files.createTempDirectory("graft-truncated").toString
