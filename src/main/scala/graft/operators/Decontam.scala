@@ -319,11 +319,92 @@ object Decontam {
         builderTag = "decontam-texts"),
       idCol, textCol)
 
+  /** [[probe]] over TIER SNAPSHOTS instead of the union relations —
+    * the per-tier read path every other folding modality already has
+    * (r19; the last surviving instance of the r15 defect class). The
+    * union-based [[FoldingDecontamIndex.index]] face put the
+    * corpus-scale trainIdx and gramDf bases under a `Union`, which
+    * reports no output partitioning — so EVERY eval micro-batch
+    * re-exchanged (and, under the merge-pinned candidate join,
+    * re-SORTED) the whole train index. Here each corpus tier streams
+    * through its Pinned.byKey partitioning with the batch side as the
+    * hash build (the shape the minhash/edit/winnow probes use; the
+    * r12 d41 adjudication forbids BROADCASTING a mis-estimated corpus
+    * frame, which a batch-side shuffle-hash build never does).
+    *
+    * Semantics are [[probe]]'s, exactly:
+    *  - matched seed rows: per-tier inner df joins union to the inner
+    *    part of probe's left join (joins distribute over union,
+    *    per-tier df rows included — the documented tier-min heuristic);
+    *  - the df=0 non-containment proof: a gram in NO tier — recovered
+    *    with the dedupAgainstTiers shape (per-tier LEFT SEMI with the
+    *    batch keys as build, one batch-scale anti join) instead of the
+    *    left join's null rows;
+    *  - candidate join and text verification: per-tier inner joins,
+    *    unioned. `FoldingIngestSpec` pins result equality against
+    *    [[probe]] on the union face at every fold stage.
+    */
+  private[graft] def probeTiered(idxTiers: Seq[DataFrame],
+      dfTiers: Seq[DataFrame], textTiers: Seq[DataFrame],
+      evalDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pinned: the gram explosion feeds the per-tier df joins, the
+    // present/absent split, and the seed rows (the scrubSegmentsTiered
+    // discipline — without the checkpoint each branch re-runs the
+    // shingle kernel)
+    val evalGrams = evalDocs
+      .select(col(idCol).as("eval_id"),
+        posexplode(array_distinct(
+          graft.functions.WordShingles.shingleHashes(col(textCol), 8))))
+      .toDF("eval_id", "pos", "h8")
+      .localCheckpoint(true)
+    val dfRows = dfTiers.map(t =>
+        t.join(evalGrams.hint("shuffle_hash"), Seq("h8")))
+      .reduce(_ unionByName _)
+      .select(col("eval_id"), col("pos"), col("h8"), col("df"))
+    val gramKeys = evalGrams.select(col("h8")).distinct()
+    val present = dfTiers.map(t => t.select(col("h8"))
+        .join(gramKeys.hint("shuffle_hash"), Seq("h8"), "left_semi"))
+      .reduce(_ unionByName _)
+      .distinct()
+    val zeroRows = evalGrams
+      .join(present.hint("shuffle_hash"), Seq("h8"), "left_anti")
+      .select(col("eval_id"), col("pos"), col("h8"), lit(0L).as("df"))
+    val probes = dfRows.unionByName(zeroRows)
+      .groupBy(col("eval_id"))
+      .agg(min(struct(col("df"), col("pos"), col("h8"))).as("best"))
+      .filter(col("best.df") > 0)
+      .select(col("eval_id"), col("best.h8").as("h8"))
+    val cands = idxTiers.map(t =>
+        t.join(probes.hint("shuffle_hash"), Seq("h8")))
+      .reduce(_ unionByName _)
+      .select(col("eval_id"), col("train_id"))
+      .distinct()
+    val withEval = cands.join(
+      evalDocs.select(col(idCol).as("eval_id"),
+        col(textCol).as("eval_text")).hint("shuffle_hash"),
+      Seq("eval_id"))
+    textTiers.map(t => t.join(withEval.hint("shuffle_hash"),
+        Seq("train_id")))
+      .reduce(_ unionByName _)
+      .filter(contains(
+        concat(lit(" "), col("train_text"), lit(" ")),
+        concat(lit(" "), col("eval_text"), lit(" "))))
+      .select(col("eval_id"), col("train_id"))
+  }
+
+  /** [[probeTiered]] over a [[FoldingDecontamIndex]]'s live snapshot. */
+  private[graft] def probeTiered(findex: FoldingDecontamIndex,
+      evalDocs: DataFrame, idCol: String, textCol: String): DataFrame =
+    probeTiered(findex.trainIdx.currentTiers, findex.gramDf.currentTiers,
+      findex.trainTexts.currentTiers, evalDocs, idCol, textCol)
+
   /** [[probeStream]] against a GROWING train index: the folding
     * index's current tiers are resolved per micro-batch, so train docs
     * folded between batches are probe-visible to every later batch.
     * The fold-in itself is the caller's move ([[FoldingDecontamIndex
     * .foldIn]] as train arrivals are accepted); this stream only reads.
+    * r19: probes via [[probeTiered]] — the union face re-exchanged the
+    * corpus-scale train tiers on every micro-batch.
     */
   def probeFoldingStream(evalStream: DataFrame,
       findex: FoldingDecontamIndex, idCol: String, textCol: String,
@@ -333,6 +414,6 @@ object Decontam {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(probe(findex.index, batch, idCol, textCol), batchId)
+        sink(probeTiered(findex, batch, idCol, textCol), batchId)
       }
 }

@@ -435,5 +435,56 @@ class FoldingIngestSpec extends SparkSpec {
     val streamed = hs.toArray(Array.empty[(Long, Long)]).toSet
     assert(streamed == Set((200L, 2L), (201L, 3L)),
       s"stream must see both folds: $streamed")
+
+    // r19 per-tier read path: with a live delta tier (t2 folded after
+    // the compaction), probeTiered ≡ the union-face probe on the same
+    // snapshot — including the df=0 non-containment proof (evalClean)
+    // and the best-seed selection across per-tier dfs
+    assert(findex.trainIdx.currentTiers.size == 2,
+      "fixture must exercise the multi-tier path")
+    val evals2 = Seq((100L, evalInT0), (101L, evalInT1),
+      (102L, evalClean),
+      (103L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val tiered = Decontam.probeTiered(findex, evals2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaUnion = Decontam.probe(findex.index, evals2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiered == viaUnion && tiered ==
+      Set((100L, 1L), (101L, 2L), (103L, 3L)),
+      s"tiered $tiered vs union $viaUnion")
+
+    // and the corpus-scale tiers never CROSS an Exchange (the union
+    // face re-exchanged them every batch): an exchange offends only
+    // when corpus-tier ROWS are its input — the base scan reachable
+    // through narrow ops alone; anything below a join/aggregate is a
+    // batch-derived result and may exchange freely
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val baseIds = Seq(findex.trainIdx, findex.gramDf, findex.trainTexts)
+      .map(_.currentTiers.head.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.head).toSet
+    def movesBaseRows(p: SparkPlan): Boolean = p match {
+      case r: RDDScanExec => baseIds(r.rdd.id)
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case _: org.apache.spark.sql.execution.aggregate
+        .BaseAggregateExec => false
+      case other => other.children.exists(movesBaseRows)
+    }
+    def offenders(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if movesBaseRows(e.child) => e }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assert(offenders(
+          Decontam.probeTiered(findex, evals2, "doc_id", "text")).isEmpty,
+        "corpus tiers must not be exchanged on the tiered probe path")
+      // positive control: the union face DOES move corpus rows through
+      // an exchange — the defect the tiered path exists to remove
+      assert(offenders(
+          Decontam.probe(findex.index, evals2, "doc_id", "text"))
+        .nonEmpty,
+        "control: the union-face probe should re-exchange corpus tiers")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
