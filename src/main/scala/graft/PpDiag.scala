@@ -25,8 +25,15 @@ import org.apache.spark.sql.functions._
   *     construction, so the expected result is a recorded negative.
   *
   * Usage: runMain graft.PpDiag <sfDir> [variant ...]
-  *   variants: stages audit hash strings dedupfirst
-  *   (default: all of the above)
+  *   variants: stages audit hash strings dedupfirst d36
+  *   (default: all but d36)
+  *
+  * `d36` (r20, VERDICT r19 Next #3): stage-level decomposition of the
+  * BIPARTITE path exactly as d36_decontam_exact_pairs runs it — the
+  * union-corpus DF order, the per-side prefix windows, the cross-side
+  * candidate join, and the verification band — with the candidate
+  * counts (sure / undecided / verified) that decide whether a
+  * pre-verify filter has anything to cut.
   */
 object PpDiag {
   def main(args: Array[String]): Unit = {
@@ -108,6 +115,81 @@ object PpDiag {
       println(s"  survivors=${survivors(
         PpJoin.edgesOver(sh, "doc_id", "g", 1, 2))}")
     }
+    if (variants("d36")) {
+      // the d36 query body, staged: the shingle frame is rebuilt with
+      // the query's OWN builder (WordShingles — the d24sh FrameCache
+      // recipe) and persisted like the cache pins it; the split is the
+      // d15 content-hash bucket, threshold 1/2
+      val (num, den) = (1, 2)
+      val sh36 = docs.select(col("doc_id"),
+          explode(array_distinct(graft.functions.WordShingles
+            .wordShingles(col("text"), 3))).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("d36_shingles")(println(s"  rows=${sh36.count()}"))
+      val split = docs.select(col("doc_id"),
+        (graft.functions.SamplingFunctions.hashBucket(col("text")) < 80)
+          .as("is_train"))
+      val tagged = sh36.join(split, Seq("doc_id"))
+      val l0 = tagged.filter(!col("is_train"))
+        .select(col("doc_id"), col("g")).filter(col("g").isNotNull)
+      val r0 = tagged.filter(col("is_train"))
+        .select(col("doc_id"), col("g")).filter(col("g").isNotNull)
+      val inj = timed("d36_audit")(
+        PpJoin.hashInjective(l0.unionByName(r0), "g"))
+      println(s"  injective=$inj")
+      def rekey(df: DataFrame): DataFrame =
+        if (inj) df.withColumn("g", xxhash64(col("g"))) else df
+      val l = rekey(l0)
+      val r = rekey(r0)
+      val both = l.withColumn("_side", lit(0))
+        .unionByName(r.withColumn("_side", lit(1)))
+      val dfreq = both.groupBy(col("g")).agg(count(lit(1)).as("tok_df"))
+      timed("d36_dfreq")(println(s"  distinct_tokens=${dfreq.count()}"))
+      val prefix = PpJoin.prefixKeyed(both, dfreq, Seq("_side", "doc_id"),
+        "g", num, den)
+      timed("d36_prefix") {
+        prefix.write.mode("overwrite").format("noop").save()
+      }
+      val cand = timed("d36_cand") {
+        PpJoin.overlapBand(
+          prefix.filter(col("_side") === 0)
+            .select(col("g"), col("doc_id").as("id_a"),
+              col("n").as("na"), col("pos").as("pa"))
+            .join(prefix.filter(col("_side") === 1)
+              .select(col("g"), col("doc_id").as("id_b"),
+                col("n").as("nb"), col("pos").as("pb")),
+              Seq("g"))
+            .filter(least(col("na"), col("nb")) * den >=
+              greatest(col("na"), col("nb")) * num),
+          num, den)
+          .localCheckpoint(true)
+      }
+      val nCand = cand.count()
+      val nSure = cand.filter(col("o") * (num + den) >=
+        (col("na") + col("nb")) * num).count()
+      println(s"  candidates=$nCand proven=$nSure undecided=${
+        nCand - nSure}")
+      timed("d36_verify") {
+        PpJoin.resolveBands(cand, num, den) { maybe =>
+          def sideSets(side: DataFrame, asId: String, asToks: String) =
+            side.join(maybe.select(col(asId).as("_cid")).distinct(),
+                col("doc_id") === col("_cid"), "left_semi")
+              .groupBy(col("doc_id"))
+              .agg(collect_list(col("g")).as(asToks))
+              .select(col("doc_id").as(asId), col(asToks))
+              .localCheckpoint(true)
+          (sideSets(l, "id_a", "toks_a"), sideSets(r, "id_b", "toks_b"))
+        }.write.mode("overwrite").format("noop").save()
+      }
+      timed("d36_full") {
+        PpJoin.jaccardEdgesBipartite(
+          tagged.filter(!col("is_train")).select(col("doc_id"), col("g")),
+          tagged.filter(col("is_train")).select(col("doc_id"), col("g")),
+          "doc_id", "g")
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+
     if (variants("dedupfirst")) timed("dedup_first") {
       val sd = sh.groupBy(col("doc_id"))
         .agg(expr("xxhash64(array_sort(collect_set(xxhash64(g))))").as("_sd"))

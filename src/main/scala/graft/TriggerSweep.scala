@@ -66,11 +66,14 @@ object TriggerSweep {
     // 1-min load to drop under the line, record what it actually was —
     // the fold-in/pinned ratio is only honest when BOTH windows ran
     // calm, so the report carries each side's load and a joint flag
+    // (rate, load, per-batch triggerExecution ms) — the durations ride
+    // the report (r20, VERDICT r19 Next #4) so a compaction tick's
+    // latency spike is visible per batch, not averaged away by the rate
     def replayOver(schema: org.apache.spark.sql.types.StructType,
         path: String, cols: Seq[org.apache.spark.sql.Column])(
         filesPerTrigger: Int)(
         start: (DataFrame, String) => StreamingQuery)
-        : (Double, Double) = {
+        : (Double, Double, Seq[Long]) = {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_trigger_sweep_ckpt").toString
       val st = spark.readStream
@@ -83,16 +86,17 @@ object TriggerSweep {
       q.processAllAvailable()
       q.stop()
       val steady = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+      val durations = steady.toSeq
+        .map(_.durationMs.get("triggerExecution").toLong)
       val rate =
         if (steady.isEmpty) 0.0
         else steady.map(_.numInputRows).sum.toDouble /
-          (steady.map(_.durationMs.get("triggerExecution").toLong)
-            .sum / 1e3)
-      (rate, load)
+          (durations.sum / 1e3)
+      (rate, load, durations)
     }
     def replay(filesPerTrigger: Int)(
         start: (DataFrame, String) => StreamingQuery)
-        : (Double, Double) =
+        : (Double, Double, Seq[Long]) =
       replayOver(docs.schema, docPath,
         Seq(col("doc_id"), col("text")))(filesPerTrigger)(start)
     def f1(v: Double): String =
@@ -100,7 +104,8 @@ object TriggerSweep {
     def f3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.US, v)
     def report(modality: String, trigger: Int,
-               pinned: (Double, Double), foldin: (Double, Double)): Unit = {
+               pinned: (Double, Double, Seq[Long]),
+               foldin: (Double, Double, Seq[Long])): Unit = {
       // joint calm is NULL (unknown), not false, when either side's
       // load was unreadable (ADVICE r18: calm=false must mean
       // measured-loud, or calm-readings-only comparisons silently drop
@@ -110,12 +115,19 @@ object TriggerSweep {
         else (pinned._2 < Calm.threshold &&
           foldin._2 < Calm.threshold).toString
       def fl(v: Double): String = if (v.isNaN) "null" else f1(v)
+      // fold-side per-batch durations + both sides' max (r20): the
+      // compaction-tick spike evidence — a rate averages the spike away
       println(s"""{"metric":"trigger_sweep","modality":"$modality",""" +
         s""""files_per_trigger":$trigger,"pinned_docs_per_sec":${
           f1(pinned._1)},"foldin_docs_per_sec":${f1(foldin._1)},"ratio":${
           f3(if (pinned._1 > 0) foldin._1 / pinned._1 else 0.0)},""" +
         s""""pinned_load":${fl(pinned._2)},"foldin_load":${fl(foldin._2)},""" +
         s""""calm":$calm,""" +
+        s""""pinned_max_batch_ms":${
+          if (pinned._3.isEmpty) 0L else pinned._3.max},""" +
+        s""""foldin_max_batch_ms":${
+          if (foldin._3.isEmpty) 0L else foldin._3.max},""" +
+        s""""foldin_batch_ms":${foldin._3.mkString("[", ",", "]")},""" +
         s""""corpus_docs":$corpusN,"sf":"$corpusDir"}""")
     }
 
@@ -123,15 +135,27 @@ object TriggerSweep {
     // built once and shared across trigger sizes; each fold-in run
     // gets a FRESH folding index (it grows during the replay).
     // lazy + gated builds (the mhSigs pattern, ADVICE r18): a sweep
-    // that skips the modality must not pay its artifacts
+    // that skips the modality must not pay its artifacts.
+    // REPARTITIONED BY THE PROBE JOIN KEY (r20, VERDICT r19 Next #1):
+    // the pinned-probe contract (repeatProbeStream scaladoc, the
+    // StreamBench discipline) is that the caller pins the corpus side
+    // partitioned on the join key so per-batch joins exchange only the
+    // batch side. This harness cached them UNPARTITIONED, so every
+    // pinned-probe micro-batch re-exchanged the corpus-scale
+    // fingerprint/text relations — the fold side's base tier is
+    // Pinned.byKey and never paid that, which is what drove the
+    // ladder's fold-in/pinned rungs ABOVE 1.0 (winnow 1.223/1.336,
+    // edit 1.329 in r19) at small triggers. Harness fix, not an
+    // operator change: hit sets are unaffected.
     lazy val staticFps = FrameCache.cached(spark,
       s"trigger_sweep_fps:$corpusDir") {
       graft.operators.SubstrDedup.fingerprints(docs, "doc_id", "text",
         minLen = 59, w = 20)
+        .repartition(cpus.toInt, col("_h"))
     }
     lazy val corpusPinned = FrameCache.cached(spark,
       s"trigger_sweep_docs:$corpusDir")(docs.select(col("doc_id"),
-      col("text")))
+      col("text")).repartition(cpus.toInt, col("doc_id")))
     if (modalities("winnow")) { staticFps.count(); corpusPinned.count() }
     for (t <- triggers if modalities("winnow")) {
       val pinned = replay(t) { (st, ckpt) =>
@@ -162,9 +186,13 @@ object TriggerSweep {
     // show the same shape more strongly)
     val heads = docs.select(col("doc_id"),
       expr("substring(text, 1, 120)").as("head"))
+    // pinned by _key — the editProbeStream scaladoc's own instruction
+    // ("pin the index REPARTITIONED by _key, see StreamBench"), which
+    // this harness alone didn't follow (r20, VERDICT r19 Next #1)
     lazy val edKeys = FrameCache.cached(spark,
       s"trigger_sweep_edkeys:$corpusDir") {
       graft.operators.EdJoin.deletionKeys(heads, "doc_id", "head", 1)
+        .repartition(cpus.toInt, col("_key"))
     }
     if (modalities("edit")) edKeys.count()
     for (t <- triggers if modalities("edit")) {

@@ -315,7 +315,18 @@ object Dedup {
         bucketCols = Seq("band", "band_hash"),
         numPartitions = numPartitions, compactEvery = compactEvery,
         durablePath = durablePath.map(p => s"$p/buckets"),
-        builderTag = s"minhash-buckets-b${bands}r$rowsPerBand"),
+        builderTag = s"minhash-buckets-b${bands}r$rowsPerBand",
+        // STAGGERED tick (r20, VERDICT r19 Next #4): both tiers fold in
+        // lockstep, so with equal schedules they compacted in the SAME
+        // batch window — two corpus-scale tier rewrites in one batch
+        // every compactEvery folds. The half-period offset moves the
+        // bucket tier's tick to the window between two signature ticks
+        // (buckets at k·compactEvery − compactEvery/2 folds, sigs at
+        // k·compactEvery), halving the per-window compaction spike at
+        // the same long-run rewrite rate. Index CONTENT is unchanged —
+        // compaction is a physical re-tiering; probe hit sets cannot
+        // see it (FoldingIndexSpec's agreement specs run across ticks).
+        compactOffset = compactEvery / 2),
       graft.streaming.FoldingIndex(
         graft.Pinned.byKey(corpusSigs.select(col("id"), col("sig")),
           numPartitions, "id"),
@@ -344,7 +355,10 @@ object Dedup {
         bucketCols = Seq("band", "band_hash"),
         numPartitions = numPartitions, compactEvery = compactEvery,
         resetWatermark = resetWatermark,
-        builderTag = s"minhash-buckets-b${bands}r$rowsPerBand"),
+        builderTag = s"minhash-buckets-b${bands}r$rowsPerBand",
+        // must match the writer's staggered tick (knob-stamped in the
+        // durable meta; recover refuses a mismatch)
+        compactOffset = compactEvery / 2),
       graft.streaming.FoldingIndex.recover(spark, s"$durablePath/sigs",
         df => df.select(col("id"), col("sig")),
         bucketCols = Seq("id"), numPartitions = numPartitions,

@@ -135,7 +135,7 @@ object PpJoin {
     require(num >= 1 && den >= num,
       s"threshold num/den must satisfy 1 <= num <= den, got $num/$den")
 
-  private def prefixKeyed(elems: DataFrame, dfreq: DataFrame,
+  private[graft] def prefixKeyed(elems: DataFrame, dfreq: DataFrame,
                           setKeys: Seq[String], tokCol: String,
                           num: Int, den: Int): DataFrame = {
     requireThreshold(num, den)
@@ -181,7 +181,7 @@ object PpJoin {
     * rejected exactly, and only the band between needs the full
     * intersection count.
     */
-  private def overlapBand(joined: DataFrame, num: Int, den: Int)
+  private[graft] def overlapBand(joined: DataFrame, num: Int, den: Int)
       : DataFrame =
     joined
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
@@ -239,7 +239,7 @@ object PpJoin {
     * streams the pair side, and sorts nothing, so array payloads
     * never enter a spillable sort at any SF.
     */
-  private def resolveBands(cand: DataFrame, num: Int, den: Int)
+  private[graft] def resolveBands(cand: DataFrame, num: Int, den: Int)
       (setsFor: DataFrame => (DataFrame, DataFrame)): DataFrame = {
     val proven = qualifies(col("o"), num, den)
     val sure = cand.filter(proven).select(col("id_a"), col("id_b"))

@@ -99,6 +99,7 @@ final class FoldingIndex private (
     bucketCols: Seq[String],
     numPartitions: Int,
     compactEvery: Int,
+    compactOffset: Int,
     dedupKeyCols: Seq[String],
     compactor: Option[DataFrame => DataFrame],
     base: DataFrame,
@@ -162,6 +163,7 @@ final class FoldingIndex private (
     props.setProperty("bucketCols", bucketCols.mkString(","))
     props.setProperty("numPartitions", numPartitions.toString)
     props.setProperty("compactEvery", compactEvery.toString)
+    props.setProperty("compactOffset", compactOffset.toString)
     props.setProperty("dedupKeyCols", dedupKeyCols.mkString(","))
     val conf = hadoopConf
     val fs = rootPath.getFileSystem(conf)
@@ -403,7 +405,7 @@ final class FoldingIndex private (
         generation += 1
         folds += 1
         foldedRows += n
-        if (deltas.size >= compactEvery) compact()
+        if (deltas.size >= compactThreshold) compact()
         else writeMeta()
         n
       }
@@ -420,6 +422,16 @@ final class FoldingIndex private (
     writeMeta()
     0L
   }
+
+  // staggered tick (r20, VERDICT r19 Next #4): the FIRST compaction
+  // fires compactOffset folds EARLY, every later one at the full
+  // period — so two lockstep tiers built with offsets 0 and
+  // compactEvery/2 never compact in the same batch window again
+  // (steady-state ticks land at k·compactEvery vs k·compactEvery −
+  // offset folds). Phase is derived from the persisted `compactions`
+  // counter, so a recovered index resumes the same tick schedule.
+  private def compactThreshold: Int =
+    if (compactions == 0) compactEvery - compactOffset else compactEvery
 
   /** Collapse all tiers into one checkpoint repartitioned by the
     * bucket key — the probe joins again reuse the index partitioning
@@ -512,6 +524,16 @@ object FoldingIndex {
     * @param numPartitions compaction partition count (the pinned
     *                     index's own, e.g. the session's cpu count)
     * @param compactEvery fold count between compactions
+    * @param compactOffset phase offset for the compaction tick (r20):
+    *                     the FIRST compaction fires after
+    *                     `compactEvery − compactOffset` folds, every
+    *                     later one after `compactEvery` — so two
+    *                     lockstep tiers given offsets 0 and
+    *                     `compactEvery / 2` stagger their corpus-scale
+    *                     tier rewrites into different batch windows
+    *                     instead of paying both in one. 0 (default)
+    *                     keeps the unstaggered schedule. Stored in the
+    *                     durable meta; [[recover]] refuses a mismatch.
     * @param dedupKeyCols non-empty for DISTINCT-set indexes: new rows
     *                     anti-join the current index on these before
     *                     appending (e.g. CDC's digest set)
@@ -550,9 +572,13 @@ object FoldingIndex {
             compactor: Option[DataFrame => DataFrame] = None,
             durablePath: Option[String] = None,
             overwriteDurable: Boolean = false,
-            builderTag: String = "")
+            builderTag: String = "",
+            compactOffset: Int = 0)
       : FoldingIndex = {
     require(compactEvery >= 1, s"compactEvery=$compactEvery must be >= 1")
+    require(compactOffset >= 0 && compactOffset < compactEvery,
+      s"compactOffset=$compactOffset must be in [0, compactEvery=" +
+        s"$compactEvery)")
     durablePath.foreach { p =>
       val root = new HadoopPath(p)
       val fs = root.getFileSystem(
@@ -566,8 +592,8 @@ object FoldingIndex {
       }
     }
     val idx = new FoldingIndex(builder, bucketCols, numPartitions,
-      compactEvery, dedupKeyCols, compactor, base, durablePath,
-      builderTag)
+      compactEvery, compactOffset, dedupKeyCols, compactor, base,
+      durablePath, builderTag)
     idx.persistBase()
     idx
   }
@@ -610,9 +636,13 @@ object FoldingIndex {
               dedupKeyCols: Seq[String] = Nil,
               compactor: Option[DataFrame => DataFrame] = None,
               resetWatermark: Boolean = false,
-              builderTag: String = "")
+              builderTag: String = "",
+              compactOffset: Int = 0)
       : FoldingIndex = {
     require(compactEvery >= 1, s"compactEvery=$compactEvery must be >= 1")
+    require(compactOffset >= 0 && compactOffset < compactEvery,
+      s"compactOffset=$compactOffset must be in [0, compactEvery=" +
+        s"$compactEvery)")
     val root = new HadoopPath(durablePath)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -675,6 +705,7 @@ object FoldingIndex {
     checkKnob("bucketCols", bucketCols.mkString(","))
     checkKnob("numPartitions", numPartitions.toString)
     checkKnob("compactEvery", compactEvery.toString)
+    checkKnob("compactOffset", compactOffset.toString)
     checkKnob("dedupKeyCols", dedupKeyCols.mkString(","))
     val baseName = props.getProperty("baseDir")
     val rawBase =
@@ -693,8 +724,8 @@ object FoldingIndex {
       (d, d.count())
     }
     val idx = new FoldingIndex(builder, bucketCols, numPartitions,
-      compactEvery, dedupKeyCols, compactor, base, Some(durablePath),
-      builderTag)
+      compactEvery, compactOffset, dedupKeyCols, compactor, base,
+      Some(durablePath), builderTag)
     idx.restoreState(
       if (resetWatermark) Long.MinValue
       else props.getProperty("lastBatchId").toLong,

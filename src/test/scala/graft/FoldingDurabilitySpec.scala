@@ -422,6 +422,108 @@ class FoldingDurabilitySpec extends SparkSpec {
         bucketCols = Seq("k"), numPartitions = 2, compactEvery = 4,
         dedupKeyCols = Seq("k"), builderTag = "kv-spec-v1")
     }.getMessage.contains("dedupKeyCols"))
+    // the staggered-tick phase is a knob too (r20): a recovery that
+    // would resume a DIFFERENT compaction schedule is refused — the
+    // tick phase is derived from persisted counters, so a silent
+    // mismatch would shift every future tier rewrite
+    assert(intercept[IllegalArgumentException] {
+      FoldingIndex.recover(spark, dir, builder,
+        bucketCols = Seq("k"), numPartitions = 2, compactEvery = 4,
+        builderTag = "kv-spec-v1", compactOffset = 2)
+    }.getMessage.contains("compactOffset"))
+  }
+
+  test("staggered compaction tick (VERDICT r19 Next #4): the offset " +
+      "tier compacts compactOffset folds early, then at the full " +
+      "period — and a mixed-tick recovery resumes the SAME schedule " +
+      "with identical content") {
+    val dir = tmpDir("stagger")
+    // compactEvery = 4, offset = 2: ticks at folds 2, 6, 10, … — the
+    // half-period phase foldingMinhashIndex gives its bucket tier
+    val writer = FoldingIndex(
+      kv(1L -> "a").repartition(2, col("k")).localCheckpoint(true),
+      builder, bucketCols = Seq("k"), numPartitions = 2,
+      compactEvery = 4, durablePath = Some(dir),
+      builderTag = "kv-stagger", compactOffset = 2)
+    writer.foldIn(0L, kv(2L -> "b"))
+    assert(writer.meta.compactions == 0L)
+    writer.foldIn(1L, kv(3L -> "c")) // fold 2: the EARLY first tick
+    assert(writer.meta.compactions == 1L && writer.meta.tiers == 1)
+    writer.foldIn(2L, kv(4L -> "d"))
+    assert(writer.meta.compactions == 1L,
+      "after the first tick the period is compactEvery, not offset")
+
+    // MIXED-TICK RECOVERY: one compaction behind us, one delta live —
+    // the recovered index must resume the same phase (next tick after
+    // 4 MORE deltas, i.e. at fold 6, not 4)
+    val recovered = FoldingIndex.recover(spark, dir, builder,
+      bucketCols = Seq("k"), numPartitions = 2, compactEvery = 4,
+      builderTag = "kv-stagger", compactOffset = 2)
+    assert(recovered.meta.compactions == 1L &&
+      recovered.meta.tiers == 2 && recovered.meta.folds == 3L)
+    assert(rowsOf(recovered.current) == rowsOf(writer.current))
+    recovered.foldIn(3L, kv(5L -> "e"))
+    recovered.foldIn(4L, kv(6L -> "f"))
+    assert(recovered.meta.compactions == 1L,
+      "recovery must not reset the tick phase")
+    recovered.foldIn(5L, kv(7L -> "g")) // fold 6: the second tick
+    assert(recovered.meta.compactions == 2L && recovered.meta.tiers == 1)
+    assert(rowsOf(recovered.current) == Set(1L -> "a", 2L -> "b",
+      3L -> "c", 4L -> "d", 5L -> "e", 6L -> "f", 7L -> "g"))
+  }
+
+  test("minhash tier pair staggers its ticks: buckets and sigs never " +
+      "compact on the same fold, at unchanged probe results") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "the cat sleeps in the warm afternoon sun near the barn"
+    val novel = "a brand new arrival describing bloom filter pruning " +
+      "strategies for sort merge joins on clustered tables"
+    val corpusSigs = Dedup.minhashSignatures(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numHashes = 64)
+    // compactEvery = 2 → buckets offset 1: buckets tick at folds 1, 3;
+    // sigs at fold 2 — never the same fold
+    val idx = Dedup.foldingMinhashIndex(corpusSigs, bands = 16,
+      rowsPerBand = 4, numPartitions = 2, compactEvery = 2)
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stagger_minhash").toString
+    val hits =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = Dedup.nearDupIngestStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      ckpt) { (h, _) =>
+      h.collect().foreach(r => hits.add((r.getLong(0), r.getLong(1))))
+    }.start()
+    try {
+      // three accepted folds, one per micro-batch; after each, the two
+      // tiers' compaction counts must never have ticked together
+      val arrivals = Seq(
+        (10L, novel),
+        (20L, "completely separate text about adaptive query " +
+          "execution and partition coalescing at runtime"),
+        (30L, "yet another unrelated arrival mentioning broadcast " +
+          "thresholds and sort merge join selection heuristics"))
+      for (d <- arrivals) {
+        input.addData(d); q.processAllAvailable()
+        assert(idx.buckets.meta.folds == idx.sigs.meta.folds,
+          "lockstep folds")
+      }
+      // schedule: buckets ticked at folds 1 and 3, sigs at fold 2
+      assert(idx.buckets.meta.compactions == 2L,
+        s"buckets ticks: ${idx.buckets.meta}")
+      assert(idx.sigs.meta.compactions == 1L,
+        s"sigs ticks: ${idx.sigs.meta}")
+      // and the staggered index still catches a near-dup folded two
+      // compactions ago — content is tick-schedule-invariant
+      input.addData((40L, novel.replace("clustered", "bucketed")))
+      q.processAllAvailable()
+      val got = hits.toArray(Array.empty[(Long, Long)]).toSet
+      assert(got == Set((40L, 10L)), s"staggered index hit set: $got")
+    } finally q.stop()
   }
 
   test("a pre-stamp meta (no builderTag key) is REFUSED when recover() " +
