@@ -169,6 +169,21 @@ object PpDiag {
         (col("na") + col("nb")) * num).count()
       println(s"  candidates=$nCand proven=$nSure undecided=${
         nCand - nSure}")
+      // o histogram: how much prefix-overlap evidence the undecided
+      // band carries — o = 1 means the pair met on ONE shared prefix
+      // token, where the size and positional filters are already
+      // information-theoretically saturated at t = 1/2
+      cand.groupBy(col("o")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o")).collect()
+        .foreach(r => println(s"  o=${r.getLong(0)} pairs=${r.getLong(1)}"))
+      // distinct ids entering the verify fetch (the array-build cost
+      // driver): how close to "the whole corpus" the candidate id set is
+      println(s"  cand_ids_a=${cand.select(col("id_a")).distinct().count()}" +
+        s" cand_ids_b=${cand.select(col("id_b")).distinct().count()}")
+      // NOTE: this staged verify keeps the r19 TWO-PASS per-side sets
+      // fetch deliberately — it is the before-comparator for the r20
+      // single-pass shape the shipped jaccardEdgesBipartite now uses
+      // (timed below as d36_full, which calls the real operator)
       timed("d36_verify") {
         PpJoin.resolveBands(cand, num, den) { maybe =>
           def sideSets(side: DataFrame, asId: String, asToks: String) =

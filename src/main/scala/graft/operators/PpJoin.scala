@@ -327,26 +327,57 @@ object PpJoin {
     */
   def jaccardEdgesBipartite(left: DataFrame, right: DataFrame,
                             idCol: String, tokCol: String,
-                            num: Int = 1, den: Int = 2): DataFrame = {
+                            num: Int = 1, den: Int = 2): DataFrame =
+    bipartiteOver(
+      left.select(col(idCol), col(tokCol)).withColumn("_side", lit(0))
+        .unionByName(right.select(col(idCol), col(tokCol))
+          .withColumn("_side", lit(1))),
+      idCol, tokCol, num, den)
+
+  /** [[jaccardEdgesBipartite]] for sides that are PARTITIONS OF ONE
+    * FRAME (r20, guide §1.2 step 1): `sideCol` is a boolean column on
+    * `elems` — true rows are the RIGHT side (id_b; e.g. the train
+    * split), false rows the LEFT (id_a; eval). Semantically identical
+    * to splitting the frame and calling the two-frame face (a spec
+    * pins it on both threshold shapes), but the physical plan never
+    * UNIONS two filtered copies of the same input: the two-frame
+    * face's `both` is a Union whose children each re-execute the
+    * shared upstream (for d36 that is the shingle-cache scan, the
+    * split join, and the hash rekey), so every full-frame consumer —
+    * the DF-order aggregation, the injectivity audit, the candidate
+    * fetch — paid the upstream TWICE. Here `both` is one subtree and
+    * each of those consumers pays it once; only the per-side prefix
+    * branches of the candidate join still scan it twice, which the
+    * two-frame face also did (its union children prune per branch).
+    * Rows with a NULL side are excluded — exactly the rows the
+    * two-frame face's boolean filters drop.
+    */
+  def jaccardEdgesBipartiteTagged(elems: DataFrame, idCol: String,
+                                  tokCol: String, sideCol: String,
+                                  num: Int = 1, den: Int = 2): DataFrame =
+    bipartiteOver(
+      elems.filter(col(sideCol).isNotNull)
+        .select(col(idCol), col(tokCol),
+          when(col(sideCol), lit(1)).otherwise(lit(0)).as("_side")),
+      idCol, tokCol, num, den)
+
+  // shared bipartite body over a side-tagged (_side ∈ {0 left, 1
+  // right}) token frame
+  private def bipartiteOver(tagged: DataFrame, idCol: String,
+                            tokCol: String, num: Int, den: Int)
+      : DataFrame = {
     // same null-token exclusion as [[jaccardEdges]], applied before the
     // union-vocabulary audit so hash space and string space agree on
     // corpora containing null tokens
-    val l0 = left.select(col(idCol), col(tokCol))
-      .filter(col(tokCol).isNotNull)
-    val r0 = right.select(col(idCol), col(tokCol))
-      .filter(col(tokCol).isNotNull)
+    val e0 = tagged.filter(col(tokCol).isNotNull)
     // audited hash re-key over the UNION vocabulary — both sides must
     // land in the same element space for the shared DF order and the
     // cross-frame intersection counts to mean anything
-    val hash = l0.schema(tokCol).dataType ==
+    val hash = e0.schema(tokCol).dataType ==
         org.apache.spark.sql.types.StringType &&
-      injectiveMemo(l0.unionByName(r0), tokCol)
-    def rekey(df: DataFrame): DataFrame =
-      if (hash) df.withColumn(tokCol, xxhash64(col(tokCol))) else df
-    val l = rekey(l0)
-    val r = rekey(r0)
-    val both = l.withColumn("_side", lit(0))
-      .unionByName(r.withColumn("_side", lit(1)))
+      injectiveMemo(e0.select(col(idCol), col(tokCol)), tokCol)
+    val both =
+      if (hash) e0.withColumn(tokCol, xxhash64(col(tokCol))) else e0
     val dfreq = both.groupBy(col(tokCol)).agg(count(lit(1)).as("tok_df"))
     val prefix = prefixKeyed(both, dfreq, Seq("_side", idCol), tokCol,
       num, den)
@@ -363,14 +394,38 @@ object PpJoin {
       num, den)
       .localCheckpoint(true)
     resolveBands(cand, num, den) { maybe =>
-      def sideSets(side: DataFrame, asId: String, asToks: String) =
-        side.join(maybe.select(col(asId).as("_cid")).distinct(),
-            col(idCol) === col("_cid"), "left_semi")
-          .groupBy(col(idCol))
-          .agg(collect_list(col(tokCol)).as(asToks))
-          .select(col(idCol).as(asId), col(asToks))
-          .localCheckpoint(true)
-      (sideSets(l, "id_a", "toks_a"), sideSets(r, "id_b", "toks_b"))
+      // ONE sets pass for BOTH sides (r20, guide §1.2 step 1): the
+      // r19 shape ran a per-side fetch — two semi-joins, two
+      // collect_list aggregations, two eager checkpoints — each
+      // re-executing its side's token-frame construction (the
+      // split-tag join and the hash rekey). The self-join variant
+      // (jaccardEdges) always built ONE candidate-pruned sets frame;
+      // this brings the bipartite variant in line: one semi-join on
+      // (side, id), one aggregation, one checkpoint, and the two join
+      // inputs are filtered VIEWS of the pinned frame (a checkpoint
+      // scan, not a recomputation). Verification semantics unchanged —
+      // same rows reach collect_list, array_intersect is order-
+      // insensitive. Measured at sf0.1: d36's candidate id set covers
+      // ~90% of the corpus (962/1000 eval, 3424/4000 train ids), so
+      // the fetch IS a corpus-scale pass and halving its executions is
+      // the verify term's real lever (the o-histogram shows the
+      // ordered pre-verify filter has nothing sound to cut —
+      // OPTIMIZATION_r20.md §3).
+      val candIds = maybe
+        .select(lit(0).as("_cside"), col("id_a").as("_cid"))
+        .unionByName(maybe
+          .select(lit(1).as("_cside"), col("id_b").as("_cid")))
+        .distinct()
+      val sets = both
+        .join(candIds, col("_side") === col("_cside") &&
+          col(idCol) === col("_cid"), "left_semi")
+        .groupBy(col("_side"), col(idCol))
+        .agg(collect_list(col(tokCol)).as("toks"))
+        .localCheckpoint(true)
+      (sets.filter(col("_side") === 0)
+        .select(col(idCol).as("id_a"), col("toks").as("toks_a")),
+        sets.filter(col("_side") === 1)
+          .select(col(idCol).as("id_b"), col("toks").as("toks_b")))
     }
   }
 }

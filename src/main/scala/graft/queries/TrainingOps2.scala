@@ -567,10 +567,15 @@ object TrainingOps2 extends QueryPack {
       val split = docs.select(col("doc_id"),
         (SamplingFunctions.hashBucket(col("text")) < 80).as("is_train"))
       val tagged = sh.join(split, Seq("doc_id"))
-      graft.operators.PpJoin.jaccardEdgesBipartite(
-          tagged.filter(!col("is_train")).select(col("doc_id"), col("g")),
-          tagged.filter(col("is_train")).select(col("doc_id"), col("g")),
-          "doc_id", "g")
+      // single-frame bipartite face (r20): the two sides are a split of
+      // ONE tagged frame, and the two-frame face's internal Union made
+      // every full-frame pass (DF-order count, injectivity audit,
+      // candidate text fetch) execute the shingle-cache scan + split
+      // join TWICE — one union child per side. The tagged face pays
+      // each once; pairs and hashes are identical (PpJoinSpec pins
+      // tagged ≡ two-frame on real corpora).
+      graft.operators.PpJoin.jaccardEdgesBipartiteTagged(
+          tagged, "doc_id", "g", "is_train")
         .select(col("id_a").as("id_eval"), col("id_b").as("id_train"))
     },
 

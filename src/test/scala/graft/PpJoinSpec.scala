@@ -214,6 +214,55 @@ class PpJoinSpec extends SparkSpec {
     assert(pp23 == na23, "threshold 2/3 bipartite diverged")
   }
 
+  test("tagged bipartite face ≡ two-frame face: one side-flagged frame " +
+      "yields identical pairs (r20 — the d36 shape), null sides drop " +
+      "exactly like the boolean filters they replace") {
+    def taggedOf(l: DataFrame, r: DataFrame): DataFrame =
+      l.withColumn("is_r", lit(false))
+        .unionByName(r.withColumn("is_r", lit(true)))
+    def pairsTagged(t: DataFrame, p: Int = 1, q: Int = 2) =
+      PpJoin.jaccardEdgesBipartiteTagged(t, "id", "tok", "is_r", p, q)
+        .as[(Long, Long)].collect().toSet
+    def pairsTwoFrame(l: DataFrame, r: DataFrame, p: Int = 1, q: Int = 2) =
+      PpJoin.jaccardEdgesBipartite(l, r, "id", "tok", p, q)
+        .as[(Long, Long)].collect().toSet
+
+    // the hot-token corpus with overlapping ids across sides
+    val left = elems(
+      1L -> Seq("hot", "aa", "bb", "cc", "dd"),
+      3L -> Seq("hot", "zz", "yy", "xx", "ww"),
+      5L -> Seq("hot", "pp", "qq"),
+      7L -> Seq("hot"))
+    val right = elems(
+      2L -> Seq("hot", "aa", "bb", "cc", "ee"),
+      3L -> Seq("hot", "zz", "yy", "xx", "ww"),
+      5L -> Seq("hot", "rr", "ss"),
+      6L -> Seq("hot"))
+    assert(pairsTagged(taggedOf(left, right)) ==
+      pairsTwoFrame(left, right))
+
+    // randomized families, default AND non-default threshold
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 25).map(i => s"t$i")
+    def rndSets(n: Long) = (0L until n).map { id =>
+      id -> rnd.shuffle(vocab).take(2 + rnd.nextInt(9)).toSeq
+    }
+    val rl = elems(rndSets(25): _*)
+    val rr = elems(rndSets(25): _*)
+    assert(pairsTagged(taggedOf(rl, rr)) == pairsTwoFrame(rl, rr))
+    assert(pairsTagged(taggedOf(rl, rr), 2, 3) ==
+      pairsTwoFrame(rl, rr, 2, 3), "threshold 2/3 tagged diverged")
+
+    // a NULL side row contributes to NEITHER side — the two-frame
+    // face's `filter(side)` / `filter(!side)` pair drops it the same
+    // way (d36: a null content-hash bucket doc leaves the comparison)
+    val withNull = taggedOf(left, right).unionByName(
+      elems(1L -> Seq("hot", "aa", "bb", "cc", "dd"))
+        .withColumn("is_r", lit(null).cast("boolean")))
+    assert(pairsTagged(withNull) == pairsTwoFrame(left, right),
+      "null-side rows must not join either side")
+  }
+
   test("positional band: exact on threshold-straddling perturbed families") {
     // families built by perturbing base sets K elements at a time, so
     // pair Jaccards cluster AROUND the threshold — the regime where the
